@@ -1,0 +1,140 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared output type of a `-c name:ty=path` mapping.
+  *
+  * Reference type grammar (`/root/reference/src/consume.rs:223-245`):
+  * `i` → INTEGER, `l` → UINTEGER (we use Spark LongType — Spark has no
+  * unsigned and the reference itself writes i64 into it,
+  * `/root/reference/src/consume.rs:373-377`), `f` → FLOAT, `d` → DOUBLE,
+  * `s` → VARCHAR, `t` → TIMESTAMP_MS, unknown/absent → VARCHAR.
+  */
+sealed abstract class MappedType(val suffix: String, val spark: DataType)
+object MappedType {
+  case object I extends MappedType("i", IntegerType)
+  case object L extends MappedType("l", LongType)
+  case object F extends MappedType("f", FloatType)
+  case object D extends MappedType("d", DoubleType)
+  case object S extends MappedType("s", StringType)
+  case object T extends MappedType("t", TimestampType)
+
+  def fromSuffix(s: String): MappedType = s match {
+    case "i" => I
+    case "l" => L
+    case "f" => F
+    case "d" => D
+    case "s" => S
+    case "t" => T
+    case _   => S // unknown suffix → VARCHAR (/root/reference/src/consume.rs:237)
+  }
+}
+
+/** One `-c name[:ty]=json.path` column mapping: project a field out of the
+  * record's JSON payload into a typed column.
+  *
+  * The reference evaluates the path with the `jql` crate per record
+  * (`/root/reference/src/consume.rs:311-443`); we compile the same semantics
+  * once into Catalyst expressions (`get_json_object` + casts + `coalesce`),
+  * which whole-stage-codegen then runs over the scan — no per-record
+  * interpreter.
+  *
+  * Coercion matrix reproduced from `/root/reference/src/consume.rs:327-443`
+  * (see SURVEY.md §1.2):
+  *   - JSON string → VARCHAR verbatim; `:t` → RFC3339-parsed TIMESTAMP.
+  *   - JSON number → cast to the declared numeric type; a number mapped into
+  *     a `:s` column is DROPPED (null here; the reference leaves the slot
+  *     untouched).
+  *   - JSON bool → 0/1 for numeric columns.
+  *   - JSON null → 0 for numeric, the literal string "null" for VARCHAR
+  *     (the reference never emits SQL NULL for JSON null).
+  *   - JSON object/array → serialized JSON string (VARCHAR only).
+  *   - Missing path (jql error) → for VARCHAR the error text itself is the
+  *     value (reference writes the jql error message into the column,
+  *     `/root/reference/src/consume.rs:329-336`); for typed columns → NULL
+  *     (documented divergence: reference behavior is undefined there).
+  */
+final case class ColumnMapping(name: String, ty: MappedType, path: String) {
+
+  /** JSONPath for Spark's `get_json_object` from the jql dot-path. */
+  def jsonPath: String = "$." + path
+
+  private def parentAndLeaf: (Option[String], String) = {
+    val idx = path.lastIndexOf('.')
+    if (idx < 0) (None, path)
+    else (Some(path.substring(0, idx)), path.substring(idx + 1))
+  }
+
+  /** Error text written for a missing path, mirroring the reference's
+    * "error as value" quirk for VARCHAR columns. */
+  def missingPathError: String = s"""Node "$path" not found"""
+
+  /** Whether `path` exists in the JSON `value` (distinguishes JSON null,
+    * which get_json_object can't: both yield SQL NULL). */
+  private def pathExists(value: Column): Column = {
+    val (parent, leaf) = parentAndLeaf
+    val parentJson = parent match {
+      case None    => value
+      case Some(p) => get_json_object(value, "$." + p)
+    }
+    coalesce(array_contains(json_object_keys(parentJson), leaf), lit(false))
+  }
+
+  /** Compile this mapping into a Column over the JSON payload `value`. */
+  def toColumn(value: Column): Column = {
+    val raw = get_json_object(value, jsonPath) // string repr; null for JSON null OR missing
+    val exists = pathExists(value)
+    val isJsonNull = exists && raw.isNull
+    val out: Column = ty match {
+      case MappedType.S =>
+        // object/array arrive as serialized JSON from get_json_object already;
+        // numbers mapped into a string column are dropped (ref: silent skip).
+        val isNumber = raw.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$")
+        when(isJsonNull, lit("null"))
+          .when(!exists, lit(missingPathError))
+          .when(isNumber, lit(null).cast(StringType))
+          .otherwise(raw)
+      case MappedType.T =>
+        // RFC3339 parse, e.g. 2023-01-28T23:54:23.405Z
+        // (/root/reference/src/consume.rs:342-355); parse failure → NULL.
+        when(isJsonNull || !exists, lit(null).cast(TimestampType))
+          .otherwise(to_timestamp(raw))
+      case numeric =>
+        val boolAs01 =
+          when(raw === "true", lit(1)).when(raw === "false", lit(0))
+        when(isJsonNull, lit(0).cast(numeric.spark))
+          .when(!exists, lit(null).cast(numeric.spark))
+          .when(raw.isin("true", "false"), boolAs01.cast(numeric.spark))
+          .otherwise(raw.try_cast(numeric.spark))
+    }
+    out.alias(name)
+  }
+}
+
+object ColumnMapping {
+
+  /** Parse the `name[:ty]` left side and the (possibly quoted) path right
+    * side of a `-c` mapping. Quotes around the path are stripped (the README
+    * shows `-c time:t="tst"`, `/root/reference/README.md:152-167`).
+    */
+  def parse(nameSpec: String, rawPath: String): Either[String, ColumnMapping] = {
+    val (name, ty) = nameSpec.lastIndexOf(':') match {
+      case -1 => (nameSpec, MappedType.S)
+      case i  => (nameSpec.substring(0, i), MappedType.fromSuffix(nameSpec.substring(i + 1)))
+    }
+    if (name.isEmpty) Left(s"invalid column mapping: empty name in `$nameSpec`")
+    else {
+      val path = stripQuotes(rawPath)
+      if (path.isEmpty) Left(s"invalid column mapping: empty path for `$name`")
+      else Right(ColumnMapping(name, ty, path))
+    }
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 &&
+      ((s.head == '"' && s.last == '"') || (s.head == '\'' && s.last == '\'')))
+      s.substring(1, s.length - 1)
+    else s
+}

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.transforms.{TransformChain, TransformRegistry}
+
+/** How a stored table plays the role of a Fluvio topic: which columns carry
+  * the record offset / timestamp / JSON value.
+  *
+  * Reference record model: (offset i64, timestamp epoch-ms, value bytes),
+  * `/root/reference/src/consume.rs:260-309`. Our canonical topic fixture is
+  * `events.parquet` (event_id=offset, ts=timestamp, props=value) — see
+  * /root/repo/FIXTURES.md §1.
+  */
+final case class RecordView(offsetCol: String, timestampCol: String, valueCol: String)
+
+object TopicRegistry {
+  /** Topics with a record-shaped view; other parquet tables in the base dir
+    * are visible to the admin scans (topics/partitions) but cannot be
+    * consumed — mirroring that only stream topics are consumable. */
+  val recordViews: Map[String, RecordView] = Map(
+    "events" -> RecordView("event_id", "ts", "props")
+  )
+
+  def topicPath(baseDir: String, topic: String): String = s"$baseDir/$topic.parquet"
+
+  def exists(baseDir: String, topic: String): Boolean =
+    new java.io.File(topicPath(baseDir, topic)).exists()
+
+  /** All topics in a base dir (one parquet file or directory per topic). */
+  def allTopics(baseDir: String): Seq[String] = {
+    val f = new java.io.File(baseDir)
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted.toSeq
+  }
+}
+
+/** Spark-native equivalents of the reference's three table-valued functions
+  * (`/root/reference/src/lib.rs:37-39`):
+  *
+  *   - [[consume]]  ≙ `fluvio_consume('<topic> <options>')`
+  *   - [[topics]]    ≙ `fluvio_topics()`
+  *   - [[partitions]]≙ `fluvio_partitions()`
+  *
+  * Everything is declared through the DataFrame API so Catalyst gets full
+  * pushdown/pruning freedom; no driver-side row loops.
+  */
+object FluvioDuck {
+
+  /** Materialize a bounded window of a topic as a DataFrame.
+    *
+    * Pipeline (mirrors the reference's semantics, not its execution):
+    * parse options → record view → offset window filter → transform chain →
+    * column projection (default 3-col record schema or `-c` mappings) →
+    * offset order + `--rows` cap.
+    *
+    * Reference lifecycle: `/root/reference/src/consume.rs:158-210` (bind),
+    * `:72-134` (read loop). The reference pulls record-at-a-time over a
+    * blocking stream into 2048-row chunks, single-partition; here the whole
+    * thing is one Catalyst plan over a parquet scan (filter pushdown,
+    * column pruning and whole-stage codegen apply).
+    *
+    * Divergences (documented in SURVEY.md §1.2/§4.2): offset/LEO are Long
+    * (not int32-truncated); `--rows` caps post-transform rows in offset
+    * order, like the reference.
+    */
+  def consume(spark: SparkSession, cmd: String, baseDir: String): DataFrame = {
+    val opt = ConsumeOpt.parse(cmd) match {
+      case Left(err) => throw new IllegalArgumentException(err) // scan_error_surface
+      case Right(o)  => o
+    }
+    val view = TopicRegistry.recordViews.getOrElse(
+      opt.topic,
+      if (TopicRegistry.exists(baseDir, opt.topic))
+        throw new IllegalArgumentException(
+          s"topic `${opt.topic}` is not a stream topic (no record view registered)")
+      else
+        throw new IllegalArgumentException(s"Topic not found: ${opt.topic}"))
+
+    val raw = Tables.load(spark, baseDir, opt.topic)
+
+    // Canonical record shape. Offsets in fixtures are dense from 0 per topic
+    // (LEO = max(offset)+1 = count). Partition is 0: fixture topics are
+    // single-partition, and the reference pins its consumer to partition 0
+    // regardless of -p/-A (/root/reference/src/consume.rs:179) — we match.
+    val records = raw.select(
+      col(view.offsetCol).cast("long").as("offset"),
+      col(view.timestampCol).cast("timestamp").as("timestamp"),
+      col(view.valueCol).cast("string").as("value"))
+
+    // ---- offset window (calculate_offset, /root/reference/src/consume.rs:580-605)
+    val windowed: DataFrame = opt.startOffset match {
+      case OffsetSpec.FromBeginning(0) => records
+      case OffsetSpec.FromBeginning(n) => records.filter(col("offset") >= n)
+      case OffsetSpec.Absolute(n)      => records.filter(col("offset") >= n)
+      case OffsetSpec.FromEnd(n) =>
+        // start = LEO - n, computed in-plan via a broadcast single-row agg
+        // (no driver collect; scales to any partition count).
+        val leo = records.agg((max(col("offset")) + 1).as("__leo"))
+        records.crossJoin(broadcast(leo))
+          .filter(col("offset") >= col("__leo") - n)
+          .drop("__leo")
+      case OffsetSpec.End =>
+        val leo = records.agg((max(col("offset")) + 1).as("__leo"))
+        records.crossJoin(broadcast(leo))
+          .filter(col("offset") >= col("__leo"))
+          .drop("__leo")
+    }
+    val ended = opt.end match {
+      case Some(e) => windowed.filter(col("offset") <= e) // inclusive end bound
+      case None    => windowed
+    }
+
+    // ---- transform chain (SmartModule analog), applied to the record view
+    // BEFORE projection, like the server-side WASM chain
+    // (/root/reference/src/consume.rs:650-673).
+    val chain = TransformChain.fromOpt(opt)
+    val transformed = chain.foldLeft(ended) { (df, t) =>
+      TransformRegistry(t.uses)(df, t.params)
+    }
+
+    // ---- projection: default record columns or -c mappings
+    // (columns_mappings, /root/reference/src/consume.rs:607-637).
+    val projected =
+      if (opt.columns.isEmpty)
+        transformed.select(col("offset"), col("timestamp"), col("value"))
+      else {
+        val mapped = opt.columns.map(_.toColumn(col("value")))
+        // keep offset for deterministic ordering; dropped after the sort
+        transformed.select(col("offset").as("__offset") +: mapped: _*)
+      }
+
+    // ---- `--rows` cap in offset order (post-transform, matching the
+    // reference's chunk-fill count at /root/reference/src/consume.rs:75-92).
+    // orderBy+limit: Spark picks per-partition top-k (TakeOrderedAndProject)
+    // for small k and a distributed sort above
+    // spark.sql.execution.topKSortFallbackThreshold — both scale out.
+    val orderCol = if (opt.columns.isEmpty) "offset" else "__offset"
+    val capped = projected.orderBy(col(orderCol)).limit(
+      math.min(opt.rows, Int.MaxValue.toLong).toInt)
+    if (opt.columns.isEmpty) capped else capped.drop("__offset")
+  }
+
+  /** `fluvio_topics()` — one row per topic: (name, partitions).
+    * Reference: `/root/reference/src/topic.rs:20-28`, schema `:52-53`.
+    * Fixture topics are single-partition parquet tables. */
+  def topics(spark: SparkSession, baseDir: String): DataFrame = {
+    import spark.implicits._
+    TopicRegistry.allTopics(baseDir).map(t => (t, 1)).toDF("name", "partitions")
+  }
+
+  /** `fluvio_partitions()` — one row per partition: (topic, partition, LEO).
+    * Reference: `/root/reference/src/partition.rs:21-29`, replica-key split
+    * `:113-122`, LEO `:131`. LEO = log-end-offset = row count for dense
+    * offsets; computed as a union of per-topic single-row aggregates (one
+    * distributed job, no driver-side counting). Partition id is VARCHAR, as
+    * in the reference's replica-key split. */
+  def partitions(spark: SparkSession, baseDir: String): DataFrame = {
+    val perTopic = TopicRegistry.allTopics(baseDir).map { t =>
+      Tables.load(spark, baseDir, t)
+        .agg(count(lit(1)).as("LEO"))
+        .select(lit(t).as("topic"), lit("0").as("partition"), col("LEO"))
+    }
+    perTopic.reduce(_.unionAll(_))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.FluvioDuck
+
+/** End-to-end smoke driver for the public API: builds a real local Spark
+  * session and runs the reference's documented usage shapes against the
+  * fixture topics. `sbt "runMain graft.tools.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    println("=== fluvio_topics() ===")
+    FluvioDuck.topics(spark, sf).show(20, false)
+
+    println("=== fluvio_partitions() ===")
+    FluvioDuck.partitions(spark, sf).show(20, false)
+
+    println("=== consume: last 5 records, default columns ===")
+    FluvioDuck.consume(spark, "events -T 5", sf).show(false)
+
+    println("=== consume: typed JSON column mapping ===")
+    FluvioDuck.consume(spark, "events -B --rows 5 -c k:i=k -c missing=nope", sf)
+      .show(false)
+
+    println("=== consume + SQL aggregate (README flagship shape) ===")
+    FluvioDuck.consume(spark, "events -B --rows 999999", sf)
+      .createOrReplaceTempView("stream")
+    spark.sql(
+      """SELECT get_json_object(value, '$.k') AS k, count(*) AS n
+        |FROM stream GROUP BY 1 ORDER BY n DESC LIMIT 5""".stripMargin)
+      .show(false)
+
+    println("=== consume with jolt transform ===")
+    val joltCmd = "events -B --rows 3 " +
+      """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"shift\",\"spec\":{\"k\":\"kk\"}}]"}}"""
+    FluvioDuck.consume(spark, joltCmd, sf).show(false)
+
+    println("=== error surface: bad flags ===")
+    try FluvioDuck.consume(spark, "events -B -T 5", sf)
+    catch { case e: IllegalArgumentException => println(s"OK error: ${e.getMessage}") }
+
+    spark.stop()
+  }
+}

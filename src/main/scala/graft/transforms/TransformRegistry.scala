@@ -1,0 +1,71 @@
+package graft.transforms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Registry of named record-view transforms — the Spark analog of the
+  * reference's server-side SmartModule WASM registry
+  * (`/root/reference/src/consume.rs:650-673`). Each transform is
+  * `(recordsDF, params) => recordsDF` over the canonical record schema
+  * `(offset LONG, timestamp TIMESTAMP, value STRING)` and is applied
+  * *before* column projection and the `--rows` cap, matching the
+  * server-side placement in the reference.
+  *
+  * WASM execution itself is out of scope (SURVEY.md §2
+  * `smartmodule_named`): transforms are Scala, registered by name. Any
+  * `infinyon/jolt@<version>` name resolves to the jolt transform.
+  */
+object TransformRegistry {
+  type Transform = (DataFrame, Map[String, String]) => DataFrame
+
+  /** jolt: apply the op list in `spec` to the `value` JSON. The record
+    * timestamp is reset to epoch -1 ms, reproducing the reference's
+    * observable behavior where jolt-transformed records lose their
+    * timestamp (`/root/reference/README.md:134-138` shows
+    * 1969-12-31 23:59:59.999). */
+  val jolt: Transform = (df, params) => {
+    val specJson = params.getOrElse("spec",
+      throw new IllegalArgumentException("jolt transform requires a `spec` param"))
+    val ops = Jolt.parseSpec(specJson)
+    val valueOut = ops.foldLeft(col("value")) { (v, op) =>
+      op.operation match {
+        case "shift"   => Jolt.shiftColumn(v, op.spec)
+        case "default" =>
+          val f = udf(Jolt.defaultFn(op.spec))
+          f(v)
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported jolt operation: $other (supported: shift, default)")
+      }
+    }
+    df.withColumn("value", valueOut)
+      .withColumn("timestamp", timestamp_millis(lit(-1L)))
+  }
+
+  /** graft/filter-json-eq: keep records where the JSON field `key` equals
+    * `value` (params: key, value) — a stand-in for the reference's filter
+    * SmartModules, exercising `-e key=value` params. */
+  val filterJsonEq: Transform = (df, params) => {
+    val key = params.getOrElse("key",
+      throw new IllegalArgumentException("filter-json-eq requires `key` param"))
+    val v = params.getOrElse("value",
+      throw new IllegalArgumentException("filter-json-eq requires `value` param"))
+    df.filter(get_json_object(col("value"), "$." + key) === v)
+  }
+
+  /** graft/map-uppercase: uppercase the raw value — a trivial map-type
+    * SmartModule analog used by tests. */
+  val mapUppercase: Transform = (df, _) => df.withColumn("value", upper(col("value")))
+
+  private val named: Map[String, Transform] = Map(
+    "graft/filter-json-eq" -> filterJsonEq,
+    "graft/map-uppercase" -> mapUppercase
+  )
+
+  def apply(uses: String): Transform =
+    if (uses.startsWith("infinyon/jolt@") || uses == "jolt") jolt
+    else
+      named.getOrElse(uses.takeWhile(_ != '@'),
+        named.getOrElse(uses,
+          throw new IllegalArgumentException(s"SmartModule not found: $uses")))
+}
