@@ -1,13 +1,42 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Pipeline, Relational, TierA, TierB}
+import graft.sources.FluvioDuck
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` carries one entry per implemented operator ID from SURVEY.md
+  * §2 (Tier A = the reference's own operators, Tier B = its documented
+  * host-SQL delegation shapes) plus the relational and training-data-
+  * pipeline suites. `oracleSql` carries the DuckDB-equivalent SQL for every
+  * oracle-checkable entry; hash-based/approximate/streaming operators are
+  * deliberately absent from `oracleSql` (rows-only check) and covered by
+  * ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on sf0.001 — the fixture analog of the reference's
+    * README flagship `SELECT route, avg(speed) FROM transit GROUP BY route`
+    * (/root/reference/README.md:171-184): consume the events topic, group
+    * by the payload key, aggregate. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    FluvioDuck.consume(spark, "events -B --rows 100000000",
+        "/root/testdata/sf0.001")
+      .createOrReplaceTempView("transit")
+    spark.sql(
+      """SELECT get_json_object(value, '$.k') AS k,
+        |       count(*) AS n, round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset
+        |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    TierA.queries ++ TierB.queries ++ Relational.queries ++ Pipeline.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    TierA.oracleSql ++ TierB.oracleSql ++ Relational.oracleSql ++ Pipeline.oracleSql
 }

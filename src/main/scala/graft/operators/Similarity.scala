@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, mirroring how a 100 TB pipeline would run them:
+  *   - [[cosineTopK]] / [[nearDupPairs]]: exact brute force. Per-row scalar
+  *     math against a broadcast query vector (top-k) or a self-join
+  *     (pairs). The top-k is a `TakeOrderedAndProject` — per-partition
+  *     top-k then a k-row merge, no global sort, no driver materialization
+  *     of the data. This is the correct *baseline* even at scale when k is
+  *     small; the self-join is quadratic and only for validation scales.
+  *   - [[annTopK]] / [[annNearDupPairs]]: LSH-bucketed (signed random
+  *     hyperplanes). Signature = b bits; candidates share a bucket (or a
+  *     probing bucket within Hamming radius). Turns the quadratic pair
+  *     space into a per-bucket product — the scale path. Recall is tunable
+  *     via bits/probes; exactness is NOT guaranteed (that's the point).
+  */
+object Similarity {
+
+  /** Exact cosine top-k against one query vector.
+    * Output: (id, score) rows, highest first. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: Array[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Exact near-duplicate pairs: all (a, b), a < b, with cosine ≥ threshold.
+    * Quadratic self-join — validation scales only; use [[annNearDupPairs]]
+    * for the scale path. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** LSH-bucketed approximate top-k: probe the query's bucket plus all
+    * buckets within `probeRadius` Hamming distance of it, rank candidates
+    * by exact cosine. One scan + one bucket-pruned ranking. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Double], k: Int,
+              nPlanes: Int = 12, probeRadius: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val planes = randomPlanes(nPlanes, dim, seed)
+    val querySig: Long = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (x, y) => x * y }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.sum
+    df.select(col(idCol), col(vecCol),
+        rhpSignature(col(vecCol), planes).as("__sig"))
+      .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig))) <= probeRadius)
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed near-dup pairs: join on equal signature bucket, then
+    * exact-cosine filter. Banding over `nBands` signature words raises
+    * recall (a pair is a candidate if ANY band matches). Scales as
+    * Σ bucket² instead of n². */
+  def annNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int = 12, nBands: Int = 4,
+                      seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val banded = (0 until nBands).map { b =>
+      val planes = randomPlanes(nPlanes, dim, seed + b)
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(b).as("band"), rhpSignature(col(vecCol), planes).as("bucket"))
+    }.reduce(_.unionAll(_))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("score"))
+      .filter(col("score") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** The training-data-pipeline operator suite (dedup, similarity search,
+  * text analysis, multimodal) over the `documents` / `embeddings` fixtures.
+  * SQL-expressible operators carry DuckDB oracles; hash-based ones
+  * (xxhash64 minhash/simhash, LSH ANN) are declared without oracle (the
+  * driver records rows-only) and are covered by ScalaTest instead.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private val onesQuery: Array[Double] = Array.fill(64)(1.0)
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis
+    "text_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")),
+    "text_quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.1)
+        .orderBy("id_a", "id_b")),
+    // hash-based (no SQL oracle; unit-tested):
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16).orderBy("id_a", "id_b")),
+    "dedup_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search over embeddings
+    "emb_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20)
+        .withColumn("score", round(col("score"), 6))),
+    "emb_near_dup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id_a", "id_b")),
+    // approximate (no oracle; recall unit-tested against brute force):
+    "emb_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
+        k = 20, nPlanes = 12, probeRadius = 3)
+        .withColumn("score", round(col("score"), 6))),
+    "emb_ann_neardups" -> ((s, dir) =>
+      Similarity.annNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nPlanes = 8, nBands = 4)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("id_a", "id_b")),
+
+    // ---- multimodal binary-column plumbing
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.syntheticMedia(s, docs(s, dir)), maxDim = 256)
+        .orderBy("media_id")),
+    // mapPartitions feature extraction (stub decoder; rows-only check)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(col("brightness"), 6).as("brightness"),
+          col("frames_sampled"))
+        .orderBy("media_id"))
+  )
+
+  // ---------- oracle SQL ----------
+
+  /** normalized text (lowercase, whitespace collapsed) in DuckDB. */
+  private val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def stopHits(words: Seq[String]) =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+
+  private val tokenCountSql =
+    "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END"
+
+  private val langIdSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (l, ws) => l -> stopHits(ws) }
+    val m = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val cases = scores.map { case (l, s) => s"WHEN $s = $m AND $m > 0 THEN '$l'" }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  private val qualitySql: String = {
+    val chars = "CAST(length(text) AS DOUBLE)"
+    val words = s"CAST($tokenCountSql AS DOUBLE)"
+    val hits = stopHits(TextAnalysis.stopwords.head._2)
+    val punct = "[.,;:!?''\"()\\[\\]{}<>-]"
+    // integer basis points + floor — see TextAnalysis.qualityScore
+    s"""(CAST(
+       | (CASE WHEN $chars >= 50 AND $chars <= 10000 THEN 2500 ELSE 0 END)
+       | + (CASE WHEN (CASE WHEN $words = 0 THEN 0.0 ELSE $chars / $words END) >= 3
+       |          AND (CASE WHEN $words = 0 THEN 0.0 ELSE $chars / $words END) <= 12
+       |     THEN 2500 ELSE 0 END)
+       | + least(floor(CAST($hits AS DOUBLE) * 15000.0 / greatest($words, 1.0)), 3000)
+       | + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(text) - length(regexp_replace(text, '$punct', '', 'g')) AS DOUBLE) / length(text) END) <= 0.2
+       |     THEN 2000 ELSE 0 END) AS DOUBLE) / 10000.0)""".stripMargin
+  }
+
+  /** DuckDB literal for the all-ones query vector. */
+  private val onesSqlList = "[" + onesQuery.map(_ => "1.0").mkString(", ") + "]"
+
+  /** word-3-gram distinct shingles per doc as a CTE (generate_series as a
+    * scalar list fn — DuckDB's range() can't take lateral column args). */
+  private val shinglesCte =
+    s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+       |grams AS (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+       |                 i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+       |          FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      (s"SELECT doc_id, $tokenCountSql AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subwords " +
+        "FROM documents ORDER BY doc_id"),
+    "text_quality_score" ->
+      s"SELECT doc_id, $qualitySql AS quality FROM documents ORDER BY doc_id",
+    "text_langid" ->
+      s"SELECT doc_id, $langIdSql AS lang_pred FROM documents ORDER BY doc_id",
+    "text_fingerprint" ->
+      s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      (s"SELECT md5($norm) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY fp"),
+    "dedup_ngram_jaccard" ->
+      s"""$shinglesCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS i
+         |          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+         |ORDER BY id_a, id_b""".stripMargin,
+    "emb_cosine_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "emb_near_dup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(doc_id % 64 * 16 + 16 AS INTEGER) AS width,
+        |CAST(doc_id % 48 * 16 + 16 AS INTEGER) AS height,
+        |CAST(ceil((doc_id % 64 * 16 + 16) * least(256.0 / (doc_id % 64 * 16 + 16), 256.0 / (doc_id % 48 * 16 + 16), 1.0)) AS INTEGER) AS out_width,
+        |CAST(ceil((doc_id % 48 * 16 + 16) * least(256.0 / (doc_id % 64 * 16 + 16), 256.0 / (doc_id % 48 * 16 + 16), 1.0)) AS INTEGER) AS out_height
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{ColumnMapping, FluvioDuck, MappedType, Tables}
+
+/** Oracle-checked queries for SURVEY.md §2 Tier A — the operators the
+  * reference implements itself. Each entry pairs a Spark query (through the
+  * public FluvioDuck API) with ANSI/DuckDB SQL computing the same rows from
+  * the same parquet, in the same deterministic order.
+  *
+  * Conventions shared with the oracle side:
+  *  - record schema: offset BIGINT, timestamp TIMESTAMP (µs, values are
+  *    µs-precision), value VARCHAR;
+  *  - every query ends in an explicit ORDER BY for row-order determinism;
+  *  - DuckDB `ts` is TIMESTAMP_NS → `CAST(ts AS TIMESTAMP)` in oracles.
+  */
+object TierA {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def consume(cmd: String): Q =
+    (s, dir) => FluvioDuck.consume(s, cmd, dir)
+
+  /** Default-columns oracle SELECT over events. */
+  private def recSql(where: String = "", limit: Long = -1): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    val l = if (limit < 0) "" else s" LIMIT $limit"
+    "SELECT CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+      s"""props AS "value" FROM events$w ORDER BY event_id$l"""
+  }
+
+  private val jk = "json_extract_string(props, '$.k')"
+
+  val queries: Map[String, Q] = Map(
+    // ---- source scan + default projection
+    "consume_scan" -> consume("events -B --rows 500"),
+    "consume_default_cols" -> consume("events -H 10 --rows 100"),
+    "offset_col" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -B --rows 250", dir).select("offset")),
+    "timestamp_col" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -B --rows 250", dir).select("offset", "timestamp")),
+    "value_col" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -B --rows 250", dir).select("offset", "value")),
+
+    // ---- JSON column projection + type grammar
+    "jql_project" -> consume("events -B --rows 300 -c k:i=k"),
+    "col_type_decl" -> consume(
+      "events -B --rows 200 -c ki:i=k -c kl:l=k -c kf:f=k -c kd:d=k -c ks=k"),
+    // :t parse of an RFC3339 string synthesized from ts, through the same
+    // ColumnMapping compiler the -c path uses.
+    "ts_rfc3339_parse" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          concat(lit("{\"t\":\""),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+            lit("\"}")).as("value"))
+      rec.select(col("__offset"),
+          ColumnMapping("time", MappedType.T, "t").toColumn(col("value")))
+        .orderBy("__offset").limit(200).drop("__offset")
+    }),
+    // JSON null → 0 (numeric) / "null" (varchar); engineered nulls on
+    // event_id % 5 == 0, through the ColumnMapping compiler.
+    "null_coerce" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit("{\"k\": null}"))
+            .otherwise(col("props")).as("value"))
+      rec.select(col("__offset"),
+          ColumnMapping("k", MappedType.I, "k").toColumn(col("value")),
+          ColumnMapping("ks", MappedType.S, "k").toColumn(col("value")))
+        .orderBy("__offset").limit(500).drop("__offset")
+    }),
+
+    // ---- offset windowing
+    "offset_beginning" -> consume("events -B --rows 2000000"),
+    "offset_head" -> consume("events -H 100 --rows 150"),
+    "offset_start" -> consume("events --start 500 --rows 100"),
+    "offset_tail" -> consume("events -T 50"),
+    "offset_end_bound" -> consume("events --start 100 --end 299 --rows 1000"),
+    "offset_default_end" -> consume("events --rows 10"),
+    "row_limit" -> consume("events -B"),
+
+    // ---- partition options (accepted; fixture topics are single-partition,
+    // and the reference itself ignores -p/-A: src/consume.rs:179)
+    "partition_select" -> consume("events -p 3 -B --rows 120"),
+    "all_partitions" -> consume("events -A -B --rows 120"),
+
+    // ---- pass-through consumer config (row-visible no-ops, accepted)
+    "max_bytes" -> consume("events -B -b 1048576 --rows 80"),
+    "isolation_level" -> consume("events -B --isolation read_committed --rows 80"),
+
+    // ---- SmartModule transforms
+    "smartmodule_named" -> consume(
+      "events -B --rows 100000000 --smartmodule graft/filter-json-eq -e key=k -e value=42"),
+    "smartmodule_params" -> consume(
+      "events -B --rows 50 --smartmodule graft/filter-json-eq -e key=k -e value=7"),
+    "transform_chain" -> consume(
+      "events -B --rows 400 " +
+        """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"shift\",\"spec\":{\"k\":\"kk\"}}]"}} """ +
+        "-c kk:i=kk"),
+    "jolt_shift" -> consume(
+      "events -B --rows 300 " +
+        """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"shift\",\"spec\":{\"k\":\"kk\"}}]"}}"""),
+    "jolt_default" -> consume(
+      "events -B --rows 300 " +
+        """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"default\",\"spec\":{\"src\":\"graft\"}}]"}}"""),
+
+    // ---- admin scans
+    "topics_scan" -> ((s, dir) => FluvioDuck.topics(s, dir).orderBy("name")),
+    "partitions_scan" -> ((s, dir) => FluvioDuck.partitions(s, dir).orderBy("topic"))
+  )
+
+  private val fixtureTopics = Seq("customer", "documents", "embeddings",
+    "events", "lineitem", "nation", "orders", "part", "region", "supplier")
+
+  val oracleSql: Map[String, String] = Map(
+    "consume_scan" -> recSql(limit = 500),
+    "consume_default_cols" -> recSql("event_id >= 10", 100),
+    "offset_col" ->
+      "SELECT CAST(event_id AS BIGINT) AS \"offset\" FROM events ORDER BY event_id LIMIT 250",
+    "timestamp_col" ->
+      "SELECT CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\" FROM events ORDER BY event_id LIMIT 250",
+    "value_col" ->
+      "SELECT CAST(event_id AS BIGINT) AS \"offset\", props AS \"value\" FROM events ORDER BY event_id LIMIT 250",
+    "jql_project" ->
+      s"SELECT CAST($jk AS INTEGER) AS k FROM events ORDER BY event_id LIMIT 300",
+    "col_type_decl" ->
+      (s"SELECT CAST($jk AS INTEGER) AS ki, CAST($jk AS BIGINT) AS kl, " +
+        s"CAST($jk AS FLOAT) AS kf, CAST($jk AS DOUBLE) AS kd, " +
+        "CAST(NULL AS VARCHAR) AS ks FROM events ORDER BY event_id LIMIT 200"),
+    "ts_rfc3339_parse" ->
+      ("SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), " +
+        "'%Y-%m-%dT%H:%M:%S.%gZ') AS time FROM events ORDER BY event_id LIMIT 200"),
+    "null_coerce" ->
+      (s"SELECT CASE WHEN event_id % 5 = 0 THEN 0 ELSE CAST($jk AS INTEGER) END AS k, " +
+        "CASE WHEN event_id % 5 = 0 THEN 'null' ELSE CAST(NULL AS VARCHAR) END AS ks " +
+        "FROM events ORDER BY event_id LIMIT 500"),
+    "offset_beginning" -> recSql(limit = 2000000),
+    "offset_head" -> recSql("event_id >= 100", 150),
+    "offset_start" -> recSql("event_id >= 500", 100),
+    "offset_tail" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+        "props AS \"value\" FROM events " +
+        "WHERE event_id >= (SELECT MAX(event_id) + 1 - 50 FROM events) ORDER BY event_id"),
+    "offset_end_bound" -> recSql("event_id >= 100 AND event_id <= 299", 1000),
+    "offset_default_end" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+        "props AS \"value\" FROM events " +
+        "WHERE event_id >= (SELECT MAX(event_id) + 1 FROM events) ORDER BY event_id"),
+    "row_limit" -> recSql(limit = 1000),
+    "partition_select" -> recSql(limit = 120),
+    "all_partitions" -> recSql(limit = 120),
+    "max_bytes" -> recSql(limit = 80),
+    "isolation_level" -> recSql(limit = 80),
+    "smartmodule_named" -> recSql(s"$jk = '42'"),
+    "smartmodule_params" -> recSql(s"$jk = '7'", 50),
+    "transform_chain" ->
+      s"SELECT CAST($jk AS INTEGER) AS kk FROM events ORDER BY event_id LIMIT 400",
+    // jolt resets the record timestamp to epoch -1 ms (README.md:134-138)
+    "jolt_shift" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
+        s"""'{"kk":' || $jk || '}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_default" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
+        s"""'{"k":' || $jk || ',"src":"graft"}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "topics_scan" -> fixtureTopics
+      .map(t => s"SELECT '$t' AS name, 1 AS partitions")
+      .mkString("", " UNION ALL ", " ORDER BY name"),
+    "partitions_scan" -> fixtureTopics
+      .map(t => s"SELECT '$t' AS topic, '0' AS partition, CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS \"LEO\"")
+      .mkString("", " UNION ALL ", " ORDER BY topic")
+  )
+}

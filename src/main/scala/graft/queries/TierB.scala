@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.FluvioDuck
+
+/** SURVEY.md §2 Tier B — the relational shapes the reference's docs run on
+  * top of its scans by delegating to DuckDB SQL; here they run on Spark SQL
+  * over the same consume() views.
+  */
+object TierB {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // SELECT <cols> FROM fluvio_consume(...) — README.md:100-111
+    "sql_projection" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -B --rows 400", dir)
+        .select(col("offset"), col("value"))),
+
+    // SELECT sum(leo) FROM fluvio_partitions() — README.md:76-83
+    "sql_agg_sum" -> ((s, dir) =>
+      FluvioDuck.partitions(s, dir).agg(sum("LEO").as("total_leo"))),
+
+    // flagship: select route, avg(speed) ... group by route — README.md:171-184
+    // (events analog: event_type / value through a consume view)
+    "sql_agg_avg_groupby" -> ((s, dir) => {
+      FluvioDuck.consume(s, "events -B --rows 100000000", dir)
+        .createOrReplaceTempView("transit")
+      s.sql("""SELECT get_json_object(value, '$.k') AS k,
+              |       round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset,
+              |       count(*) AS n
+              |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // CREATE VIEW over a consume + SQL on the view — README.md:152-155
+    "sql_create_view" -> ((s, dir) => {
+      FluvioDuck.consume(s, "events -B --rows 100000000 -c k:i=k", dir)
+        .createOrReplaceTempView("transit_k")
+      s.sql("SELECT k, count(*) AS n FROM transit_k GROUP BY k ORDER BY k")
+    }),
+
+    // COPY (...) TO 'x.parquet' — README.md:186-205: write the consume
+    // result as parquet (the sink), read it back, return the round trip.
+    "sql_copy_parquet" -> ((s, dir) => {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_copy_parquet").getAbsolutePath
+      FluvioDuck.consume(s, "events -B --rows 200", dir)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("offset")
+    }),
+
+    // WHERE over the materialized view — README.md:169-172
+    "sql_filter" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -B --rows 100000000", dir)
+        .filter(get_json_object(col("value"), "$.k").cast("int") > 90)
+        .orderBy("offset")),
+
+    // --tail + ordered display of last offsets — README.md:100-111
+    "sql_limit_topk" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events -T 5", dir).orderBy(desc("offset")))
+  )
+
+  private def recCols =
+    "CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", props AS \"value\""
+
+  val oracleSql: Map[String, String] = Map(
+    "sql_projection" ->
+      "SELECT CAST(event_id AS BIGINT) AS \"offset\", props AS \"value\" FROM events ORDER BY event_id LIMIT 400",
+    "sql_agg_sum" -> ("SELECT CAST(" +
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => s"(SELECT COUNT(*) FROM $t)").mkString(" + ") +
+      " AS BIGINT) AS total_leo"),
+    "sql_agg_avg_groupby" ->
+      ("SELECT json_extract_string(props, '$.k') AS k, " +
+        "round(avg(CAST(event_id AS DOUBLE)), 6) AS avg_offset, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1 ORDER BY 1"),
+    "sql_create_view" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY k ORDER BY k"),
+    "sql_copy_parquet" ->
+      s"SELECT $recCols FROM events ORDER BY event_id LIMIT 200",
+    "sql_filter" ->
+      s"SELECT $recCols FROM events WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) > 90 ORDER BY event_id",
+    "sql_limit_topk" ->
+      (s"SELECT $recCols FROM events " +
+        "WHERE event_id >= (SELECT MAX(event_id) + 1 - 5 FROM events) ORDER BY event_id DESC")
+  )
+}

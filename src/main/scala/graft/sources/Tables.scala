@@ -21,7 +21,8 @@ object Tables {
     df.schema.fields.foldLeft(df) { (d, f) =>
       // nanosAsLong leaves TIMESTAMP(NANOS) columns as Long nanos: normalize.
       if (f.dataType == LongType && (f.name == "ts"))
-        d.withColumn(f.name, timestamp_micros((col(f.name) / 1000L).cast("long")))
+        // integer DIV, not `/`: double division loses ULPs at 1e18 ns
+        d.withColumn(f.name, timestamp_micros(expr(s"${f.name} DIV 1000")))
       else d
     }
   }

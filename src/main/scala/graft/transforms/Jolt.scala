@@ -54,26 +54,43 @@ object Jolt {
     }
 
   /** Render the extracted text of one JSON value back as valid JSON text,
-    * preserving its type: numbers/bools/objects/arrays pass through bare,
-    * everything else is re-quoted (with escaping via to_json). */
-  private def renderJsonValue(raw: Column): Column = {
+    * preserving its type. `get_json_object` strips the quotes off string
+    * values, so "1065" and 1065 both extract as `1065`; we recover
+    * quotedness by regex-probing the source token in the parent JSON text
+    * (`wasQuoted`). Numbers/bools/objects/arrays pass through bare; quoted
+    * strings are re-quoted with escaping via to_json. NULL raw (missing or
+    * JSON-null source) stays NULL so the field drops out. */
+  private def renderJsonValue(raw: Column, wasQuoted: Column): Column = {
     // to_json(struct(x AS v)) = {"v":"escaped text"}; peel the envelope:
     // {"v": is 5 chars, trailing } is 1 char.
     val env = to_json(struct(raw.as("v")))
     val quotedScalar = env.substr(lit(6), length(env) - 6)
-    when(raw.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), raw)
+    when(raw.isNull, lit(null).cast("string"))
+      .when(wasQuoted, quotedScalar)
+      .when(raw.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), raw)
       .when(raw.isin("true", "false"), raw)
       .when(raw.startsWith("{") || raw.startsWith("["), raw)
       .otherwise(quotedScalar)
   }
 
+  private def regexQuote(s: String): String =
+    s.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+
   /** `shift` as a pure Column expression over the JSON value. */
   def shiftColumn(value: Column, spec: JsonNode): Column = {
     val fields = shiftPairs(spec).map { case (src, dst) =>
       val raw = get_json_object(value, "$." + src)
+      val leaf = src.substring(src.lastIndexOf('.') + 1)
+      val parent =
+        if (src.contains('.'))
+          get_json_object(value, "$." + src.substring(0, src.lastIndexOf('.')))
+        else value
+      // did the source token start with a quote? ("key"  :  ")
+      val wasQuoted =
+        regexp_extract(parent, "\"" + regexQuote(leaf) + "\"\\s*:\\s*(.)", 1) === "\""
       // NULL (missing / json-null source) propagates through concat → field
       // dropped by concat_ws below, matching jolt's omit-on-missing.
-      concat(lit("\"" + dst + "\":"), renderJsonValue(raw))
+      concat(lit("\"" + dst + "\":"), renderJsonValue(raw, wasQuoted))
     }
     concat(lit("{"), concat_ws(",", fields: _*), lit("}"))
   }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with planted exact dups (1,2), near-dups (3,4), and distinct docs
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (4L, "a quick brown fox jumps over the lazy dog near the river bank"),
+    (5L, "completely different text about spark query engines and columnar execution"),
+    (6L, "yet another unrelated document mentioning streams topics and offsets only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical (normalized) texts") {
+    val res = Dedup.exact(corpus, "doc_id", "text").collect()
+    assert(res.length == 5) // 1+2 merge
+    val dup = res.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keeps min id
+    val drops = Dedup.exactDrops(corpus, "doc_id", "text").collect()
+    assert(drops.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+  }
+
+  test("exact dedup is whitespace/case insensitive via normalization") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world "), (3L, "other")).toDF("doc_id", "text")
+    assert(Dedup.exact(df, "doc_id", "text").count() == 2)
+  }
+
+  test("shingles: distinct word n-grams; short docs fall back to whole text") {
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d"), (2L, "x y")))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dups high, unrelated absent") {
+    val j = Dedup.ngramJaccard(corpus, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(j.getOrElse((5L, 6L), 0.0) == 0.0)
+  }
+
+  test("minhash LSH finds exact and near dups as candidates") {
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(cand.contains((1L, 3L)) || cand.contains((2L, 3L)))
+    assert(!cand.contains((5L, 6L)))
+  }
+
+  test("minhash near-dups verified by jaccard threshold") {
+    val nd = Dedup.minhashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)))
+    assert(!nd.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical texts share signature; near-dups within hamming 3") {
+    val sigs = Dedup.simhash(corpus, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((5L, 6L)))
+  }
+
+  test("minhash signature has numHashes columns and is deterministic") {
+    val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
+    val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
+    assert(a.head.length == 17) // id + 16 hashes
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+  private val ones = Array.fill(64)(1.0)
+
+  test("cosineTopK: scores in [-1,1], descending, k rows") {
+    val top = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 10).collect()
+    assert(top.length == 10)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("cosineTopK on a known geometry") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, "vec_id", "embedding", Array(1.0, 0.0), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head._1 == 1L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top(1)._1 == 3L && math.abs(top(1)._2 - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("nearDupPairs finds planted duplicate vectors") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq(
+      (1L, base), (2L, base.map(_ * 2.0f)), // colinear → cosine 1
+      (3L, base.map(x => -x)),              // opposite → -1
+      (4L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("annTopK recall vs brute force is high on the fixture") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annTopK(embs, "vec_id", "embedding", ones, 20,
+      nPlanes = 12, probeRadius = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("annNearDupPairs finds colinear pairs (signature-identical)") {
+    val base = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val df = Seq(
+      (1L, base), (2L, base.map(_ * 3.0f)),
+      (3L, Array.tabulate(64)(i => ((i * 13) % 11 - 5).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.annNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{ConsumeOpt, FluvioDuck, MappedType, ColumnMapping}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def opt(cmd: String): ConsumeOpt = ConsumeOpt.parse(cmd).toOption.get
+
+  /** micro-batch the stream plan to completion and collect results. */
+  private def runStream(df: org.apache.spark.sql.DataFrame,
+                        mode: String = "append"): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).collect().toSeq
+  }
+
+  test("stream plan equals batch plan on the same prefix (parity)") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val batchRows = (0L until 50L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 1000), s"""{"k": ${i % 7}}"""))
+    input.addData(batchRows)
+    val o = opt("events -d -H 10 -c k:i=k")
+    val streamed = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), o, "event_id", "ts", "props")
+    val got = runStream(streamed).map(_.getInt(0))
+    // batch equivalent over the same data
+    val exp = batchRows.filter(_._1 >= 10).map(r => (r._1 % 7).toInt)
+    assert(got.sorted == exp.sorted)
+  }
+
+  test("streaming consume applies transforms like batch") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData((0L until 20L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": $i}""")))
+    val o = opt(
+      "events -d -B --smartmodule graft/filter-json-eq -e key=k -e value=5")
+    val streamed = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), o, "event_id", "ts", "props")
+    val got = runStream(streamed)
+    assert(got.map(_.getLong(0)) == Seq(5L))
+  }
+
+  test("tail/default-end offsets are rejected on unbounded streams") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS.toDF("event_id", "ts", "props")
+    intercept[IllegalArgumentException] {
+      ConsumeStream.fromRecords(df, opt("events -d -T 5"), "event_id", "ts", "props")
+    }
+    intercept[IllegalArgumentException] {
+      ConsumeStream.fromRecords(df, opt("events -d"), "event_id", "ts", "props")
+    }
+  }
+
+  test("windowed aggregation with watermark over a stream") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L
+    input.addData((0L until 120L).map(i =>
+      (i, new java.sql.Timestamp(base + i * 1000), s"""{"v": ${i % 10}}""")))
+    val o = opt("events -d -B")
+    val rec = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), o, "event_id", "ts", "props")
+    val agg = ConsumeStream.windowedAgg(rec,
+      ColumnMapping("v", MappedType.D, "v"), "1 minute", "10 seconds")
+    val rows = runStream(agg, mode = "complete")
+    assert(rows.map(_.getLong(1)).sum == 120L) // all records in some window
+    assert(rows.length == 3) // 120s starting mid-minute → 3 minute windows
+  }
+
+  test("file-based streaming consume over the fixture topic dir") {
+    // copy events.parquet into a temp "topic dir" the stream can watch
+    val dir = java.nio.file.Files.createTempDirectory("stream_topic").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    val src = graft.sources.Tables.load(spark, sf, "events")
+    src.limit(100).write.mode("overwrite").parquet(topicDir.getAbsolutePath)
+    val stream = ConsumeStream.consume(spark, "events -d -B -c k:i=k",
+      dir.getAbsolutePath)
+    assert(stream.isStreaming)
+    val rows = runStream(stream)
+    assert(rows.length == 100)
+  }
+
+  test("seeded aggregators (aggregate_initial analog)") {
+    val ds = Seq("a", "b", "c").toDS
+    val got = ds.select(SeededConcatAggregator("SEED", "|").toColumn).head()
+    assert(got.split('|').head == "SEED")
+    assert(got.split('|').toSet == Set("SEED", "a", "b", "c"))
+    val nums = Seq(1.0, 2.0, 3.0).toDS
+    assert(nums.select(SeededSumAggregator(100.0).toColumn).head() == 106.0)
+  }
+}
