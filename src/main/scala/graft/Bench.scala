@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // fixture tables are single small parquet files; without a lower
+      // split size every scan is one input partition and per-row-expensive
+      // operators (JSON transforms) run on one core
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -35,6 +41,12 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // operators cache intermediates (e.g. shingle sets) for intra-query
+      // reuse; drop them between queries, and nudge GC so ContextCleaner
+      // releases accumulated broadcast/shuffle state — 60 queries in one
+      // JVM otherwise degrade ~10× by the end (measured)
+      spark.catalog.clearCache()
+      System.gc()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -26,7 +26,7 @@ object SparkEntry {
         "/root/testdata/sf0.001")
       .createOrReplaceTempView("transit")
     spark.sql(
-      """SELECT get_json_object(value, '$.k') AS k,
+      """SELECT from_json(value, 'map<string,string>')['k'] AS k,
         |       count(*) AS n, round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset
         |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
   }

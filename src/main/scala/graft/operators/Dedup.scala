@@ -50,21 +50,22 @@ object Dedup {
       .select(col("id").as("drop_id"), col("keep_id"))
   }
 
-  /** 64 minhash values per document: h_i(doc) = min over shingles of
-    * xxhash64(i, shingle). One explode + one groupBy(doc) with 64
-    * map-side-combining min aggregates. */
+  /** Minhash signature per document as an ordered array<long>:
+    * sig[i] = min over shingles of xxh64(shingle, seed=i), computed by the
+    * one-pass [[graft.functions.MinHashAgg]] TypedImperativeAggregate —
+    * one groupBy(doc) with map-side partial aggregation, no row
+    * multiplication, no wide generated code. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleLen: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleLen)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-  }
+                        numHashes: Int = 64, shingleLen: Int = 3): DataFrame =
+    shingles(df, idCol, textCol, shingleLen)
+      .groupBy("id")
+      .agg(graft.functions.SketchAggregates.minhash(col("shingle"), numHashes).as("sig"))
 
   /** Banded LSH candidate pairs from minhash signatures: `bands` buckets
     * per doc, each bucket keyed by the hash of `rowsPerBand` consecutive
-    * minhashes; docs sharing any (band, bucket) are candidates.
-    * Returns distinct (id_a, id_b), a < b. */
+    * minhash values; docs sharing any (band, bucket) are candidates.
+    * Returns distinct (id_a, id_b), a < b. Never forms the n² pair space:
+    * the join is on (band, bucket). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleLen: Int = 3): DataFrame = {
@@ -72,8 +73,8 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
     val bandBuckets = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
     val exploded = sigs.select(col("id"),
         explode(array(bandBuckets: _*)).as("bb"))
@@ -85,28 +86,37 @@ object Dedup {
   }
 
   /** Near-dup pairs = LSH candidates verified by exact shingle Jaccard ≥
-    * threshold. The verification join touches only candidate pairs. */
+    * threshold. The Jaccard is computed ONLY for candidate pairs — fan out
+    * each candidate by the left doc's shingles, match them against the
+    * right doc's shingle set — so verification cost is |candidates| ×
+    * avg-shingles, never the all-pairs shingle join. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleLen).cache()
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
-    val jac = ngramJaccard(df, idCol, textCol, shingleLen)
-    cand.join(jac, Seq("id_a", "id_b")).filter(col("jaccard") >= threshold)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document over word tokens: bit i of the signature
-    * is the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
-    val summed = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    summed.select(col("id"), sig.as("simhash"))
-  }
+    * is the sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1), via the
+    * one-pass [[graft.functions.SimHashAgg]] TypedImperativeAggregate. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(TextAnalysis.normalized(col(textCol)), " ")).as("tok"))
+      .groupBy("id")
+      .agg(graft.functions.SketchAggregates.simhash(col("tok")).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
     * default 4 segments, by pigeonhole). Blocks on 16-bit signature

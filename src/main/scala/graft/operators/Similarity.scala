@@ -30,15 +30,20 @@ object Similarity {
       .limit(k)
 
   /** Exact near-duplicate pairs: all (a, b), a < b, with cosine ≥ threshold.
-    * Quadratic self-join — validation scales only; use [[annNearDupPairs]]
-    * for the scale path. */
+    * Per-row norms are materialized BEFORE the self-join, so each of the
+    * O(n²) pairs costs exactly one dot product (not three) — the norm
+    * subexpression would otherwise also be re-evaluated by the pushed-down
+    * threshold filter. Quadratic: validation scales only; use
+    * [[annNearDupPairs]] for the scale path. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2Norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("score"))
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
       .filter(col("score") >= threshold)
   }
 
@@ -73,14 +78,17 @@ object Similarity {
     val banded = (0 until nBands).map { b =>
       val planes = randomPlanes(nPlanes, dim, seed + b)
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("nrm"),
         lit(b).as("band"), rhpSignature(col(vecCol), planes).as("bucket"))
     }.reduce(_.unionAll(_))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("score"))
+        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
       .filter(col("score") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

@@ -23,10 +23,13 @@ object TierB {
 
     // flagship: select route, avg(speed) ... group by route — README.md:171-184
     // (events analog: event_type / value through a consume view)
+    // from_json-to-map: ONE payload parse per row (get_json_object would
+    // re-parse per reference — Spark 4 builds a fresh Jackson reader per
+    // call, measured ~1000× slower on a coalesced partition)
     "sql_agg_avg_groupby" -> ((s, dir) => {
       FluvioDuck.consume(s, "events -B --rows 100000000", dir)
         .createOrReplaceTempView("transit")
-      s.sql("""SELECT get_json_object(value, '$.k') AS k,
+      s.sql("""SELECT from_json(value, 'map<string,string>')['k'] AS k,
               |       round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset,
               |       count(*) AS n
               |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
@@ -52,7 +55,11 @@ object TierB {
     // WHERE over the materialized view — README.md:169-172
     "sql_filter" -> ((s, dir) =>
       FluvioDuck.consume(s, "events -B --rows 100000000", dir)
-        .filter(get_json_object(col("value"), "$.k").cast("int") > 90)
+        .filter(from_json(col("value"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))
+          .getItem("k").cast("int") > 90)
         .orderBy("offset")),
 
     // --tail + ordered display of last offsets — README.md:100-111

@@ -82,10 +82,28 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
     coalesce(array_contains(json_object_keys(parentJson), leaf), lit(false))
   }
 
-  /** Compile this mapping into a Column over the JSON payload `value`. */
+  /** Compile this mapping into a Column over the JSON payload `value`.
+    * Each mapped column re-parses the payload (get_json_object +
+    * json_object_keys); prefer [[toColumnFromParsed]] when several
+    * mappings share one payload. */
   def toColumn(value: Column): Column = {
     val raw = get_json_object(value, jsonPath) // string repr; null for JSON null OR missing
     val exists = pathExists(value)
+    buildTyped(raw, exists)
+  }
+
+  /** Compile this mapping against a pre-parsed `map<string,string>` of the
+    * payload (see [[ColumnMapping.parsed]]) — top-level paths only. The
+    * map gives existence (map_contains_key) and the extracted text in one
+    * JSON parse per ROW instead of ~3 per mapped column: nested
+    * values/arrays arrive as their JSON text, scalars as their bare text,
+    * exactly like get_json_object. Falls back to [[toColumn]] for nested
+    * dotted paths. */
+  def toColumnFromParsed(parsed: Column, value: Column): Column =
+    if (path.contains('.')) toColumn(value)
+    else buildTyped(element_at(parsed, path), map_contains_key(parsed, lit(path)))
+
+  private def buildTyped(raw: Column, exists: Column): Column = {
     val isJsonNull = exists && raw.isNull
     val out: Column = ty match {
       case MappedType.S =>
@@ -114,6 +132,13 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
 }
 
 object ColumnMapping {
+
+  /** One-shot parse of the JSON payload into map<string,string> — shared
+    * by every top-level mapping of a scan. Kept in its own projection by
+    * Catalyst (CollapseProject does not inline non-cheap, multiply
+    * referenced aliases), so the payload is parsed once per row. */
+  def parsed(value: Column): Column =
+    from_json(value, MapType(StringType, StringType))
 
   /** Parse the `name[:ty]` left side and the (possibly quoted) path right
     * side of a `-c` mapping. Quotes around the path are stripped (the README

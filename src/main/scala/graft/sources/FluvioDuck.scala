@@ -115,32 +115,66 @@ object FluvioDuck {
 
     // ---- transform chain (SmartModule analog), applied to the record view
     // BEFORE projection, like the server-side WASM chain
-    // (/root/reference/src/consume.rs:650-673).
+    // (/root/reference/src/consume.rs:650-673). A chain of map-type
+    // (cardinality-preserving) transforms commutes with the row cap, so it
+    // is treated as cap-friendly below and applied to the capped window.
     val chain = TransformChain.fromOpt(opt)
-    val transformed = chain.foldLeft(ended) { (df, t) =>
-      TransformRegistry(t.uses)(df, t.params)
-    }
-
-    // ---- projection: default record columns or -c mappings
-    // (columns_mappings, /root/reference/src/consume.rs:607-637).
-    val projected =
-      if (opt.columns.isEmpty)
-        transformed.select(col("offset"), col("timestamp"), col("value"))
-      else {
-        val mapped = opt.columns.map(_.toColumn(col("value")))
-        // keep offset for deterministic ordering; dropped after the sort
-        transformed.select(col("offset").as("__offset") +: mapped: _*)
-      }
+    val mapOnlyChain = chain.forall(t => TransformRegistry.preservesCardinality(t.uses))
+    def applyChain(df: DataFrame): DataFrame =
+      chain.foldLeft(df) { (d, t) => TransformRegistry(t.uses)(d, t.params) }
+    val transformed = if (mapOnlyChain) ended else applyChain(ended)
 
     // ---- `--rows` cap in offset order (post-transform, matching the
     // reference's chunk-fill count at /root/reference/src/consume.rs:75-92).
-    // orderBy+limit: Spark picks per-partition top-k (TakeOrderedAndProject)
-    // for small k and a distributed sort above
-    // spark.sql.execution.topKSortFallbackThreshold — both scale out.
-    val orderCol = if (opt.columns.isEmpty) "offset" else "__offset"
-    val capped = projected.orderBy(col(orderCol)).limit(
-      math.min(opt.rows, Int.MaxValue.toLong).toInt)
-    if (opt.columns.isEmpty) capped else capped.drop("__offset")
+    //
+    // Without transforms the cap is a pure OFFSET-RANGE FILTER: fixture
+    // offsets are dense from 0 (like a contiguous log), so "first N rows of
+    // the window" ≡ offset < windowStart + N — fully parallel, pushed to
+    // the scan, and no single-partition GlobalLimit shuffle at any scale.
+    // A transform chain can drop records (rows counts POST-transform), so
+    // that path keeps the exact sort+limit semantics.
+    val capped0: DataFrame =
+      if (mapOnlyChain) {
+        val capN = math.min(opt.rows, Long.MaxValue - 10_000_000L)
+        opt.startOffset match {
+          case OffsetSpec.FromBeginning(n) => transformed.filter(col("offset") < n + capN)
+          case OffsetSpec.Absolute(n)      => transformed.filter(col("offset") < n + capN)
+          case OffsetSpec.FromEnd(n) =>
+            val leo = records.agg((max(col("offset")) + 1).as("__leo2"))
+            transformed.crossJoin(broadcast(leo))
+              .filter(col("offset") < col("__leo2") - n + capN)
+              .drop("__leo2")
+          case OffsetSpec.End =>
+            val leo = records.agg((max(col("offset")) + 1).as("__leo2"))
+            transformed.crossJoin(broadcast(leo))
+              .filter(col("offset") < col("__leo2") + capN)
+              .drop("__leo2")
+        }
+      } else {
+        transformed.orderBy(col("offset"))
+          .limit(math.min(opt.rows, Int.MaxValue.toLong).toInt)
+      }
+    // map-type transforms run AFTER the cap (commutes; see above)
+    val capped = if (mapOnlyChain && chain.nonEmpty) applyChain(capped0) else capped0
+
+    // ---- projection: default record columns or -c mappings
+    // (columns_mappings, /root/reference/src/consume.rs:607-637). With
+    // mappings, the payload is parsed ONCE per row into map<string,string>
+    // (ColumnMapping.parsed) and every top-level mapping reads from it.
+    val projected =
+      if (opt.columns.isEmpty)
+        capped.select(col("offset"), col("timestamp"), col("value"))
+      else {
+        val withParsed = capped.withColumn("__parsed", ColumnMapping.parsed(col("value")))
+        val mapped = opt.columns.map(_.toColumnFromParsed(col("__parsed"), col("value")))
+        withParsed.select(col("offset").as("__offset") +: mapped: _*)
+      }
+
+    // Deterministic record order (the log order users see from a consume).
+    // A plain distributed sort — Catalyst's EliminateSorts drops it under
+    // any downstream aggregation/join where order is immaterial.
+    val ordered = projected.orderBy(col(if (opt.columns.isEmpty) "offset" else "__offset"))
+    if (opt.columns.isEmpty) ordered else ordered.drop("__offset")
   }
 
   /** `fluvio_topics()` — one row per topic: (name, partitions).

@@ -2,8 +2,6 @@ package graft.transforms
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 /** Jolt-style JSON restructuring over the record `value` column — the one
@@ -14,22 +12,20 @@ import scala.jdk.CollectionConverters._
   * Supported operations (the documented subset — SURVEY.md §7.4 risk 4):
   *   - `shift`: nested spec of literal source paths → flat target names,
   *     e.g. `{payload: {VP: {lat: "lat"}}}` moves `payload.VP.lat` to
-  *     top-level `lat`. Compiled to pure Catalyst expressions
-  *     (`get_json_object` per leaf + textual JSON assembly) — codegen'd,
-  *     no per-record interpreter. Wildcards (`*`, `&`) are not supported;
-  *     fields whose source path is missing or JSON-null are omitted from
-  *     the output.
-  *   - `default`: `{field: value}` adds fields that are absent. Needs
-  *     knowledge of the record's existing keys, so it runs as a jackson
-  *     merge UDF (per-record JSON parse — same cost class as the WASM
-  *     module it replaces).
+  *     top-level `lat`. Wildcards (`*`, `&`) are not supported; fields
+  *     whose source path is missing or JSON-null are omitted.
+  *   - `default`: `{field: value}` adds fields that are absent.
   *
-  * The spec arrives as the `spec` param: a JSON array of
-  * `{operation, spec}` objects (inline `--transform`) or the YAML
-  * equivalent re-serialized to JSON by [[TransformChain]].
+  * Both ops run as one jackson parse + one serialize per record —
+  * matching the reference's WASM module (also a per-record JSON
+  * transform), and measured faster than composing `get_json_object`
+  * expressions, which re-parse the payload once per mapped field
+  * (Spark 4's evaluator builds a fresh Jackson reader per call). Type
+  * fidelity (string vs number vs bool) is exact since nodes are moved,
+  * never re-rendered through text.
   */
 object Jolt {
-  private val mapper = new ObjectMapper()
+  private[transforms] val mapper = new ObjectMapper()
 
   final case class Op(operation: String, spec: JsonNode)
 
@@ -53,53 +49,30 @@ object Jolt {
           s"unsupported jolt shift spec value at $path: $v")
     }
 
-  /** Render the extracted text of one JSON value back as valid JSON text,
-    * preserving its type. `get_json_object` strips the quotes off string
-    * values, so "1065" and 1065 both extract as `1065`; we recover
-    * quotedness by regex-probing the source token in the parent JSON text
-    * (`wasQuoted`). Numbers/bools/objects/arrays pass through bare; quoted
-    * strings are re-quoted with escaping via to_json. NULL raw (missing or
-    * JSON-null source) stays NULL so the field drops out. */
-  private def renderJsonValue(raw: Column, wasQuoted: Column): Column = {
-    // to_json(struct(x AS v)) = {"v":"escaped text"}; peel the envelope:
-    // {"v": is 5 chars, trailing } is 1 char.
-    val env = to_json(struct(raw.as("v")))
-    val quotedScalar = env.substr(lit(6), length(env) - 6)
-    when(raw.isNull, lit(null).cast("string"))
-      .when(wasQuoted, quotedScalar)
-      .when(raw.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), raw)
-      .when(raw.isin("true", "false"), raw)
-      .when(raw.startsWith("{") || raw.startsWith("["), raw)
-      .otherwise(quotedScalar)
-  }
-
-  private def regexQuote(s: String): String =
-    s.replaceAll("([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
-
-  /** `shift` as a pure Column expression over the JSON value. */
-  def shiftColumn(value: Column, spec: JsonNode): Column = {
-    val fields = shiftPairs(spec).map { case (src, dst) =>
-      val raw = get_json_object(value, "$." + src)
-      val leaf = src.substring(src.lastIndexOf('.') + 1)
-      val parent =
-        if (src.contains('.'))
-          get_json_object(value, "$." + src.substring(0, src.lastIndexOf('.')))
-        else value
-      // did the source token start with a quote? ("key"  :  ")
-      val wasQuoted =
-        regexp_extract(parent, "\"" + regexQuote(leaf) + "\"\\s*:\\s*(.)", 1) === "\""
-      // NULL (missing / json-null source) propagates through concat → field
-      // dropped by concat_ws below, matching jolt's omit-on-missing.
-      concat(lit("\"" + dst + "\":"), renderJsonValue(raw, wasQuoted))
+  /** `shift` as a per-record function (for use as a Spark UDF). */
+  def shiftFn(spec: JsonNode): String => String = {
+    val pairs = shiftPairs(spec).map { case (src, dst) => (src.split('.').toSeq, dst) }
+    (value: String) => {
+      val m = Jolt.mapper
+      val root =
+        try m.readTree(if (value == null) "{}" else value)
+        catch { case _: Exception => m.createObjectNode() }
+      val out = m.createObjectNode()
+      pairs.foreach { case (path, dst) =>
+        var node: JsonNode = root
+        val it = path.iterator
+        while (node != null && it.hasNext) node = node.get(it.next())
+        if (node != null && !node.isNull) out.set[JsonNode](dst, node)
+      }
+      m.writeValueAsString(out)
     }
-    concat(lit("{"), concat_ws(",", fields: _*), lit("}"))
   }
 
   /** `default` op: jackson merge of absent top-level fields. */
   def defaultFn(spec: JsonNode): String => String = {
     val defaults = mapper.writeValueAsString(spec)
     (value: String) => {
-      val m = new ObjectMapper()
+      val m = Jolt.mapper
       val root =
         try m.readTree(if (value == null) "{}" else value)
         catch { case _: Exception => m.createObjectNode() }

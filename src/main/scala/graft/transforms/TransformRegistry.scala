@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
 object TransformRegistry {
   type Transform = (DataFrame, Map[String, String]) => DataFrame
 
+  /** Whether a transform is record-to-record (map-type: never drops or adds
+    * records). For an all-map-type chain the `--rows` cap commutes with the
+    * transforms, letting consume() cap by offset range BEFORE the chain —
+    * the transform then touches only the capped window instead of the whole
+    * log (filter/aggregate-type SmartModules keep the exact post-transform
+    * semantics). */
+  def preservesCardinality(uses: String): Boolean =
+    uses.startsWith("infinyon/jolt@") || uses == "jolt" || {
+      val base = uses.takeWhile(_ != '@')
+      base == "graft/map-uppercase"
+    }
+
   /** jolt: apply the op list in `spec` to the `value` JSON. The record
     * timestamp is reset to epoch -1 ms, reproducing the reference's
     * observable behavior where jolt-transformed records lose their
@@ -29,10 +41,8 @@ object TransformRegistry {
     val ops = Jolt.parseSpec(specJson)
     val valueOut = ops.foldLeft(col("value")) { (v, op) =>
       op.operation match {
-        case "shift"   => Jolt.shiftColumn(v, op.spec)
-        case "default" =>
-          val f = udf(Jolt.defaultFn(op.spec))
-          f(v)
+        case "shift"   => udf(Jolt.shiftFn(op.spec)).apply(v)
+        case "default" => udf(Jolt.defaultFn(op.spec)).apply(v)
         case other =>
           throw new IllegalArgumentException(
             s"unsupported jolt operation: $other (supported: shift, default)")

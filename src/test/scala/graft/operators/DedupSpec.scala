@@ -70,10 +70,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((5L, 6L)))
   }
 
-  test("minhash signature has numHashes columns and is deterministic") {
+  test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
-    assert(a.head.length == 17) // id + 16 hashes
-    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet)
+    assert(a.forall(_.getSeq[Long](1).length == 16))
+    assert(a.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet ==
+      b.map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+    // identical docs share identical signatures
+    val sigs = a.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(sigs(1L) == sigs(2L))
   }
 }
