@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // default threshold is Int.MaxValue: a huge .limit(n) then allocates
+      // an n-entry top-k buffer per partition (TakeOrderedAndProject);
+      // above this, plans fall back to distributed Sort + GlobalLimit
+      .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // fixture tables are single small parquet files; without a lower
@@ -41,13 +45,14 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      // operators cache intermediates (e.g. shingle sets) for intra-query
-      // reuse; drop them between queries, and nudge GC so ContextCleaner
-      // releases accumulated broadcast/shuffle state — 60 queries in one
-      // JVM otherwise degrade ~10× by the end (measured)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timed region: drop per-query cached intermediates and
+      // nudge GC so ContextCleaner releases accumulated broadcast/shuffle
+      // state — 60 queries in one JVM otherwise degrade ~10× by the end
+      // (measured: ngram jaccard 12s isolated vs 1241s at suite position 11)
       spark.catalog.clearCache()
       System.gc()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -16,6 +16,10 @@ object Demo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      // default threshold is Int.MaxValue: a huge .limit(n) then allocates
+      // an n-entry top-k buffer per partition (TakeOrderedAndProject);
+      // above this, plans fall back to distributed Sort + GlobalLimit
+      .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

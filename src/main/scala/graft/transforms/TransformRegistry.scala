@@ -60,7 +60,8 @@ object TransformRegistry {
       throw new IllegalArgumentException("filter-json-eq requires `key` param"))
     val v = params.getOrElse("value",
       throw new IllegalArgumentException("filter-json-eq requires `value` param"))
-    df.filter(get_json_object(col("value"), "$." + key) === v)
+    // single from_json parse (get_json_object re-parses per call in Spark 4)
+    df.filter(graft.sources.ColumnMapping.parsed(col("value")).getItem(key) === v)
   }
 
   /** graft/map-uppercase: uppercase the raw value — a trivial map-type
