@@ -24,6 +24,10 @@ object Bench {
       .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // TypedImperativeAggregates (MinHashAgg/SimHashAgg) plan as
+      // ObjectHashAggregate; the default 128-group threshold degrades any
+      // real corpus to per-partition sort-based aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // fixture tables are single small parquet files; without a lower
       // split size every scan is one input partition and per-row-expensive
       // operators (JSON transforms) run on one core
@@ -46,13 +50,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // outside the timed region: drop per-query cached intermediates and
-      // nudge GC so ContextCleaner releases accumulated broadcast/shuffle
-      // state — 60 queries in one JVM otherwise degrade ~10× by the end
-      // (measured: ngram jaccard 12s isolated vs 1241s at suite position 11)
-      spark.catalog.clearCache()
-      System.gc()
       name -> elapsed
+      // (round-1 per-query clearCache+System.gc hygiene removed: the
+      // "suite-position degradation" it papered over was interpreted
+      // higher-order-function eval in the shingle path — fixed at the
+      // source by the native WordShingles expression; operators no longer
+      // cache, so there is nothing to clear.)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // TypedImperativeAggregates (MinHashAgg/SimHashAgg) plan as
+      // ObjectHashAggregate; the default 128-group threshold degrades any
+      // real corpus to per-partition sort-based aggregation
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // fixture tables are single small parquet files; without a lower
       // split size every scan is one input partition and per-row-expensive
       // operators (JSON transforms) run on one core

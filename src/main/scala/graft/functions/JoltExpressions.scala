@@ -1,0 +1,69 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.transforms.Jolt
+
+/** Jolt ops as native Catalyst expressions: one jackson parse + one
+  * serialize per record, inlined into whole-stage codegen via a reference
+  * object — no ScalaUDF node, no encoder round-trip, no codegen break.
+  *
+  * The reference runs jolt as a server-side WASM record transform
+  * (`/root/reference/examples/short.yaml:5-29`,
+  * `/root/reference/README.md:121-143`); this is its Spark-native seat: a
+  * scalar expression over the record `value` column.
+  *
+  * The spec travels as its JSON text (JsonNode isn't serializable); the
+  * per-record closure is rebuilt lazily on each executor.
+  */
+abstract class JoltExpressionBase extends UnaryExpression {
+  /** JSON text of this op's spec (serializable plan state). */
+  def specJson: String
+  /** Build the per-record transform from the parsed spec. */
+  protected def makeFn(spec: JsonNode): String => String
+
+  @transient private lazy val fn: String => String =
+    makeFn(Jolt.mapper.readTree(specJson))
+
+  /** Null records transform like empty objects (matching the round-1
+    * ScalaUDF behavior, where the Scala function received null). */
+  final def transformValue(v: UTF8String): UTF8String =
+    UTF8String.fromString(fn(if (v == null) null else v.toString))
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    transformValue(child.eval(input).asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("joltOp", this, classOf[JoltExpressionBase].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} =
+          $ref.transformValue(${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+}
+
+/** jolt `shift`: restructure the JSON per the spec (literal paths plus
+  * one-level `*`/`&` wildcards — see [[graft.transforms.Jolt]]). */
+case class JoltShift(child: Expression, specJson: String) extends JoltExpressionBase {
+  override protected def makeFn(spec: JsonNode): String => String = Jolt.shiftFn(spec)
+  override protected def withNewChildInternal(newChild: Expression): JoltShift =
+    copy(child = newChild)
+}
+
+/** jolt `default`: add absent top-level fields. */
+case class JoltDefault(child: Expression, specJson: String) extends JoltExpressionBase {
+  override protected def makeFn(spec: JsonNode): String => String = Jolt.defaultFn(spec)
+  override protected def withNewChildInternal(newChild: Expression): JoltDefault =
+    copy(child = newChild)
+}

@@ -23,15 +23,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word n-gram shingles of the normalized text, as one row per distinct
-    * (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = split(TextAnalysis.normalized(col(textCol)), " ")
-    val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-    df.select(col(idCol).as("id"), explode(array_distinct(grams)).as("shingle"))
-  }
+    * (id, shingle). One pass per document via the native
+    * [[graft.functions.WordShingles]] expression — the equivalent
+    * `transform(sequence(...))` higher-order form runs interpreted and
+    * re-evaluates the normalize/split subtree per shingle position
+    * (O(tokens²) regex work; the round-1 dedup bottleneck). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.WordShingles(col(textCol), n)).as("shingle"))
 
   /** Exact dedup: one representative (min id) per fingerprint group.
     * Returns (fingerprint, keep_id, n_dups). */
@@ -93,7 +92,10 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
                       shingleLen: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleLen).cache()
+    // No .cache(): the shingle explode is a narrow one-pass chain off the
+    // scan — recomputing it per use is cheaper than pinning a corpus-sized
+    // table in executor memory (and caching leaked across queries in r1).
+    val sh = shingles(df, idCol, textCol, shingleLen)
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = cand
@@ -142,10 +144,13 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * `maxDocFreq` drops shingles present in more than that many documents
     * (stop-shingles) to bound join fan-out — at corpus scale the frequent
-    * shingles contribute candidates, not signal. */
+    * shingles contribute candidates, not signal. The cap is ON by default
+    * (10k): an uncapped common-shingle self-join is quadratic in the
+    * hottest shingle's document frequency and dies on any skewed corpus.
+    * Jaccard denominators always use the UNCAPPED per-doc shingle counts. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+                   n: Int = 3, maxDocFreq: Long = 10000L): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
     val filtered =
       if (maxDocFreq == Long.MaxValue) sh
       else {

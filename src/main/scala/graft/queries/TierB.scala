@@ -64,11 +64,32 @@ object TierB {
 
     // --tail + ordered display of last offsets — README.md:100-111
     "sql_limit_topk" -> ((s, dir) =>
-      FluvioDuck.consume(s, "events -T 5", dir).orderBy(desc("offset")))
+      FluvioDuck.consume(s, "events -T 5", dir).orderBy(desc("offset"))),
+
+    // ---- the reference's actual SQL surface: registered table functions
+    // (/root/reference/src/lib.rs:37-39; README.md:76-111). GraftSql
+    // registers fluvio_consume/fluvio_topics/fluvio_partitions into the
+    // session registry; the query text is the reference's own shape.
+    "sql_tvf_consume" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      s.conf.set(graft.sql.GraftSql.DataDirKey, dir)
+      s.sql("SELECT * FROM fluvio_consume('events -B --rows 200')")
+    }),
+    "sql_tvf_topics" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      s.sql(s"SELECT * FROM fluvio_topics('$dir') ORDER BY name")
+    }),
+    "sql_tvf_partitions" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      s.sql(s"SELECT * FROM fluvio_partitions('$dir') ORDER BY topic")
+    })
   )
 
   private def recCols =
     "CAST(event_id AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", props AS \"value\""
+
+  private val fixtureTopics = Seq("customer", "documents", "embeddings",
+    "events", "lineitem", "nation", "orders", "part", "region", "supplier")
 
   val oracleSql: Map[String, String] = Map(
     "sql_projection" ->
@@ -91,6 +112,14 @@ object TierB {
       s"SELECT $recCols FROM events WHERE CAST(json_extract_string(props, '$$.k') AS INTEGER) > 90 ORDER BY event_id",
     "sql_limit_topk" ->
       (s"SELECT $recCols FROM events " +
-        "WHERE event_id >= (SELECT MAX(event_id) + 1 - 5 FROM events) ORDER BY event_id DESC")
+        "WHERE event_id >= (SELECT MAX(event_id) + 1 - 5 FROM events) ORDER BY event_id DESC"),
+    "sql_tvf_consume" ->
+      s"SELECT $recCols FROM events ORDER BY event_id LIMIT 200",
+    "sql_tvf_topics" -> fixtureTopics
+      .map(t => s"SELECT '$t' AS name, 1 AS partitions")
+      .mkString("", " UNION ALL ", " ORDER BY name"),
+    "sql_tvf_partitions" -> fixtureTopics
+      .map(t => s"SELECT '$t' AS topic, '0' AS partition, CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS \"LEO\"")
+      .mkString("", " UNION ALL ", " ORDER BY topic")
   )
 }

@@ -154,6 +154,9 @@ object ConsumeOpt {
     while (rest.nonEmpty) {
       val tok = rest.head
       rest = rest.tail
+      // `-h` prints usage, like the reference's clap help
+      // (/root/reference/README.md:114-119); surfaced as the scan's message.
+      if (tok == "-h" || tok == "--help") return Left(help)
       // Support --flag=value in addition to --flag value.
       val (flagTok, inlineVal) = {
         val eq = tok.indexOf('=')

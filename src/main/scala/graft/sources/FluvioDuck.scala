@@ -71,6 +71,13 @@ object FluvioDuck {
       case Left(err) => throw new IllegalArgumentException(err) // scan_error_surface
       case Right(o)  => o
     }
+    // `-d` = continuous: route to the Structured Streaming flavor (the
+    // reference keeps the scan open past the log end,
+    // /root/reference/src/consume.rs:480-482,675). The result is a
+    // STREAMING DataFrame — attach a writeStream sink; never a silent
+    // bounded-batch fallback.
+    if (opt.continuous)
+      return graft.streaming.ConsumeStream.consume(spark, cmd, baseDir)
     val view = TopicRegistry.recordViews.getOrElse(
       opt.topic,
       if (TopicRegistry.exists(baseDir, opt.topic))
@@ -151,8 +158,10 @@ object FluvioDuck {
               .drop("__leo2")
         }
       } else {
-        transformed.orderBy(col("offset"))
-          .limit(math.min(opt.rows, Int.MaxValue.toLong).toInt)
+        // cardinality-changing chain: the cap must count POST-transform
+        // rows in offset order. Block-bucketed counting cap — no global
+        // sort, no single-partition GlobalLimit funnel (see OrderedCap).
+        graft.plans.OrderedCap.byKey(transformed, "offset", opt.rows)
       }
     // map-type transforms run AFTER the cap (commutes; see above)
     val capped = if (mapOnlyChain && chain.nonEmpty) applyChain(capped0) else capped0

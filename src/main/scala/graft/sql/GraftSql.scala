@@ -1,0 +1,106 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.FluvioDuck
+
+/** The reference's SQL surface, on Spark SQL: its whole documented UX is
+  * three table-valued functions registered into the host engine
+  * (`/root/reference/src/lib.rs:37-39`; every README example is
+  * `SELECT * FROM fluvio_consume('...')`, `README.md:76-111`). Here they
+  * are Catalyst table functions:
+  *
+  *   - `fluvio_consume('<topic> <options>' [, '<baseDir>'])`
+  *   - `fluvio_topics([<baseDir>])`
+  *   - `fluvio_partitions([<baseDir>])`
+  *
+  * The base dir falls back to the session conf `spark.graft.dataDir`.
+  * Each builder plans the same DataFrame the Scala API returns and hands
+  * its logical plan to the analyzer — the TVF is pure declaration; all
+  * pushdown/pruning/codegen happens in the one Catalyst plan.
+  *
+  * Two registration paths:
+  *   - [[GraftSql.register]]: into an existing session's function registry;
+  *   - [[GraftExtensions]]: `spark.sql.extensions=graft.sql.GraftExtensions`
+  *     at session build time (the `register_table_function` analog).
+  */
+object GraftSql {
+
+  /** Session conf key for the topic base directory. */
+  val DataDirKey = "spark.graft.dataDir"
+
+  private def strArg(fn: String, e: Expression): String = e match {
+    case Literal(u: UTF8String, StringType) if u != null => u.toString
+    case other if other.foldable && other.dataType == StringType =>
+      val v = other.eval(null)
+      if (v == null) throw new IllegalArgumentException(s"$fn: argument must not be NULL")
+      v.toString
+    case _ =>
+      throw new IllegalArgumentException(
+        s"$fn expects constant string arguments, got: ${e.sql}")
+  }
+
+  private def baseDir(fn: String, args: Seq[Expression], at: Int): String =
+    if (args.length > at) strArg(fn, args(at))
+    else {
+      val spark = SparkSession.active
+      val dir = spark.conf.get(DataDirKey, null)
+      if (dir == null)
+        throw new IllegalArgumentException(
+          s"$fn: no base directory — pass it as the last argument or set $DataDirKey")
+      dir
+    }
+
+  type TableFunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  /** The three TVF descriptions (name, info, plan builder). */
+  def descriptions: Seq[TableFunctionDescription] = Seq(
+    (FunctionIdentifier("fluvio_consume"),
+      new ExpressionInfo(GraftSql.getClass.getName, "fluvio_consume"),
+      (args: Seq[Expression]) => {
+        if (args.isEmpty || args.length > 2)
+          throw new IllegalArgumentException(
+            "fluvio_consume('<topic> <options>' [, '<baseDir>'])")
+        val spark = SparkSession.active
+        val cmd = strArg("fluvio_consume", args.head)
+        shim.logicalPlan(FluvioDuck.consume(spark, cmd, baseDir("fluvio_consume", args, 1)))
+      }),
+    (FunctionIdentifier("fluvio_topics"),
+      new ExpressionInfo(GraftSql.getClass.getName, "fluvio_topics"),
+      (args: Seq[Expression]) => {
+        if (args.length > 1)
+          throw new IllegalArgumentException("fluvio_topics([<baseDir>])")
+        val spark = SparkSession.active
+        shim.logicalPlan(FluvioDuck.topics(spark, baseDir("fluvio_topics", args, 0)))
+      }),
+    (FunctionIdentifier("fluvio_partitions"),
+      new ExpressionInfo(GraftSql.getClass.getName, "fluvio_partitions"),
+      (args: Seq[Expression]) => {
+        if (args.length > 1)
+          throw new IllegalArgumentException("fluvio_partitions([<baseDir>])")
+        val spark = SparkSession.active
+        shim.logicalPlan(FluvioDuck.partitions(spark, baseDir("fluvio_partitions", args, 0)))
+      }))
+
+  /** Register the TVFs into a live session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = shim.tableFunctionRegistry(spark)
+    descriptions.foreach { case (name, info, builder) =>
+      reg.registerFunction(name, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.sql.GraftExtensions` — registers the TVFs
+  * at session build time, the analog of the reference extension's
+  * `register_table_function` calls (`/root/reference/src/lib.rs:37-39`). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftSql.descriptions.foreach(e.injectTableFunction)
+}

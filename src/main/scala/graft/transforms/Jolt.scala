@@ -25,7 +25,7 @@ import scala.jdk.CollectionConverters._
   * never re-rendered through text.
   */
 object Jolt {
-  private[transforms] val mapper = new ObjectMapper()
+  private[graft] val mapper = new ObjectMapper()
 
   final case class Op(operation: String, spec: JsonNode)
 
@@ -37,7 +37,8 @@ object Jolt {
     }.toSeq
   }
 
-  /** Flatten a shift spec tree into (sourcePath, targetName) pairs. */
+  /** Flatten a shift spec tree into (sourcePath, targetName) pairs
+    * (literal paths only — wildcard specs walk the tree in [[applyShift]]). */
   def shiftPairs(spec: JsonNode, prefix: String = ""): Seq[(String, String)] =
     spec.properties().asScala.toSeq.flatMap { e =>
       val path = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
@@ -49,21 +50,42 @@ object Jolt {
           s"unsupported jolt shift spec value at $path: $v")
     }
 
+  /** Walk `node` under `spec`, writing matched values into `out`.
+    * Literal spec keys match exactly and win over `*`, which matches every
+    * remaining field (jolt's precedence). A textual RHS is the target name;
+    * `&` in it substitutes the key just matched (one level, like jolt's
+    * `&(0)`). Missing/JSON-null sources are omitted. */
+  private def applyShift(node: JsonNode, spec: JsonNode, out: ObjectNode): Unit = {
+    if (node == null || !node.isObject) return
+    val entries = spec.properties().asScala.toSeq
+    val literals = entries.filter(_.getKey != "*")
+    val wildcard = entries.find(_.getKey == "*").map(_.getValue)
+    def emit(key: String, v: JsonNode, rhs: JsonNode): Unit =
+      if (rhs.isTextual) {
+        if (v != null && !v.isNull)
+          out.set[JsonNode](rhs.asText().replace("&", key), v)
+      } else if (rhs.isObject) applyShift(v, rhs, out)
+      else
+        throw new IllegalArgumentException(
+          s"unsupported jolt shift spec value at $key: $rhs")
+    literals.foreach(e => emit(e.getKey, node.get(e.getKey), e.getValue))
+    wildcard.foreach { rhs =>
+      val literalKeys = literals.map(_.getKey).toSet
+      node.properties().asScala.foreach { f =>
+        if (!literalKeys.contains(f.getKey)) emit(f.getKey, f.getValue, rhs)
+      }
+    }
+  }
+
   /** `shift` as a per-record function (for use as a Spark UDF). */
   def shiftFn(spec: JsonNode): String => String = {
-    val pairs = shiftPairs(spec).map { case (src, dst) => (src.split('.').toSeq, dst) }
     (value: String) => {
       val m = Jolt.mapper
       val root =
         try m.readTree(if (value == null) "{}" else value)
         catch { case _: Exception => m.createObjectNode() }
       val out = m.createObjectNode()
-      pairs.foreach { case (path, dst) =>
-        var node: JsonNode = root
-        val it = path.iterator
-        while (node != null && it.hasNext) node = node.get(it.next())
-        if (node != null && !node.isNull) out.set[JsonNode](dst, node)
-      }
+      applyShift(root, spec, out)
       m.writeValueAsString(out)
     }
   }

@@ -20,11 +20,14 @@ object TransformChain {
   private val yaml = new ObjectMapper(new YAMLFactory())
 
   /** Build the ordered chain from parsed consume options: `--smartmodule`
-    * (single named module with `-e` params), or `--transform` inline JSON
-    * strings, or `--transforms-file` YAML — mutually exclusive, like the
-    * reference (`/root/reference/src/consume.rs:650-669`). */
+    * (single named module with `-e` params), or `--smartmodule-path` (the
+    * module file's base name resolves through the registry, mirroring the
+    * reference where a path loads the same module a name would —
+    * `/root/reference/src/consume.rs:649-655`), or `--transform` inline
+    * JSON strings, or `--transforms-file` YAML — mutually exclusive, like
+    * the reference (`/root/reference/src/consume.rs:650-669`). */
   def fromOpt(opt: ConsumeOpt): Seq[TransformSpec] =
-    opt.smartmodule match {
+    opt.smartmodule.orElse(opt.smartmodulePath.map(pathToName)) match {
       case Some(name) => Seq(TransformSpec(name, opt.params.toMap))
       case None =>
         if (opt.transforms.nonEmpty) opt.transforms.map(parseInlineJson)
@@ -34,6 +37,23 @@ object TransformChain {
             case None       => Nil
           }
     }
+
+  /** `--smartmodule-path /modules/graft/map-uppercase.wasm` →
+    * `graft/map-uppercase`: strip any extension, then try the last one or
+    * two path segments as a registry name. Unknown modules fail loudly in
+    * [[TransformRegistry.apply]] ("SmartModule not found") instead of
+    * silently applying no transform. */
+  private[transforms] def pathToName(path: String): String = {
+    val segs = path.replace('\\', '/').split('/').filter(_.nonEmpty)
+    require(segs.nonEmpty, s"empty --smartmodule-path: `$path`")
+    val base = {
+      val f = segs.last
+      val dot = f.lastIndexOf('.')
+      if (dot > 0) f.substring(0, dot) else f
+    }
+    val qualified = if (segs.length >= 2) s"${segs(segs.length - 2)}/$base" else base
+    if (TransformRegistry.isRegistered(qualified)) qualified else base
+  }
 
   /** `--transform '{"uses":"infinyon/jolt@0.1.0","with":{"spec":"..."}}'` */
   def parseInlineJson(spec: String): TransformSpec =

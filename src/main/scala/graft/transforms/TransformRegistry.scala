@@ -39,10 +39,15 @@ object TransformRegistry {
     val specJson = params.getOrElse("spec",
       throw new IllegalArgumentException("jolt transform requires a `spec` param"))
     val ops = Jolt.parseSpec(specJson)
+    import org.apache.spark.sql.graft.shim
+    import graft.functions.{JoltDefault, JoltShift}
+    // native expressions (one jackson parse/record, stay inside
+    // whole-stage codegen), not ScalaUDFs
     val valueOut = ops.foldLeft(col("value")) { (v, op) =>
+      val specText = Jolt.mapper.writeValueAsString(op.spec)
       op.operation match {
-        case "shift"   => udf(Jolt.shiftFn(op.spec)).apply(v)
-        case "default" => udf(Jolt.defaultFn(op.spec)).apply(v)
+        case "shift"   => shim.column(JoltShift(shim.expression(v), specText))
+        case "default" => shim.column(JoltDefault(shim.expression(v), specText))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported jolt operation: $other (supported: shift, default)")
@@ -79,4 +84,8 @@ object TransformRegistry {
       named.getOrElse(uses.takeWhile(_ != '@'),
         named.getOrElse(uses,
           throw new IllegalArgumentException(s"SmartModule not found: $uses")))
+
+  def isRegistered(uses: String): Boolean =
+    uses.startsWith("infinyon/jolt@") || uses == "jolt" ||
+      named.contains(uses.takeWhile(_ != '@')) || named.contains(uses)
 }
