@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] with default 8g GC-thrashes on the wider queries; the box
   // has 128 GiB — give the single-JVM "cluster" a realistic share.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // a 60-query suite generates thousands of whole-stage-codegen classes;
+  // the default 240m code cache fills, HotSpot stops JIT-compiling, and
+  // everything afterwards runs interpreted (one source of the measured
+  // suite-position slowdowns)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -22,12 +22,16 @@ object SparkEntry {
     * (/root/reference/README.md:171-184): consume the events topic, group
     * by the payload key, aggregate. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
+    // payload key projected via the native one-parse JsonToMap (from_json
+    // is CodegenFallback — see graft.functions.JsonPayload)
     FluvioDuck.consume(spark, "events -B --rows 100000000",
         "/root/testdata/sf0.001")
+      .withColumn("k",
+        element_at(graft.sources.ColumnMapping.parsed(col("value")), "k"))
       .createOrReplaceTempView("transit")
     spark.sql(
-      """SELECT from_json(value, 'map<string,string>')['k'] AS k,
-        |       count(*) AS n, round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset
+      """SELECT k, count(*) AS n,
+        |       round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset
         |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 

@@ -1,0 +1,141 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native JSON payload accessors: one Jackson parse per row, inlined into
+  * whole-stage codegen via a reference object.
+  *
+  * The built-ins they replace — `from_json` (JsonToStructs),
+  * `get_json_object`, `json_object_keys` — are all CodegenFallback:
+  * inside a codegen'd stage each call drops to interpreted
+  * `Expression.eval`, whose framework call sites turn megamorphic as a
+  * long-lived JVM runs varied plans; measured 3 s → 220 s on an identical
+  * 100k-row query depending on what ran before (the round-1/round-2
+  * "suite-position degradation"). Generated code calling a monomorphic
+  * method on a reference object has no such cliff — and at 1000-executor
+  * scale, fresh executors JIT the same narrow path immediately.
+  */
+object JsonPayload {
+  /** BigDecimal floats so scalar text round-trips verbatim ("5.5600"
+    * stays "5.5600", as get_json_object's streaming copy would). */
+  private[functions] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    m
+  }
+
+  /** A JSON value as get_json_object text: strings bare, scalars as their
+    * literal text, containers as compact JSON, null → SQL null. */
+  private[functions] def valueText(n: JsonNode): UTF8String =
+    if (n == null || n.isNull) null
+    else if (n.isTextual) UTF8String.fromString(n.asText())
+    else if (n.isContainerNode) UTF8String.fromString(mapper.writeValueAsString(n))
+    else UTF8String.fromString(n.asText())
+}
+
+/** `map<string,string>` of the payload's top-level fields — the native
+  * replacement for `from_json(value, 'map<string,string>')`. Values mirror
+  * the JacksonParser string-coercion: scalars as text, nested containers
+  * as their JSON text, JSON null as a null entry. Malformed / non-object
+  * payloads → SQL NULL (PERMISSIVE from_json behavior). */
+case class JsonToMap(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, StringType, valueContainsNull = true)
+  override def nullable: Boolean = true
+
+  def convert(u: UTF8String): MapData = {
+    if (u == null) return null
+    val root =
+      try JsonPayload.mapper.readTree(u.toString)
+      catch { case _: Exception => null }
+    if (root == null || !root.isObject) return null
+    val keys = new scala.collection.mutable.ArrayBuffer[Any]
+    val vals = new scala.collection.mutable.ArrayBuffer[Any]
+    val it = root.properties().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys += UTF8String.fromString(e.getKey)
+      vals += JsonPayload.valueText(e.getValue)
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys.toArray),
+      new GenericArrayData(vals.toArray))
+  }
+
+  override def eval(input: InternalRow): Any =
+    convert(child.eval(input).asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonToMap", this, classOf[JsonToMap].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.MapData ${ev.value} =
+          $ref.convert(${childGen.isNull} ? null : ${childGen.value});
+        boolean ${ev.isNull} = ${ev.value} == null;"""
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonToMap =
+    copy(child = newChild)
+}
+
+/** `struct<exists: boolean, raw: string>` for one dotted path of the
+  * payload, in one parse: `raw` follows get_json_object semantics (null
+  * for JSON null or missing), `exists` distinguishes the two (the
+  * json_object_keys probe it replaces). */
+case class JsonField(child: Expression, path: String) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("exists", BooleanType, nullable = false),
+    StructField("raw", StringType, nullable = true)))
+  override def nullable: Boolean = false
+
+  @transient private lazy val segments: Array[String] = path.split('.')
+
+  def convert(u: UTF8String): InternalRow = {
+    var exists = false
+    var raw: UTF8String = null
+    if (u != null) {
+      val root =
+        try JsonPayload.mapper.readTree(u.toString)
+        catch { case _: Exception => null }
+      if (root != null) {
+        var node: JsonNode = root
+        var i = 0
+        while (node != null && i < segments.length - 1) {
+          node = node.get(segments(i)); i += 1
+        }
+        val leaf = segments.last
+        if (node != null && node.isObject && node.has(leaf)) {
+          exists = true
+          raw = JsonPayload.valueText(node.get(leaf))
+        }
+      }
+    }
+    InternalRow(exists, raw)
+  }
+
+  override def eval(input: InternalRow): Any =
+    convert(child.eval(input).asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jsonField", this, classOf[JsonField].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        InternalRow ${ev.value} =
+          $ref.convert(${childGen.isNull} ? null : ${childGen.value});"""
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JsonField =
+    copy(child = newChild)
+}

@@ -28,8 +28,10 @@ object TierB {
     // call, measured ~1000× slower on a coalesced partition)
     "sql_agg_avg_groupby" -> ((s, dir) => {
       FluvioDuck.consume(s, "events -B --rows 100000000", dir)
+        .withColumn("k",
+          element_at(graft.sources.ColumnMapping.parsed(col("value")), "k"))
         .createOrReplaceTempView("transit")
-      s.sql("""SELECT from_json(value, 'map<string,string>')['k'] AS k,
+      s.sql("""SELECT k,
               |       round(avg(CAST(offset AS DOUBLE)), 6) AS avg_offset,
               |       count(*) AS n
               |FROM transit GROUP BY 1 ORDER BY 1""".stripMargin)
@@ -55,10 +57,7 @@ object TierB {
     // WHERE over the materialized view — README.md:169-172
     "sql_filter" -> ((s, dir) =>
       FluvioDuck.consume(s, "events -B --rows 100000000", dir)
-        .filter(from_json(col("value"),
-            org.apache.spark.sql.types.MapType(
-              org.apache.spark.sql.types.StringType,
-              org.apache.spark.sql.types.StringType))
+        .filter(graft.sources.ColumnMapping.parsed(col("value"))
           .getItem("k").cast("int") > 90)
         .orderBy("offset")),
 

@@ -1,0 +1,61 @@
+package graft.sql
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL table-valued-function surface: the reference's documented UX
+  * (`SELECT * FROM fluvio_consume('...')`) must work on Spark SQL. */
+class GraftSqlSpec extends SparkSpec {
+
+  private def registered() = { GraftSql.register(spark); spark }
+
+  test("fluvio_consume TVF matches the Scala API result") {
+    val s = registered()
+    val viaSql = s.sql(s"SELECT * FROM fluvio_consume('events -B --rows 25', '$sf')")
+    val viaApi = graft.sources.FluvioDuck.consume(s, "events -B --rows 25", sf)
+    assert(viaSql.columns.toSeq == Seq("offset", "timestamp", "value"))
+    assert(viaSql.collect().toSeq == viaApi.collect().toSeq)
+  }
+
+  test("fluvio_consume falls back to spark.graft.dataDir") {
+    val s = registered()
+    s.conf.set(GraftSql.DataDirKey, sf)
+    assert(s.sql("SELECT count(*) AS n FROM fluvio_consume('events -B --rows 10')")
+      .head().getLong(0) == 10L)
+  }
+
+  test("TVFs compose with SQL (aggregation over consume)") {
+    val s = registered()
+    val n = s.sql(
+      s"""SELECT count(*) AS n FROM fluvio_consume('events -B --rows 100', '$sf')
+         |WHERE CAST(get_json_object(value, '$$.k') AS INT) > 50""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0 && n < 100)
+  }
+
+  test("fluvio_topics / fluvio_partitions TVFs") {
+    val s = registered()
+    val topics = s.sql(s"SELECT * FROM fluvio_topics('$sf')")
+    assert(topics.columns.toSeq == Seq("name", "partitions"))
+    assert(topics.filter(col("name") === "events").count() == 1)
+    val parts = s.sql(s"SELECT * FROM fluvio_partitions('$sf')")
+    assert(parts.filter(col("topic") === "events").head().getLong(2) == 1000L)
+  }
+
+  test("consume errors surface through SQL (unknown topic, bad flags)") {
+    val s = registered()
+    val e1 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume('nosuch -B', '$sf')").collect())
+    assert(e1.getMessage.contains("Topic not found"))
+    val e2 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume('events -B -T 3', '$sf')").collect())
+    assert(e2.getMessage.contains("cannot be used with"))
+  }
+
+  test("non-constant argument is rejected with a clear message") {
+    val s = registered()
+    val e = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume(CAST(rand() AS STRING), '$sf')").collect())
+    assert(e.getMessage.contains("constant string"))
+  }
+}
