@@ -78,7 +78,13 @@ object Dedup {
     val exploded = sigs.select(col("id"),
         explode(array(bandBuckets: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    exploded.as("l").join(exploded.as("r"), Seq("band", "bucket"))
+    // shuffle_hash, not broadcast: with both sides shuffled on
+    // (band, bucket) the two identical signature subtrees collapse into
+    // ONE Exchange + ReusedExchange — the expensive shingle→minhash
+    // pipeline runs once, not once per join side. (A broadcast join has
+    // no common exchange to reuse, and at corpus scale the signature
+    // table could not broadcast anyway.)
+    exploded.as("l").hint("shuffle_hash").join(exploded.as("r"), Seq("band", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
@@ -133,7 +139,9 @@ object Dedup {
         struct(lit(s).as("seg"),
           shiftright(col("simhash"), s * segBits).bitwiseAND(mask).as("key"))): _*)).as("sk"))
       .select(col("id"), col("simhash"), col("sk.seg").as("seg"), col("sk.key").as("key"))
-    seg.as("l").join(seg.as("r"), Seq("seg", "key"))
+    // shuffle join → the simhash subtree is exchange-reused across the
+    // self-join (see minhashCandidates)
+    seg.as("l").hint("shuffle_hash").join(seg.as("r"), Seq("seg", "key"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
@@ -159,7 +167,9 @@ object Dedup {
         sh.join(df_, "shingle").select(col("id"), col("shingle"))
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("l").join(filtered.as("r"), Seq("shingle"))
+    // shuffle join → the DF-capped shingle subtree is exchange-reused
+    // across the self-join (see minhashCandidates)
+    val inter = filtered.as("l").hint("shuffle_hash").join(filtered.as("r"), Seq("shingle"))
       .filter(col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

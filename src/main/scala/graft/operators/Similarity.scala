@@ -85,7 +85,9 @@ object Similarity {
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
       col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("band", "bucket"))
+    // shuffle join → the banded-signature subtree is exchange-reused
+    // across the self-join (see Dedup.minhashCandidates)
+    l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))

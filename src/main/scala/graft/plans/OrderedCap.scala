@@ -38,8 +38,11 @@ object OrderedCap {
     if (n <= 0) return df.limit(0)
     val t = df.withColumn("__blk", floor(col(key) / blockSize))
     val counts = t.groupBy("__blk").agg(count(lit(1)).as("__cnt"))
+    // constant partition key: the running total is over the
+    // metadata-sized block table (one row per blockSize of key space),
+    // deliberately single-partition
     val cum = counts.withColumn("__cum",
-      sum("__cnt").over(Window.orderBy("__blk")
+      sum("__cnt").over(Window.partitionBy(lit(0)).orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // one row: first block where the running total reaches n (NULL = keep
     // everything) and the number of rows kept before it

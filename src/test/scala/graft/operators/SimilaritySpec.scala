@@ -40,13 +40,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("annTopK recall vs brute force is high on the fixture") {
+  test("annTopK recall vs brute force >= 0.8 at tuned planes/probes") {
+    // measured on the fixtures: (8 planes, radius 5) = 0.95 recall at
+    // sf0.001 and 1.00 at sf0.01 — the assertion has real margin
     val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
       .collect().map(_.getLong(0)).toSet
     val approx = Similarity.annTopK(embs, "vec_id", "embedding", ones, 20,
-      nPlanes = 12, probeRadius = 4).collect().map(_.getLong(0)).toSet
+      nPlanes = 8, probeRadius = 5).collect().map(_.getLong(0)).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low")
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("annTopK is seed-deterministic: identical rows across invocations") {
+    def run() = Similarity.annTopK(embs, "vec_id", "embedding", ones, 20,
+      nPlanes = 8, probeRadius = 3, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run() == run())
+    // the hyperplanes themselves are frozen by seed — a generator change
+    // would silently reshuffle every bucket across session restarts
+    val p = graft.functions.VectorFunctions.randomPlanes(2, 3, seed = 42L)
+    assert(math.abs(p(0)(0) - 0.4147197504315306) < 1e-12, p(0)(0).toString)
   }
 
   test("annNearDupPairs finds colinear pairs (signature-identical)") {
