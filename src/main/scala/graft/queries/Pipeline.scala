@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -78,6 +78,14 @@ object Pipeline {
         threshold = 0.4, nPlanes = 8, nBands = 4)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
+    // IVF-flat ANN: probing ALL cells is exact by construction, so this
+    // entry oracle-checks the full index/assign/probe machinery against
+    // brute-force SQL; the approximate path (nProbe < nCells) is recall-
+    // tested in IvfSpec.
+    "emb_ivf_topk" -> ((s, dir) =>
+      Ivf.ivfTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
+        nCells = 16, nProbe = 16)
+        .withColumn("score", round(col("score"), 6))),
 
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
@@ -168,6 +176,12 @@ object Pipeline {
          |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
          |ORDER BY id_a, id_b""".stripMargin,
     "emb_cosine_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "emb_ivf_topk" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
          |FROM embeddings

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+  private val ones = Array.fill(64)(1.0)
+
+  test("ivfTopK with nProbe = nCells is exact (equals brute force)") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Ivf.ivfTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK recall vs brute force >= 0.8 at tuned cells/probes") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ivf.ivfTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 16, nProbe = 8).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("ivfTopK is seed-deterministic across invocations") {
+    def run() = Ivf.ivfTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 16, nProbe = 4, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run() == run())
+  }
+
+  test("assignCell puts every row in a valid cell; probe filter prunes rows") {
+    val idx = Ivf.indexTable(embs, "vec_id", "embedding", nCells = 8)
+    val cells = idx.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
+    assert(idx.count() == embs.count())
+    // probing a strict subset of cells must scan a strict subset of rows
+    val cents = Ivf.centroids(embs, "vec_id", "embedding", 8)
+    val probes = Ivf.probeCells(cents, ones, 2)
+    val probed = idx.filter($"cell".isin(probes: _*)).count()
+    assert(probed > 0 && probed < embs.count())
+  }
+
+  test("assignCell matches driver-side nearest-centroid math") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = df.select($"vec_id",
+      Ivf.assignCell($"embedding", cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+}
