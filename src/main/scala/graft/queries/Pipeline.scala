@@ -87,6 +87,20 @@ object Pipeline {
         nCells = 16, nProbe = 16)
         .withColumn("score", round(col("score"), 6))),
 
+    // ---- composite training-data pipeline: score -> filter -> dedup.
+    // All scoring is per-row codegen'd expressions; the only shuffle is the
+    // fingerprint groupBy — the shape survives a 100x scale-up unchanged.
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .filter(col("quality") >= 0.5 && col("lang") === "en")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")),
+
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizePlan(
@@ -193,6 +207,16 @@ object Pipeline {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, text, $qualitySql AS quality, $langIdSql AS lang
+         |  FROM documents)
+         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM scored
+         |WHERE quality >= 0.5 AND lang = 'en'
+         |GROUP BY md5($norm)
+         |ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
