@@ -35,18 +35,14 @@ object Ivf {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-  /** Nearest-centroid id for each row's vector. Ordering uses
-    * ‖c‖² − 2·v·c (the ‖v‖² term is constant across cells), one VectorDot
-    * per cell, argmin via array_min over (score, cell) structs — every
-    * piece codegen'd. */
-  def assignCell(vecCol: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val cNorm2 = c.map(x => x * x).sum
-      struct((lit(cNorm2) - lit(2.0) * dot(vecCol, vecLit(c))).as("s"),
-        lit(i).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  /** Nearest-centroid id for each row's vector, via the native
+    * [[graft.functions.NearestCell]] expression — one codegen'd kernel
+    * over the centroid matrix. (The composed form — per-cell VectorDots +
+    * `array_min` over (score, cell) structs — compares struct elements
+    * through an interpreted ordering per row×cell: the round-1 perf-cliff
+    * pattern, measured poisoning the whole bench JVM.) */
+  def assignCell(vecCol: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.NearestCell(vecCol, cents)
 
   /** The nProbe cells closest to the query vector. */
   def probeCells(cents: Array[Array[Double]], query: Array[Double],
