@@ -149,6 +149,42 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Near-dup pairs by winnowed rolling-hash fingerprint overlap
+    * ([[graft.functions.WinnowFingerprint]] — the MOSS scheme): Jaccard
+    * over each document's winnowed fingerprint set, computed via a
+    * common-fingerprint self-join. Same join architecture as
+    * [[ngramJaccard]] (never n², DF-capped, exchange-reused) but the
+    * winnowed sketch is ~2/(w+1) the size of the raw shingle set — the
+    * join input shrinks by that factor at corpus scale. Any shared run of
+    * ≥ k+w−1 normalized chars guarantees a common fingerprint. */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.1, k: Int = 8, w: Int = 4,
+                     maxDocFreq: Long = 10000L): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("fp"))
+    val filtered =
+      if (maxDocFreq == Long.MaxValue) fp
+      else {
+        val df_ = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq)
+        fp.join(df_, "fp").select(col("id"), col("fp"))
+      }
+    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
+    // shuffle join → the fingerprint subtree is exchange-reused across
+    // the self-join (see minhashCandidates)
+    val inter = filtered.as("l").hint("shuffle_hash").join(filtered.as("r"), Seq("fp"))
+      .filter(col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * `maxDocFreq` drops shingles present in more than that many documents
     * (stop-shingles) to bound join fan-out — at corpus scale the frequent
