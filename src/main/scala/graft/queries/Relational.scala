@@ -182,7 +182,40 @@ object Relational {
           .when(col("o_totalprice") < 150000, "medium")
           .otherwise("large").as("band"))
         .groupBy("band").agg(count(lit(1)).as("n"))
-        .orderBy("band"))
+        .orderBy("band")),
+
+    // CUBE over returnflag/linestatus (all four grouping combinations)
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // FULL OUTER: negative-balance customers vs their big-order counts —
+    // unmatched rows surface on both sides
+    "join_full_outer" -> ((s, dir) => {
+      val poor = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 180000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      poor.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_big"))
+        .orderBy("custkey")
+    }),
+
+    // scalar subquery: orders above the global average price. The average
+    // is a decimal-exact sum over a broadcast one-row aggregate — the same
+    // plan Catalyst produces for a scalar subquery, written explicitly.
+    "scalar_subquery" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgP = ord.agg((dsum(col("o_totalprice")) /
+        count(lit(1))).as("avg_price"))
+      ord.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    })
   )
 
   private def dsumSql(x: String) =
@@ -276,6 +309,22 @@ object Relational {
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS band,
         |CAST(count(*) AS BIGINT) AS n
-        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_big
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+        |                 FROM orders WHERE o_totalprice > 180000 GROUP BY 1) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "scalar_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / count(*) FROM orders)
+         |ORDER BY o_orderkey""".stripMargin
   )
 }
