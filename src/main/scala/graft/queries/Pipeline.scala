@@ -59,14 +59,13 @@ object Pipeline {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
-    // char 8-grams of ordinary prose collide far more than word 3-grams:
-    // without a stop-fingerprint cap the common-fingerprint join is
-    // quadratic in the hottest fingerprint's doc-freq (measured ~3 min at
-    // sf0.1 uncapped). DF <= 100 (2% of the sf0.1 corpus) keeps only
-    // discriminative fingerprints; threshold 0.5 = near-dup semantics.
+    // k=20-char grams (word-3-gram selectivity; see winnowNearDups
+    // scaladoc for why char 8-grams are corpus-common and unusable);
+    // maxDocFreq=1000 is the same skew backstop as dedup_ngram_jaccard
+    // (fixture max DF ~25, so it changes no rows).
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowNearDups(docs(s, dir), "doc_id", "text",
-        threshold = 0.5, maxDocFreq = 100L)
+        threshold = 0.5, maxDocFreq = 1000L)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
