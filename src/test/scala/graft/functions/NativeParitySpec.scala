@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Randomized parity: the native expressions must be row-for-row
+  * equivalent to the composed-builtins formulations they replaced (the
+  * replacements were for performance — interpreted-eval hot loops — and
+  * must never change semantics). Deterministic seeded generator over a
+  * hostile character pool: whitespace runs of every `\s` kind, boundary
+  * whitespace, empties, unicode, punctuation. */
+class NativeParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pool: Array[String] = Array(
+    "a", "b", "Z", "9", ".", ",", "é", "中", "'", "-",
+    " ", "  ", "\t", "\n", "\r", "", "\f", " \t ", "word", "The")
+
+  private def randomTexts(n: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1L to n.toLong).map { id =>
+      val len = rnd.nextInt(40)
+      id -> (0 until len).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }
+  }
+
+  private lazy val texts = randomTexts(300, seed = 20260812L).toDF("id", "text")
+
+  test("WordShingles == composed builtins (distinct n-gram HOF form) for n in 1..5") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val toks = split(norm, " ")
+      val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      val composed = texts.select(col("id"), explode(array_distinct(grams)).as("s"))
+      val native = texts.select(col("id"), explode(WordShingles(col("text"), n)).as("s"))
+      assert(composed.exceptAll(native).count() == 0, s"composed-only rows at n=$n")
+      assert(native.exceptAll(composed).count() == 0, s"native-only rows at n=$n")
+    }
+  }
+
+  test("SimHashText == batch simhash aggregate on random texts") {
+    val batch = Dedup.simhash(texts, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perRow = texts.select(col("id"), SimHashText(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow == batch)
+  }
+
+  test("WinnowFingerprint invariant under case and internal-space doubling") {
+    // (note: winnow(normalized(text)) is NOT the invariant — normalization
+    // is deliberately single-pass, boundary `\t` becomes a boundary space
+    // that a second trim would strip; same contract as WordShingles)
+    val doubled = texts.select(col("id"),
+      regexp_replace(upper(col("text")), " ", "  ").as("text"))
+    val a = texts.select(col("id"), WinnowFingerprint(col("text"), 8, 4).as("fp"))
+    val b = doubled.select(col("id"), WinnowFingerprint(col("text"), 8, 4).as("fp"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+}
