@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{ColumnMapping, ConsumeOpt, TopicRegistry, Tables}
 import graft.transforms.{TransformChain, TransformRegistry}
@@ -78,4 +78,36 @@ object ConsumeStream {
       .groupBy(window(col("timestamp"), windowDuration))
       .agg(count(lit(1)).as("n"), avg(col("v")).as("avg_v"))
       .select(col("window.start").as("window_start"), col("n"), col("avg_v"))
+
+  /** Sliding-window count: overlapping windows of `windowDuration` every
+    * `slideDuration` — each record lands in windowDuration/slideDuration
+    * windows. */
+  def slidingAgg(stream: DataFrame, windowDuration: String,
+                 slideDuration: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDuration, slideDuration))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows: records gapped less than `gapDuration` apart merge
+    * into one session per key — `session_window` keeps per-key state until
+    * the watermark passes the gap. */
+  def sessionAgg(stream: DataFrame, keyMapped: ColumnMapping,
+                 gapDuration: String, watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("k", keyMapped.toColumn(col("value")))
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(session_window(col("timestamp"), gapDuration), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("k"), col("n"))
+
+  /** Stream-static enrichment: join each streamed record against a static
+    * dimension table — planned as a per-micro-batch broadcast join, no
+    * streaming state at all (the standard lookup-enrichment shape; at
+    * scale the static side is broadcast once per batch). */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: Column,
+             dimKey: Column): DataFrame =
+    stream.join(broadcast(dim), streamKey === dimKey, "left")
 }

@@ -86,6 +86,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 100)
   }
 
+  test("sliding windows: each record lands in window/slide overlapping windows") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L // 2023-11-14 22:13:20 UTC
+    input.addData((0L until 60L).map(i =>
+      (i, new java.sql.Timestamp(base + i * 1000), "{}")))
+    val rec = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), opt("events -d -B"),
+      "event_id", "ts", "props")
+    val rows = runStream(
+      ConsumeStream.slidingAgg(rec, "1 minute", "30 seconds", "10 seconds"),
+      mode = "complete")
+    // 60 one-second records from 22:13:20: minute-long windows sliding
+    // every 30 s -> 4 overlapping windows touch the span, each record in 2
+    assert(rows.map(_.getLong(1)).sum == 120L)
+    assert(rows.length == 4)
+  }
+
+  test("session windows: gap splits sessions per key") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = 1700000000000L
+    // key a: records at 0s,5s then a 60s gap then 120s -> two sessions
+    // key b: one session
+    input.addData(Seq(
+      (0L, new java.sql.Timestamp(base), """{"k": "a"}"""),
+      (1L, new java.sql.Timestamp(base + 5000), """{"k": "a"}"""),
+      (2L, new java.sql.Timestamp(base + 120000), """{"k": "a"}"""),
+      (3L, new java.sql.Timestamp(base + 7000), """{"k": "b"}""")))
+    val rec = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), opt("events -d -B"),
+      "event_id", "ts", "props")
+    val rows = runStream(
+      ConsumeStream.sessionAgg(rec, ColumnMapping("k", MappedType.S, "k"),
+        "30 seconds", "10 seconds"),
+      mode = "complete")
+    val byKey = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byKey == Map("a" -> 2, "b" -> 1))
+    assert(rows.map(_.getLong(3)).sum == 4L) // every record in some session
+  }
+
+  test("stream-static enrichment join against a dimension table") {
+    val dim = Seq((0L, "even"), (1L, "odd")).toDF("parity", "label")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData((0L until 10L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), "{}")))
+    val rec = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"), opt("events -d -B"),
+      "event_id", "ts", "props")
+    val enriched = ConsumeStream.enrich(
+      rec, dim, col("offset") % 2, col("parity"))
+    assert(enriched.isStreaming)
+    val rows = runStream(enriched.select(col("offset"), col("label")))
+    assert(rows.length == 10)
+    assert(rows.forall(r =>
+      r.getString(1) == (if (r.getLong(0) % 2 == 0) "even" else "odd")))
+  }
+
   test("seeded aggregators (aggregate_initial analog)") {
     val ds = Seq("a", "b", "c").toDS
     val got = ds.select(SeededConcatAggregator("SEED", "|").toColumn).head()
