@@ -110,4 +110,26 @@ object ConsumeStream {
   def enrich(stream: DataFrame, dim: DataFrame, streamKey: Column,
              dimKey: Column): DataFrame =
     stream.join(broadcast(dim), streamKey === dimKey, "left")
+
+  /** Stream-stream correlation: join records of two topic streams whose
+    * payload keys match and whose event times are within `within` of each
+    * other. Both sides carry watermarks so the join state is bounded —
+    * Spark keeps each side only until the other's watermark passes the
+    * time bound (the canonical stream-stream interval join). Inputs must
+    * be record-shaped (offset, timestamp, value); keys are extracted by
+    * the provided column builders. */
+  def correlate(left: DataFrame, right: DataFrame,
+                leftKey: Column, rightKey: Column,
+                watermarkDelay: String, within: String): DataFrame = {
+    val l = left.select(col("offset").as("l_offset"),
+        col("timestamp").as("l_ts"), leftKey.as("l_key"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.select(col("offset").as("r_offset"),
+        col("timestamp").as("r_ts"), rightKey.as("r_key"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
 }

@@ -142,6 +142,30 @@ class StreamingSpec extends SparkSpec {
       r.getString(1) == (if (r.getLong(0) % 2 == 0) "even" else "odd")))
   }
 
+  test("stream-stream correlation join within a time bound") {
+    val base = 1700000000000L
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // left key k=1 at t=0s; right k=1 at t=5s (within 10s) and t=60s (outside)
+    lIn.addData(Seq(
+      (0L, new java.sql.Timestamp(base), """{"k": 1}"""),
+      (1L, new java.sql.Timestamp(base + 1000), """{"k": 2}""")))
+    rIn.addData(Seq(
+      (10L, new java.sql.Timestamp(base + 5000), """{"k": 1}"""),
+      (11L, new java.sql.Timestamp(base + 60000), """{"k": 1}"""),
+      (12L, new java.sql.Timestamp(base + 2000), """{"k": 3}""")))
+    def rec(in: MemoryStream[(Long, java.sql.Timestamp, String)]) =
+      ConsumeStream.fromRecords(in.toDS.toDF("event_id", "ts", "props"),
+        opt("events -d -B"), "event_id", "ts", "props")
+    val key = ColumnMapping("k", MappedType.I, "k")
+    val joined = ConsumeStream.correlate(rec(lIn), rec(rIn),
+      key.toColumn(col("value")), key.toColumn(col("value")),
+      watermarkDelay = "10 seconds", within = "10 seconds")
+    assert(joined.isStreaming)
+    val rows = runStream(joined.select("l_offset", "r_offset"))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 10L)))
+  }
+
   test("seeded aggregators (aggregate_initial analog)") {
     val ds = Seq("a", "b", "c").toDS
     val got = ds.select(SeededConcatAggregator("SEED", "|").toColumn).head()
