@@ -54,6 +54,23 @@ object Demo {
     try FluvioDuck.consume(spark, "events -B -T 5", sf)
     catch { case e: IllegalArgumentException => println(s"OK error: ${e.getMessage}") }
 
+    println("=== SQL TVFs (the reference's documented surface) ===")
+    graft.sql.GraftSql.register(spark)
+    spark.conf.set("spark.graft.dataDir", sf)
+    spark.sql("SELECT * FROM fluvio_consume('events -B --rows 3')").show(false)
+
+    println("=== training-data pipeline: clean corpus (score -> filter -> dedup) ===")
+    val cleaned = graft.queries.Pipeline.queries("pipeline_clean_corpus")(spark, sf)
+    println(s"kept ${cleaned.count()} docs; first rows:")
+    cleaned.show(5, false)
+
+    println("=== similarity: exact vs IVF top-5 over embeddings ===")
+    val embs = graft.sources.Tables.load(spark, sf, "embeddings")
+    val q = Array.fill(64)(1.0)
+    graft.operators.Similarity.cosineTopK(embs, "vec_id", "embedding", q, 5).show(false)
+    graft.operators.Ivf.ivfTopK(embs, "vec_id", "embedding", q, 5,
+      nCells = 8, nProbe = 4).show(false)
+
     spark.stop()
   }
 }
