@@ -123,6 +123,14 @@ object Pipeline {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(col("brightness"), 6).as("brightness"),
           col("frames_sampled"))
+        .orderBy("media_id")),
+    // frame sampling is metadata math (1 fps over the clip duration), so
+    // unlike the decode features it IS oracle-checkable
+    "multimodal_framesample" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(s, docs(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("frames_sampled"))
         .orderBy("media_id"))
   )
 
@@ -226,6 +234,11 @@ object Pipeline {
          |WHERE quality >= 0.5 AND lang = 'en'
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin,
+    "multimodal_framesample" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST(doc_id % 30 AS INTEGER)) ELSE 1 END AS INTEGER) AS frames_sampled
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

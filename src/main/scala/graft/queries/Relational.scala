@@ -204,6 +204,19 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // GROUPING SETS: two independent groupings in one pass (SQL-only
+    // surface — the DataFrame API exposes rollup/cube; general sets go
+    // through the parser)
+    "agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // scalar subquery: orders above the global average price. The average
     // is a decimal-exact sum over a broadcast one-row aggregate — the same
     // plan Catalyst produces for a scalar subquery, written explicitly.
@@ -322,6 +335,11 @@ object Relational {
         |                 FROM orders WHERE o_totalprice > 180000 GROUP BY 1) o
         |ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "scalar_subquery" ->
       s"""SELECT o_orderkey, o_totalprice FROM orders
          |WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / count(*) FROM orders)
