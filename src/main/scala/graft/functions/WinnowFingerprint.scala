@@ -58,48 +58,63 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     val s = sb.toString
     val n = s.length
     val B = 257L
-    val out = new java.util.TreeSet[java.lang.Long]()
     if (n < k) {
       // short doc: one hash of the whole normalized text
       var h = 0L
       var j = 0
       while (j < n) { h = h * B + s.charAt(j); j += 1 }
-      out.add(h)
-    } else {
-      val m = n - k + 1 // number of k-grams
-      val hs = new Array[Long](m)
-      var h = 0L
-      var bk = 1L // B^(k-1)
-      var j = 0
-      while (j < k) { h = h * B + s.charAt(j); if (j > 0) bk *= B; j += 1 }
-      hs(0) = h
-      j = 1
-      while (j < m) {
-        h = (h - s.charAt(j - 1) * bk) * B + s.charAt(j + k - 1)
-        hs(j) = h
-        j += 1
-      }
-      if (m <= w) {
-        // one window: its min
-        var best = hs(0); j = 1
-        while (j < m) { if (hs(j) <= best) best = hs(j); j += 1 }
-        out.add(best)
-      } else {
-        var start = 0
-        while (start <= m - w) {
-          var best = hs(start)
-          var jj = start + 1
-          while (jj < start + w) { if (hs(jj) <= best) best = hs(jj); jj += 1 }
-          out.add(best)
-          start += 1
+      return new GenericArrayData(Array(h))
+    }
+    val m = n - k + 1 // number of k-grams
+    val hs = new Array[Long](m)
+    var h = 0L
+    var bk = 1L // B^(k-1)
+    var j = 0
+    while (j < k) { h = h * B + s.charAt(j); if (j > 0) bk *= B; j += 1 }
+    hs(0) = h
+    j = 1
+    while (j < m) {
+      h = (h - s.charAt(j - 1) * bk) * B + s.charAt(j + k - 1)
+      hs(j) = h
+      j += 1
+    }
+    // Sliding-window min via a monotonic deque of positions (strictly
+    // increasing hashes front→back): O(m) total, primitive arrays only.
+    // Popping back on `>=` keeps the RIGHTMOST position among equal
+    // hashes — the robust-winnowing tie rule. A new value is recorded
+    // only when the window's min position changes; the value-set is
+    // identical to emitting every window's min and set-deduping.
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val sel = new Array[Long](m)
+    var nSel = 0
+    var lastSelPos = -1
+    j = 0
+    while (j < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j
+      tail += 1
+      if (deque(head) <= j - w) head += 1
+      if (j >= w - 1 || j == m - 1) { // full window, or one short-doc window (m < w)
+        val minPos = deque(head)
+        if (minPos != lastSelPos) {
+          sel(nSel) = hs(minPos)
+          nSel += 1
+          lastSelPos = minPos
         }
       }
+      j += 1
     }
-    val arr = new Array[Long](out.size)
-    val it = out.iterator()
-    var idx = 0
-    while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
-    new GenericArrayData(arr)
+    java.util.Arrays.sort(sel, 0, nSel)
+    // in-place unique over the sorted prefix
+    var uniq = 0
+    j = 0
+    while (j < nSel) {
+      if (j == 0 || sel(j) != sel(j - 1)) { sel(uniq) = sel(j); uniq += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, uniq))
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -154,9 +154,14 @@ object Dedup {
     * over each document's winnowed fingerprint set, computed via a
     * common-fingerprint self-join. Same join architecture as
     * [[ngramJaccard]] (never n², DF-capped, exchange-reused) but the
-    * winnowed sketch is ~2/(w+1) the size of the raw shingle set — the
-    * join input shrinks by that factor at corpus scale. Any shared run of
-    * ≥ k+w−1 normalized chars guarantees a common fingerprint.
+    * winnowed sketch keeps ~2/(w+1) of the CHAR k-gram positions — so the
+    * window drives join-input volume directly. Note the comparison base:
+    * at w=4 the char-20-gram sketch is still ~2-3× MORE rows/doc than the
+    * word-3-gram shingle set the other dedups join on; the default w=16
+    * brings it under it (~12% of char positions ≈ 0.6× word shingles) and
+    * any shared run of ≥ k+w−1 = 35 normalized chars (≈ 6 words) still
+    * guarantees a common fingerprint — comfortably below the shared-text
+    * length that makes a pair a near-dup at any usable threshold.
     *
     * Jaccard is over the DF-capped (discriminative) fingerprint sets —
     * intersections AND denominators both exclude stop-fingerprints.
@@ -171,7 +176,7 @@ object Dedup {
     * 20-char grams match word-3-gram selectivity (max DF ~25) and
     * reproduce the ground-truth pair set with no cap pressure. */
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.1, k: Int = 20, w: Int = 4,
+                     threshold: Double = 0.1, k: Int = 20, w: Int = 16,
                      maxDocFreq: Long = 10000L): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("fp"))
@@ -208,7 +213,11 @@ object Dedup {
     * shingles contribute candidates, not signal. The cap is ON by default
     * (10k): an uncapped common-shingle self-join is quadratic in the
     * hottest shingle's document frequency and dies on any skewed corpus.
-    * Jaccard denominators always use the UNCAPPED per-doc shingle counts. */
+    * Jaccard is over the DF-capped shingle sets — numerator AND
+    * denominators exclude stop-shingles (same contract as
+    * [[winnowNearDups]]), so identical documents score exactly 1.0 on any
+    * corpus. (Capping only the intersection while dividing by uncapped
+    * sizes silently deflates every score on a skewed corpus.) */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxDocFreq: Long = 10000L): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
@@ -222,7 +231,7 @@ object Dedup {
         sh.join(broadcast(stop), Seq("shingle"), "left_anti")
           .select(col("id"), col("shingle"))
       }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
     // shuffle join → the DF-capped shingle subtree is exchange-reused
     // across the self-join (see minhashCandidates)
     val inter = filtered.as("l").hint("shuffle_hash").join(filtered.as("r"), Seq("shingle"))

@@ -61,11 +61,13 @@ object Pipeline {
         .orderBy("id_a", "id_b")),
     // k=20-char grams (word-3-gram selectivity; see winnowNearDups
     // scaladoc for why char 8-grams are corpus-common and unusable);
-    // maxDocFreq=1000 is the same skew backstop as dedup_ngram_jaccard
-    // (fixture max DF ~25, so it changes no rows).
+    // w=16 keeps ~12% of positions — the sketch join input is ~0.6× the
+    // word-shingle volume while a 35-char shared run still guarantees a
+    // common fingerprint; maxDocFreq=1000 is the same skew backstop as
+    // dedup_ngram_jaccard (fixture max DF ~25, so it changes no rows).
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowNearDups(docs(s, dir), "doc_id", "text",
-        threshold = 0.5, maxDocFreq = 1000L)
+        threshold = 0.5, w = 16, maxDocFreq = 1000L)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
 
