@@ -179,10 +179,16 @@ object FluvioDuck {
         withParsed.select(col("offset").as("__offset") +: mapped: _*)
       }
 
-    // Deterministic record order (the log order users see from a consume).
-    // A plain distributed sort — Catalyst's EliminateSorts drops it under
-    // any downstream aggregation/join where order is immaterial.
-    val ordered = projected.orderBy(col(if (opt.columns.isEmpty) "offset" else "__offset"))
+    // Record order WITHIN each partition (the log order users see from a
+    // consume). sortWithinPartitions, not orderBy: parquet row order is
+    // already offset order inside every split, so this is a near-free
+    // partition-local sort with NO range-shuffle Exchange — a plain 100 TB
+    // `fluvio_consume` must not pay a full distributed sort for order the
+    // log already has. Splits scan in offset order in practice; a consumer
+    // needing a guaranteed TOTAL order across partitions adds its own
+    // orderBy("offset") (documented divergence, SURVEY §4.2).
+    val ordered = projected
+      .sortWithinPartitions(col(if (opt.columns.isEmpty) "offset" else "__offset"))
     if (opt.columns.isEmpty) ordered else ordered.drop("__offset")
   }
 
