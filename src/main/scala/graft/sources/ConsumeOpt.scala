@@ -26,6 +26,11 @@ final case class ConsumeOpt(
     tail: Option[Long] = None,
     start: Option[Long] = None,
     rows: Long = ConsumeOpt.DefaultRows,
+    /** true iff `--rows` appeared on the command line (vs the default).
+      * The continuous path keys its bounded-read behavior on this: an
+      * EXPLICIT cap on a cardinality-changing chain buys a stateful
+      * counting cap; the implicit default never plants stream state. */
+    rowsExplicit: Boolean = false,
     end: Option[Long] = None,
     maxBytes: Option[Long] = None,
     isolation: Option[Isolation] = None,
@@ -203,7 +208,7 @@ object ConsumeOpt {
           case "rows" =>
             parseLong(flagTok, v) match {
               case Left(e)  => return Left(e)
-              case Right(n) => opt = opt.copy(rows = n)
+              case Right(n) => opt = opt.copy(rows = n, rowsExplicit = true)
             }
           case "end" =>
             parseLong(flagTok, v) match {

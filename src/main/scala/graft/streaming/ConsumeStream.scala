@@ -57,14 +57,99 @@ object ConsumeStream {
     }
     val ended = opt.end.fold(windowed)(e => windowed.filter(col("offset") <= e))
 
-    val transformed = TransformChain.fromOpt(opt).foldLeft(ended) { (df, t) =>
-      TransformRegistry(t.uses)(df, t.params)
-    }
+    // ---- `--rows` cap. The reference's cap applies in continuous mode
+    // too: `-d --rows N` blocks awaiting new records until N are filled
+    // (/root/reference/src/consume.rs:75-92,675). Two plan shapes:
+    //   * map-only chain (incl. no transforms): offsets are dense, so
+    //     "first N window rows" ≡ `offset < start + N` — a pure stateless
+    //     filter, applied ALWAYS (default included), free at any scale.
+    //   * cardinality-changing chain: rows count POST-transform, so the
+    //     cap needs a running count — a single-key stateful cap
+    //     ([[boundedCap]]). Planted only for an EXPLICIT --rows (a user
+    //     asking for a bounded pull); the implicit default must not put a
+    //     single-task funnel into every filtered 100 TB stream.
+    val chain = TransformChain.fromOpt(opt)
+    val mapOnlyChain = chain.forall(t => TransformRegistry.preservesCardinality(t.uses))
+    def applyChain(df: DataFrame): DataFrame =
+      chain.foldLeft(df) { (d, t) => TransformRegistry(t.uses)(d, t.params) }
+    val capped =
+      if (mapOnlyChain) {
+        val start = opt.startOffset match {
+          case FromBeginning(n) => n
+          case Absolute(n)      => n
+          case _                => 0L // unreachable: FromEnd/End raised above
+        }
+        val capN = math.min(opt.rows, Long.MaxValue - start - 1)
+        applyChain(ended.filter(col("offset") < start + capN))
+      } else if (opt.rowsExplicit) {
+        boundedCap(applyChain(ended), opt.rows)
+      } else applyChain(ended)
 
-    if (opt.columns.isEmpty) transformed
-    else transformed.select(opt.columns.map(_.toColumn(col("value"))): _*)
-    // note: no orderBy/limit — a continuous stream has no global row cap;
-    // the reference's --rows applies to its bounded pull loop only.
+    if (opt.columns.isEmpty) capped
+    else capped.select(opt.columns.map(_.toColumn(col("value"))): _*)
+  }
+
+  /** Exact post-transform `--rows` cap for a continuous read: a running
+    * count in a single-key `flatMapGroupsWithState` that emits rows (in
+    * offset order within each micro-batch) until the cap is filled, then
+    * nothing. All rows route through ONE state task — the cost of exact
+    * cross-partition counting; acceptable for what this is (a bounded
+    * interactive pull, N ≪ corpus), which is why it is only planted for an
+    * explicit `--rows` on a cardinality-changing chain. */
+  def boundedCap(records: DataFrame, n: Long): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    records
+      .select(col("offset").cast("long"), col("timestamp").cast("timestamp"),
+        col("value").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val sofar = state.getOption.getOrElse(0L)
+          if (sofar >= n) Iterator.empty
+          else {
+            val batch = it.toArray.sortBy(_._1) // offset order within the batch
+            val take = math.min(n - sofar, batch.length.toLong).toInt
+            state.update(sofar + take)
+            batch.iterator.take(take)
+          }
+      }
+      .toDF("offset", "timestamp", "value")
+  }
+
+  /** The reference CLI's bounded-pull lifecycle for `-d --rows N`
+    * (/root/reference/src/consume.rs:75-92): start the stream, block until
+    * N rows have been delivered (or `timeoutMs`), stop the query, return
+    * the delivered rows. Driver-side accumulation is bounded by N. */
+  def runBounded(stream: DataFrame, rows: Long,
+                 timeoutMs: Long = 60000L): Seq[org.apache.spark.sql.Row] = {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val count = new java.util.concurrent.atomic.AtomicLong(0L)
+    // micro-batches are delivered sequentially, so count/buf see no
+    // concurrent writers — only the concurrent reader in the wait loop
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val need = rows - count.get()
+        if (need > 0) {
+          val got = df.limit(need.toInt).collect()
+          var i = 0
+          while (i < got.length && count.get() < rows) {
+            buf.add(got(i)); count.incrementAndGet(); i += 1
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (count.get() < rows && q.isActive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
   }
 
   /** Event-time windowed aggregation over a consume stream: count/avg of a

@@ -166,6 +166,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 10L)))
   }
 
+  test("-d --rows N (map-only): exactly N rows, then later data adds nothing") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData((0L until 20L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": $i}""")))
+    val streamed = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"),
+      opt("events -d -B --rows 5"), "event_id", "ts", "props")
+    val name = s"mem_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 5L))
+      input.addData((20L until 40L).map(i =>
+        (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": $i}""")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 5) // cap already filled
+    } finally q.stop()
+  }
+
+  test("-d --rows N with a cardinality-changing chain: stateful cap counts post-transform rows") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // k = i % 3: the filter keeps offsets 1,4,7,10,13,... (10 of 30)
+    input.addData((0L until 30L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": ${i % 3}}""")))
+    val streamed = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"),
+      opt("events -d -B --rows 4 --smartmodule graft/filter-json-eq -e key=k -e value=1"),
+      "event_id", "ts", "props")
+    val name = s"mem_${System.nanoTime()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 4L, 7L, 10L)) // first 4 POST-filter rows in offset order
+      input.addData((30L until 60L).map(i =>
+        (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": 1}""")))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4) // cap already filled
+    } finally q.stop()
+  }
+
+  test("runBounded: delivers exactly N rows and stops the query (reference -d lifecycle)") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData((0L until 20L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i), s"""{"k": $i}""")))
+    val streamed = ConsumeStream.fromRecords(
+      input.toDS.toDF("event_id", "ts", "props"),
+      opt("events -d -B --rows 7"), "event_id", "ts", "props")
+    val rows = ConsumeStream.runBounded(streamed, 7, timeoutMs = 60000)
+    assert(rows.size == 7)
+    assert(rows.map(_.getLong(0)).sorted == (0L until 7L))
+  }
+
   test("seeded aggregators (aggregate_initial analog)") {
     val ds = Seq("a", "b", "c").toDS
     val got = ds.select(SeededConcatAggregator("SEED", "|").toColumn).head()
