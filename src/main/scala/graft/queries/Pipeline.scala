@@ -49,13 +49,32 @@ object Pipeline {
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, maxDocFreq = 1000L)
         .filter(col("jaccard") >= 0.1)
         .orderBy("id_a", "id_b")),
-    // hash-based (no SQL oracle; unit-tested):
+    // hash-based candidates (no SQL oracle for the raw candidate set —
+    // xxhash64 isn't expressible in DuckDB; recall is oracle-checked by
+    // dedup_lsh_recall below and the verified pair set by the
+    // dedup_minhash_neardups oracle):
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16).orderBy("id_a", "id_b")),
+    // LSH candidates verified by exact jaccard: IF candidate recall is 1
+    // on the fixture truth set, this equals the SQL jaccard pairs >= 0.2
+    // exactly — so the entry is fully hash-checked against that oracle
+    // (same pattern as emb_ivf_topk: approximate machinery, exact check).
     "dedup_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // Candidate-recall oracle for the banded LSH: ground-truth pairs
+    // (word-3-gram jaccard >= 0.5, SQL-expressible) SEMI-joined with the
+    // LSH candidate set. Hash-matching the plain jaccard oracle proves
+    // every truth pair survived banding — recall = 1, checked in SQL.
+    "dedup_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramJaccard(d, "doc_id", "text", n = 3, maxDocFreq = 1000L)
+        .filter(col("jaccard") >= 0.5)
+        .join(Dedup.minhashCandidates(d, "doc_id", "text",
+          numHashes = 64, bands = 16), Seq("id_a", "id_b"), "semi")
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -69,6 +88,16 @@ object Pipeline {
       Dedup.winnowNearDups(docs(s, dir), "doc_id", "text",
         threshold = 0.5, w = 16, maxDocFreq = 1000L)
         .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
+    // The winnow PAIR SET vs the word-3-gram truth: at k=20/w=16 the
+    // winnowed sketch reproduces the jaccard>=0.5 pair set exactly on the
+    // fixtures (measured sf0.01: 25/25, sf0.1: 256/256 — WinnowTune), so
+    // the pair list is oracle-checkable even though the winnow-jaccard
+    // VALUES (fingerprint-set overlap) are not SQL-expressible.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowNearDups(docs(s, dir), "doc_id", "text",
+        threshold = 0.5, w = 16, maxDocFreq = 1000L)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
     // ---- similarity search over embeddings
@@ -183,6 +212,22 @@ object Pipeline {
        |          FROM toks),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
 
+  /** Exact word-3-gram jaccard pairs at a threshold — the ground truth the
+    * dedup family is checked against (also reused as the recall oracle for
+    * the hash-based operators). */
+  private def jaccardPairsSql(tau: String, cols: String = "id_a, id_b, jaccard") =
+    s"""$shinglesCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS i
+       |          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+       |          GROUP BY 1, 2),
+       |scored AS (SELECT id_a, id_b,
+       |           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+       |           FROM inter JOIN sizes sa ON id_a = sa.doc_id
+       |                      JOIN sizes sb ON id_b = sb.doc_id)
+       |SELECT $cols FROM scored WHERE jaccard >= $tau
+       |ORDER BY id_a, id_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_token_count" ->
       (s"SELECT doc_id, $tokenCountSql AS n_tokens, " +
@@ -197,17 +242,10 @@ object Pipeline {
     "dedup_exact" ->
       (s"SELECT md5($norm) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY fp"),
-    "dedup_ngram_jaccard" ->
-      s"""$shinglesCte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS i
-         |          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
-         |          GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-         |FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
+    "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
+    "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
+    "dedup_winnow_pairs" -> jaccardPairsSql("0.5", cols = "id_a, id_b"),
     "emb_cosine_topk" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
