@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{ColumnMapping, FluvioDuck, MappedType, Tables}
+import graft.sources.{ColumnMapping, FluvioDuck, MappedType, MpFixture, Tables}
 
 /** Oracle-checked queries for SURVEY.md §2 Tier A — the operators the
   * reference implements itself. Each entry pairs a Spark query (through the
@@ -107,7 +107,27 @@ object TierA {
 
     // ---- admin scans
     "topics_scan" -> ((s, dir) => FluvioDuck.topics(s, dir).orderBy("name")),
-    "partitions_scan" -> ((s, dir) => FluvioDuck.partitions(s, dir).orderBy("topic"))
+    "partitions_scan" -> ((s, dir) => FluvioDuck.partitions(s, dir).orderBy("topic")),
+
+    // ---- multi-partition topic (derived 4-partition fixture, MpFixture):
+    // the REAL partition axis — `-p N` prunes to one partition subtree at
+    // the scan, default pins partition 0 like the reference's consumer,
+    // `-A` fans over all four. Offsets are dense per partition, so the
+    // --rows cap stays a pure offset filter.
+    "partition_select_mp" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events_mp -p 2 -B --rows 120",
+        MpFixture.baseDir(s, dir))),
+    "partition_default_mp" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events_mp -B --rows 100",
+        MpFixture.baseDir(s, dir))),
+    "all_partitions_mp" -> ((s, dir) =>
+      FluvioDuck.consume(s, "events_mp -A -B --rows 100000000",
+        MpFixture.baseDir(s, dir)).orderBy("offset", "value", "timestamp")),
+    "partitions_scan_mp" -> ((s, dir) =>
+      FluvioDuck.partitions(s, MpFixture.baseDir(s, dir))
+        .orderBy("topic", "partition")),
+    "topics_scan_mp" -> ((s, dir) =>
+      FluvioDuck.topics(s, MpFixture.baseDir(s, dir)).orderBy("name"))
   )
 
   private val fixtureTopics = Seq("customer", "documents", "embeddings",
@@ -168,6 +188,23 @@ object TierA {
       .mkString("", " UNION ALL ", " ORDER BY name"),
     "partitions_scan" -> fixtureTopics
       .map(t => s"SELECT '$t' AS topic, '0' AS partition, CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS \"LEO\"")
-      .mkString("", " UNION ALL ", " ORDER BY topic")
+      .mkString("", " UNION ALL ", " ORDER BY topic"),
+
+    // mp fixture ≡ events with partition = event_id % 4, offset = event_id // 4
+    "partition_select_mp" ->
+      ("SELECT CAST(event_id // 4 AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+        "props AS \"value\" FROM events WHERE event_id % 4 = 2 AND event_id // 4 < 120 " +
+        "ORDER BY \"offset\""),
+    "partition_default_mp" ->
+      ("SELECT CAST(event_id // 4 AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+        "props AS \"value\" FROM events WHERE event_id % 4 = 0 AND event_id // 4 < 100 " +
+        "ORDER BY \"offset\""),
+    "all_partitions_mp" ->
+      ("SELECT CAST(event_id // 4 AS BIGINT) AS \"offset\", CAST(ts AS TIMESTAMP) AS \"timestamp\", " +
+        "props AS \"value\" FROM events ORDER BY \"offset\", \"value\", \"timestamp\""),
+    "partitions_scan_mp" ->
+      ("SELECT 'events_mp' AS topic, CAST(CAST(event_id % 4 AS INTEGER) AS VARCHAR) AS partition, " +
+        "CAST(COUNT(*) AS BIGINT) AS \"LEO\" FROM events GROUP BY 2 ORDER BY topic, partition"),
+    "topics_scan_mp" -> "SELECT 'events_mp' AS name, 4 AS partitions"
   )
 }

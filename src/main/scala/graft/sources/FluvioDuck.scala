@@ -19,7 +19,10 @@ object TopicRegistry {
     * are visible to the admin scans (topics/partitions) but cannot be
     * consumed — mirroring that only stream topics are consumable. */
   val recordViews: Map[String, RecordView] = Map(
-    "events" -> RecordView("event_id", "ts", "props")
+    "events"    -> RecordView("event_id", "ts", "props"),
+    // 4-partition derived fixture (see [[MpFixture]]): per-partition dense
+    // offsets, hive `partition=N` subdirs.
+    "events_mp" -> RecordView("offset", "ts", "value")
   )
 
   def topicPath(baseDir: String, topic: String): String = s"$baseDir/$topic.parquet"
@@ -34,6 +37,46 @@ object TopicRegistry {
       .filter(_.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet"))
       .sorted.toSeq
+  }
+
+  /** Partition count of a topic, from its hive `partition=N` layout
+    * (directory metadata only); single-partition topics have no subdirs. */
+  def partitionCount(baseDir: String, topic: String): Int = {
+    val subs = Option(new java.io.File(topicPath(baseDir, topic)).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("partition="))
+    math.max(subs, 1)
+  }
+}
+
+/** Builds the 4-partition `events_mp` topic fixture, derived
+  * deterministically from the `events` table: round-robin produce —
+  * record `event_id` lands in partition `event_id % 4` at per-partition
+  * dense offset `event_id DIV 4` (exactly how a multi-partition log
+  * assigns offsets). Written once per sf dir into a temp base dir as
+  * hive-partitioned parquet (`partition=N/`), so a `-p N` consume prunes
+  * to one subtree at the SCAN (storage-level partition pruning — the
+  * parallelism axis the reference hard-codes away, consume.rs:179). */
+object MpFixture {
+  val NumPartitions = 4
+
+  def baseDir(spark: SparkSession, sfDir: String): String = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mp_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val topic = new java.io.File(base, "events_mp.parquet")
+    if (!new java.io.File(topic, "_SUCCESS").exists()) {
+      Tables.load(spark, sfDir, "events")
+        .select(
+          expr(s"event_id DIV $NumPartitions").as("offset"),
+          col("ts"),
+          col("props").as("value"),
+          (col("event_id") % NumPartitions).cast("int").as("partition"))
+        .repartition(col("partition"))
+        .write.mode("overwrite").partitionBy("partition")
+        .parquet(topic.getAbsolutePath)
+    }
+    base.getAbsolutePath
   }
 }
 
@@ -88,11 +131,25 @@ object FluvioDuck {
 
     val raw = Tables.load(spark, baseDir, opt.topic)
 
-    // Canonical record shape. Offsets in fixtures are dense from 0 per topic
-    // (LEO = max(offset)+1 = count). Partition is 0: fixture topics are
-    // single-partition, and the reference pins its consumer to partition 0
-    // regardless of -p/-A (/root/reference/src/consume.rs:179) — we match.
-    val records = raw.select(
+    // ---- partition selection. Single-partition topics (no `partition`
+    // layout column): -p/-A are accepted and ignored, matching the
+    // reference's consumer pinned to partition 0 regardless of flags
+    // (/root/reference/src/consume.rs:179). Multi-partition topics
+    // (hive `partition=N` subdirs) implement the axis Spark actually has:
+    // default reads partition 0 (the reference's pin), `-p N` selects one
+    // partition — a partition-value filter the scan turns into storage
+    // partition pruning (only that subtree is listed/read) — and `-A`
+    // reads all. Offsets are dense PER PARTITION, so all offset-window
+    // logic below stays exact for any single-partition selection; under
+    // `-A`, offset windows/caps apply per partition (documented
+    // divergence — a fan-in total order would serialize the scan).
+    val selected =
+      if (!raw.columns.contains("partition") || opt.allPartitions) raw
+      else raw.filter(col("partition") === opt.partition)
+
+    // Canonical record shape. Offsets in fixtures are dense from 0 per
+    // partition (LEO = max(offset)+1 = count).
+    val records = selected.select(
       col(view.offsetCol).cast("long").as("offset"),
       col(view.timestampCol).cast("timestamp").as("timestamp"),
       col(view.valueCol).cast("string").as("value"))
@@ -197,7 +254,9 @@ object FluvioDuck {
     * Fixture topics are single-partition parquet tables. */
   def topics(spark: SparkSession, baseDir: String): DataFrame = {
     import spark.implicits._
-    TopicRegistry.allTopics(baseDir).map(t => (t, 1)).toDF("name", "partitions")
+    TopicRegistry.allTopics(baseDir)
+      .map(t => (t, TopicRegistry.partitionCount(baseDir, t)))
+      .toDF("name", "partitions")
   }
 
   /** `fluvio_partitions()` — one row per partition: (topic, partition, LEO).
@@ -208,9 +267,17 @@ object FluvioDuck {
     * in the reference's replica-key split. */
   def partitions(spark: SparkSession, baseDir: String): DataFrame = {
     val perTopic = TopicRegistry.allTopics(baseDir).map { t =>
-      Tables.load(spark, baseDir, t)
-        .agg(count(lit(1)).as("LEO"))
-        .select(lit(t).as("topic"), lit("0").as("partition"), col("LEO"))
+      val df = Tables.load(spark, baseDir, t)
+      if (df.columns.contains("partition"))
+        // multi-partition topic: per-partition LEO via one grouped agg
+        // (map-side partials; the partition column comes free from the
+        // hive layout, no data read beyond row counts)
+        df.groupBy(col("partition").cast("string").as("partition"))
+          .agg(count(lit(1)).as("LEO"))
+          .select(lit(t).as("topic"), col("partition"), col("LEO"))
+      else
+        df.agg(count(lit(1)).as("LEO"))
+          .select(lit(t).as("topic"), lit("0").as("partition"), col("LEO"))
     }
     perTopic.reduce(_.unionAll(_))
   }

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The multi-partition topic axis: a 4-partition `events_mp` fixture
+  * (round-robin: partition = event_id % 4, per-partition dense offsets
+  * = event_id div 4). `-p N` must read exactly one partition — and prune
+  * the other three SUBTREES at the scan, the property that makes
+  * partition selection a scale win rather than a post-scan filter. */
+class MpFixtureSpec extends SparkSpec {
+
+  private lazy val base = MpFixture.baseDir(spark, sf)
+  private lazy val events = Tables.load(spark, sf, "events")
+  private lazy val total = events.count()
+
+  test("partitions(): one row per partition, LEOs sum to the topic row count") {
+    val rows = FluvioDuck.partitions(spark, base).orderBy("partition").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("0", "1", "2", "3"))
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(FluvioDuck.topics(spark, base).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("events_mp", 4)))
+  }
+
+  test("-p N reads exactly that partition; default pins 0; -A reads all") {
+    val p2 = FluvioDuck.consume(spark, "events_mp -p 2 -B --rows 1000000", base)
+    val expP2 = events.filter(col("event_id") % 4 === 2).count()
+    assert(p2.count() == expP2)
+    // offsets dense from 0 within the selected partition
+    assert(p2.agg(min("offset"), max("offset")).head() ==
+      org.apache.spark.sql.Row(0L, expP2 - 1))
+
+    val default = FluvioDuck.consume(spark, "events_mp -B --rows 1000000", base)
+    assert(default.count() == events.filter(col("event_id") % 4 === 0).count())
+
+    val all = FluvioDuck.consume(spark, "events_mp -A -B --rows 1000000", base)
+    assert(all.count() == total)
+  }
+
+  test("-p N prunes the other partition subtrees at the scan (numFiles)") {
+    val p1 = FluvioDuck.consume(spark, "events_mp -p 1 -B --rows 1000000", base)
+    p1.collect() // execute THIS QueryExecution so its scan metrics populate
+    def scanOf(plan: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.FileSourceScanExec = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanOf(a.executedPlan)
+      case p => p.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        case q: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+          scanOf(q.plan)
+      }.get
+    }
+    val scan = scanOf(p1.queryExecution.executedPlan)
+    val readFiles = scan.metrics("numFiles").value
+    val allFiles = spark.read
+      .parquet(TopicRegistry.topicPath(base, "events_mp")).inputFiles.length
+    assert(readFiles > 0 && readFiles < allFiles,
+      s"expected partition pruning: read $readFiles of $allFiles files")
+  }
+}
