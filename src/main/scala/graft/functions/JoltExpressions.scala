@@ -54,7 +54,8 @@ abstract class JoltExpressionBase extends UnaryExpression {
 }
 
 /** jolt `shift`: restructure the JSON per the spec (literal paths plus
-  * one-level `*`/`&` wildcards — see [[graft.transforms.Jolt]]). */
+  * `*` wildcards at any depth with `&`/`&(n)` target references — see
+  * [[graft.transforms.Jolt]]). */
 case class JoltShift(child: Expression, specJson: String) extends JoltExpressionBase {
   override protected def makeFn(spec: JsonNode): String => String = Jolt.shiftFn(spec)
   override protected def withNewChildInternal(newChild: Expression): JoltShift =
@@ -65,5 +66,13 @@ case class JoltShift(child: Expression, specJson: String) extends JoltExpression
 case class JoltDefault(child: Expression, specJson: String) extends JoltExpressionBase {
   override protected def makeFn(spec: JsonNode): String => String = Jolt.defaultFn(spec)
   override protected def withNewChildInternal(newChild: Expression): JoltDefault =
+    copy(child = newChild)
+}
+
+/** jolt `remove`: delete fields matched by the spec tree (`""` leaves;
+  * `*` wildcards at any level). */
+case class JoltRemove(child: Expression, specJson: String) extends JoltExpressionBase {
+  override protected def makeFn(spec: JsonNode): String => String = Jolt.removeFn(spec)
+  override protected def withNewChildInternal(newChild: Expression): JoltRemove =
     copy(child = newChild)
 }

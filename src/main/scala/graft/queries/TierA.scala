@@ -104,6 +104,21 @@ object TierA {
     "jolt_default" -> consume(
       "events -B --rows 300 " +
         """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"default\",\"spec\":{\"src\":\"graft\"}}]"}}"""),
+    // default + remove chained in one spec: adds src, deletes k
+    "jolt_remove" -> consume(
+      "events -B --rows 300 " +
+        """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"default\",\"spec\":{\"src\":\"graft\"}},{\"operation\":\"remove\",\"spec\":{\"k\":\"\"}}]"}}"""),
+    // two-level `*` wildcard shift with an `&(1)` ancestor reference,
+    // over a nested payload synthesized from events (props is flat)
+    "jolt_shift_wild2" -> ((s, dir) => {
+      val k = ColumnMapping.parsed(col("props")).getItem("k")
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("offset"), col("ts").as("timestamp"),
+          concat(lit("{\"payload\": {\"vp\": "), k, lit("}}")).as("value"))
+      graft.transforms.TransformRegistry("infinyon/jolt@0.1.0")(rec,
+        Map("spec" -> """[{"operation":"shift","spec":{"*":{"*":"&(1)_&"}}}]"""))
+        .orderBy("offset").limit(300).select("offset", "value")
+    }),
 
     // ---- admin scans
     "topics_scan" -> ((s, dir) => FluvioDuck.topics(s, dir).orderBy("name")),
@@ -183,6 +198,12 @@ object TierA {
     "jolt_default" ->
       ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
         s"""'{"k":' || $jk || ',"src":"graft"}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_remove" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
+        """'{"src":"graft"}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_shift_wild2" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", " +
+        s"""'{"payload_vp":' || $jk || '}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
     "topics_scan" -> fixtureTopics
       .map(t => s"SELECT '$t' AS name, 1 AS partitions")
       .mkString("", " UNION ALL ", " ORDER BY name"),

@@ -10,11 +10,17 @@ import scala.jdk.CollectionConverters._
   * `/root/reference/README.md:121-143`).
   *
   * Supported operations (the documented subset — SURVEY.md §7.4 risk 4):
-  *   - `shift`: nested spec of literal source paths → flat target names,
+  *   - `shift`: nested spec of source paths → flat target names,
   *     e.g. `{payload: {VP: {lat: "lat"}}}` moves `payload.VP.lat` to
-  *     top-level `lat`. Wildcards (`*`, `&`) are not supported; fields
-  *     whose source path is missing or JSON-null are omitted.
+  *     top-level `lat`. `*` keys match every field not claimed by a
+  *     literal (literals win, jolt's precedence) at ANY spec depth;
+  *     target names substitute `&` (the key matched at this level) and
+  *     `&(n)` (the key matched n spec levels up), so a two-level
+  *     `{*: {*: "&(1)_&"}}` flattens one nesting level. Missing/JSON-null
+  *     sources are omitted.
   *   - `default`: `{field: value}` adds fields that are absent.
+  *   - `remove`: spec tree whose `""` leaves delete the matched field;
+  *     `*` keys match every field at that level, nested objects recurse.
   *
   * Both ops run as one jackson parse + one serialize per record —
   * matching the reference's WASM module (also a per-record JSON
@@ -50,12 +56,26 @@ object Jolt {
           s"unsupported jolt shift spec value at $path: $v")
     }
 
+  /** jolt target-name substitution: `&(n)` is the key matched `n` spec
+    * levels up (0 = this level); bare `&` ≡ `&(0)`. `stack` holds matched
+    * keys innermost-first. */
+  private val refPattern = "&\\((\\d+)\\)".r
+  private def substituteRefs(target: String, stack: List[String]): String = {
+    val withN = refPattern.replaceAllIn(target, m => {
+      val n = m.group(1).toInt
+      scala.util.matching.Regex.quoteReplacement(
+        if (n < stack.length) stack(n) else "")
+    })
+    withN.replace("&", stack.headOption.getOrElse(""))
+  }
+
   /** Walk `node` under `spec`, writing matched values into `out`.
     * Literal spec keys match exactly and win over `*`, which matches every
-    * remaining field (jolt's precedence). A textual RHS is the target name;
-    * `&` in it substitutes the key just matched (one level, like jolt's
-    * `&(0)`). Missing/JSON-null sources are omitted. */
-  private def applyShift(node: JsonNode, spec: JsonNode, out: ObjectNode): Unit = {
+    * remaining field (jolt's precedence) — at any depth. A textual RHS is
+    * the target name after [[substituteRefs]]. Missing/JSON-null sources
+    * are omitted. */
+  private def applyShift(node: JsonNode, spec: JsonNode, out: ObjectNode,
+                         stack: List[String] = Nil): Unit = {
     if (node == null || !node.isObject) return
     val entries = spec.properties().asScala.toSeq
     val literals = entries.filter(_.getKey != "*")
@@ -63,8 +83,8 @@ object Jolt {
     def emit(key: String, v: JsonNode, rhs: JsonNode): Unit =
       if (rhs.isTextual) {
         if (v != null && !v.isNull)
-          out.set[JsonNode](rhs.asText().replace("&", key), v)
-      } else if (rhs.isObject) applyShift(v, rhs, out)
+          out.set[JsonNode](substituteRefs(rhs.asText(), key :: stack), v)
+      } else if (rhs.isObject) applyShift(v, rhs, out, key :: stack)
       else
         throw new IllegalArgumentException(
           s"unsupported jolt shift spec value at $key: $rhs")
@@ -74,6 +94,41 @@ object Jolt {
       node.properties().asScala.foreach { f =>
         if (!literalKeys.contains(f.getKey)) emit(f.getKey, f.getValue, rhs)
       }
+    }
+  }
+
+  /** Walk `node` under a remove spec, deleting matched fields in place.
+    * A `""` leaf deletes the field; an object RHS recurses; `*` matches
+    * every field at that level. */
+  private def applyRemove(node: JsonNode, spec: JsonNode): Unit = {
+    if (node == null || !node.isObject) return
+    val obj = node.asInstanceOf[ObjectNode]
+    spec.properties().asScala.toSeq.foreach { e =>
+      val (k, rhs) = (e.getKey, e.getValue)
+      val targets: Seq[String] =
+        if (k == "*") obj.properties().asScala.map(_.getKey).toSeq
+        else if (obj.has(k)) Seq(k)
+        else Nil
+      targets.foreach { t =>
+        if (rhs.isTextual && rhs.asText().isEmpty) obj.remove(t)
+        else if (rhs.isObject) applyRemove(obj.get(t), rhs)
+        else
+          throw new IllegalArgumentException(
+            s"unsupported jolt remove spec value at $k: $rhs")
+      }
+    }
+  }
+
+  /** `remove` as a per-record function. Non-object payloads pass through
+    * the usual parse contract (garbage → `{}`). */
+  def removeFn(spec: JsonNode): String => String = {
+    (value: String) => {
+      val m = Jolt.mapper
+      val root =
+        try m.readTree(if (value == null) "{}" else value)
+        catch { case _: Exception => m.createObjectNode() }
+      applyRemove(root, spec)
+      m.writeValueAsString(root)
     }
   }
 

@@ -77,6 +77,46 @@ class TransformsSuite extends SparkSpec {
     assert(vals(1) == """{"src":"keep","n":7}""")
   }
 
+  test("jolt shift: multi-level wildcards with &(n) ancestor references") {
+    val df = TransformRegistry.jolt(
+      records("""{"payload": {"vp": 26, "ts": 7}, "meta": {"id": 3}}"""),
+      Map("spec" -> """[{"operation":"shift","spec":{"*":{"*":"&(1)_&"}}}]"""))
+    assert(df.select("value").head().getString(0) ==
+      """{"payload_vp":26,"payload_ts":7,"meta_id":3}""")
+  }
+
+  test("jolt shift: literal beats wildcard at an inner level too") {
+    val df = TransformRegistry.jolt(
+      records("""{"payload": {"vp": 26, "ts": 7}}"""),
+      Map("spec" ->
+        """[{"operation":"shift","spec":{"payload":{"vp":"speed","*":"&(1)_&"}}}]"""))
+    assert(df.select("value").head().getString(0) ==
+      """{"speed":26,"payload_ts":7}""")
+  }
+
+  test("jolt remove: literal leaf, nested path, and wildcard") {
+    val in = """{"a": 1, "b": {"x": 2, "y": 3}, "c": 4}"""
+    val lit = TransformRegistry.jolt(records(in),
+      Map("spec" -> """[{"operation":"remove","spec":{"a":""}}]"""))
+    assert(lit.select("value").head().getString(0) ==
+      """{"b":{"x":2,"y":3},"c":4}""")
+    val nested = TransformRegistry.jolt(records(in),
+      Map("spec" -> """[{"operation":"remove","spec":{"b":{"x":""}}}]"""))
+    assert(nested.select("value").head().getString(0) ==
+      """{"a":1,"b":{"y":3},"c":4}""")
+    val wild = TransformRegistry.jolt(records(in),
+      Map("spec" -> """[{"operation":"remove","spec":{"*":{"y":""}}}]"""))
+    assert(wild.select("value").head().getString(0) ==
+      """{"a":1,"b":{"x":2},"c":4}""")
+  }
+
+  test("jolt chain: default then remove") {
+    val df = TransformRegistry.jolt(records("""{"k": 42}"""),
+      Map("spec" ->
+        """[{"operation":"default","spec":{"src":"graft"}},{"operation":"remove","spec":{"k":""}}]"""))
+    assert(df.select("value").head().getString(0) == """{"src":"graft"}""")
+  }
+
   test("unknown smartmodule raises") {
     val e = intercept[IllegalArgumentException](TransformRegistry("no/such@1"))
     assert(e.getMessage.contains("SmartModule not found"))
