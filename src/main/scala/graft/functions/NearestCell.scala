@@ -22,8 +22,12 @@ import org.apache.spark.sql.types._
   * queries). One monomorphic kernel via `addReferenceObj`, no per-row
   * allocation, keeps the whole scan in whole-stage codegen.
   */
-case class NearestCell(child: Expression, cents: Array[Array[Double]])
+case class NearestCell(child: Expression, cents: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
+  // IndexedSeq, not Array: case-class equality over arrays is by REFERENCE,
+  // which silently defeats plan canonicalization / CSE / exchange reuse for
+  // two semantically identical NearestCell expressions. The kernel runs on
+  // a converted primitive matrix (cMat) — no per-row boxing.
   require(cents.nonEmpty, "need at least one centroid")
 
   override def dataType: DataType = IntegerType
@@ -44,8 +48,11 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     case _ => false
   }
 
+  @transient private lazy val cMat: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+
   @transient private lazy val cNorm2: Array[Double] =
-    cents.map(c => c.map(x => x * x).sum)
+    cMat.map(c => c.map(x => x * x).sum)
 
   /** The one-pass kernel; called from both interpreted and generated code. */
   def nearest(v: ArrayData): Int = {
@@ -53,8 +60,8 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
     var best = 0
     var bestScore = Double.MaxValue
     var cell = 0
-    while (cell < cents.length) {
-      val c = cents(cell)
+    while (cell < cMat.length) {
+      val c = cMat(cell)
       val d = math.min(n, c.length)
       var dot = 0.0
       var i = 0
@@ -84,5 +91,6 @@ case class NearestCell(child: Expression, cents: Array[Array[Double]])
 
 object NearestCell {
   def apply(vec: Column, cents: Array[Array[Double]]): Column =
-    shim.column(NearestCell(shim.expression(vec), cents))
+    shim.column(NearestCell(shim.expression(vec),
+      cents.map(_.toIndexedSeq).toIndexedSeq))
 }

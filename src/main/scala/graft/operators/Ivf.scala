@@ -26,14 +26,19 @@ import graft.functions.VectorFunctions._
 object Ivf {
 
   /** Seed-deterministic centroid sample: the k vectors with the smallest
-    * xxhash64(id, seed). */
+    * xxhash64(id, seed). Accepts array<float> or array<double> vector
+    * columns (same contract as the NearestCell/VectorDot kernels). */
   def centroids(df: DataFrame, idCol: String, vecCol: String,
-                nCells: Int, seed: Long = 42L): Array[Array[Double]] =
-    df.select(col(vecCol))
+                nCells: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rows = df.select(col(vecCol).cast("array<double>"))
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(nCells)
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (rows.isEmpty)
+      throw new IllegalArgumentException(
+        s"IVF centroids: input has no rows — cannot sample $nCells centroids")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
 
   /** Nearest-centroid id for each row's vector, via the native
     * [[graft.functions.NearestCell]] expression — one codegen'd kernel

@@ -57,4 +57,35 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0, 4L -> 1))
   }
+
+  test("ivfTopK accepts array<double> vector columns too") {
+    import org.apache.spark.sql.functions._
+    val dbl = embs.withColumn("embedding", col("embedding").cast("array<double>"))
+    val viaDouble = Ivf.ivfTopK(dbl, "vec_id", "embedding", ones, 10,
+      nCells = 8, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    val viaFloat = Ivf.ivfTopK(embs, "vec_id", "embedding", ones, 10,
+      nCells = 8, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(viaDouble == viaFloat)
+  }
+
+  test("empty input raises a clear centroid error, not a kernel require") {
+    val empty = embs.filter("vec_id < 0")
+    val e = intercept[IllegalArgumentException](
+      Ivf.ivfTopK(empty, "vec_id", "embedding", ones, 5))
+    assert(e.getMessage.contains("no rows"))
+  }
+
+  test("two identical NearestCell expressions canonicalize equal (CSE/reuse)") {
+    import org.apache.spark.sql.graft.shim
+    // same child instance, two INDEPENDENTLY built centroid matrices:
+    // equality must be structural on the centroids (an Array field would
+    // compare by reference and silently defeat CSE/exchange reuse)
+    val child = shim.expression($"embedding")
+    def mat = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+      .map(_.toIndexedSeq).toIndexedSeq
+    val a = graft.functions.NearestCell(child, mat)
+    val b = graft.functions.NearestCell(child, mat)
+    assert(a == b)              // structural equality
+    assert(a.semanticEquals(b)) // what CSE/reuse check
+  }
 }

@@ -58,4 +58,40 @@ class GraftSqlSpec extends SparkSpec {
       s.sql(s"SELECT * FROM fluvio_consume(CAST(rand() AS STRING), '$sf')").collect())
     assert(e.getMessage.contains("constant string"))
   }
+
+  test("missing base dir (no arg, no session conf) raises the bind error") {
+    val s = registered()
+    s.conf.unset(GraftSql.DataDirKey)
+    val e = intercept[Exception](
+      s.sql("SELECT * FROM fluvio_consume('events -B')").collect())
+    assert(e.getMessage.contains("no base directory"))
+    assert(e.getMessage.contains(GraftSql.DataDirKey)) // tells the user the fix
+  }
+
+  test("non-string and NULL arguments are rejected") {
+    val s = registered()
+    val e1 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume(42, '$sf')").collect())
+    assert(e1.getMessage.contains("constant string"))
+    val e2 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume(CAST(NULL AS STRING), '$sf')").collect())
+    assert(e2.getMessage.contains("NULL"))
+  }
+
+  test("foldable non-literal string args are accepted (constant folding)") {
+    val s = registered()
+    val n = s.sql("SELECT count(*) AS n FROM fluvio_consume(" +
+      s"concat('events', ' -B --rows 10'), '$sf')").head().getLong(0)
+    assert(n == 10L)
+  }
+
+  test("wrong arity is rejected with the usage string") {
+    val s = registered()
+    val e1 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_consume('events -B', '$sf', 'extra')").collect())
+    assert(e1.getMessage.contains("fluvio_consume('<topic> <options>'"))
+    val e2 = intercept[Exception](
+      s.sql(s"SELECT * FROM fluvio_topics('$sf', 'extra')").collect())
+    assert(e2.getMessage.contains("fluvio_topics([<baseDir>])"))
+  }
 }
