@@ -34,7 +34,14 @@ object ConsumeStream {
     val schema = Tables.load(spark, baseDir, opt.topic).schema
     val raw = spark.readStream.schema(schema)
       .parquet(TopicRegistry.topicPath(baseDir, opt.topic))
-    fromRecords(raw, opt, view.offsetCol, view.timestampCol, view.valueCol)
+    // partition selection, same contract as the batch path: hive-layout
+    // topics stream one partition by default (the reference's pinned
+    // consumer) or the `-p` one — the filter prunes at file listing —
+    // and `-A` streams all; single-partition topics ignore the flags.
+    val selected =
+      if (!raw.columns.contains("partition") || opt.allPartitions) raw
+      else raw.filter(col("partition") === opt.partition)
+    fromRecords(selected, opt, view.offsetCol, view.timestampCol, view.valueCol)
   }
 
   /** Shared plan builder: record shape → window → transforms → projection.

@@ -37,6 +37,18 @@ class MpFixtureSpec extends SparkSpec {
     assert(all.count() == total)
   }
 
+  test("streaming consume over the mp topic honors -p like batch") {
+    val stream = graft.streaming.ConsumeStream.consume(
+      spark, "events_mp -d -p 3 -B --rows 1000000", base)
+    assert(stream.isStreaming)
+    val name = s"mp_stream_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).count()
+    assert(got == events.filter(col("event_id") % 4 === 3).count())
+  }
+
   test("-p N prunes the other partition subtrees at the scan (numFiles)") {
     val p1 = FluvioDuck.consume(spark, "events_mp -p 1 -B --rows 1000000", base)
     p1.collect() // execute THIS QueryExecution so its scan metrics populate
