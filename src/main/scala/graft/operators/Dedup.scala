@@ -207,6 +207,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair graph: (id, cluster), where
+    * `cluster` is the SMALLEST id reachable through the pairs — the
+    * representative-selection step of a dedup pipeline (keep each
+    * cluster's id, drop the rest).
+    *
+    * Iterative min-label propagation: each round sends every node's label
+    * across the edges and keeps the min — one shuffle join + one agg per
+    * round, converging in O(component diameter) rounds (near-dup clusters
+    * are short-diameter in practice; `maxIter` bounds the work). The edge
+    * table is PAIR-sized, orders of magnitude below the corpus, so the
+    * per-round actions (eager localCheckpoint to cut the growing lineage,
+    * a label-sum for convergence — the sum is strictly decreasing until
+    * fixpoint) are cheap at any corpus scale. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var lastSum = labels.agg(sum("cluster")).head().getLong(0)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val viaEdges = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "cand")), "src")
+        .select(col("dst").as("id"), col("cand"))
+      val next = labels.select(col("id"), col("cluster").as("cand"))
+        .union(viaEdges)
+        .groupBy("id").agg(min("cand").as("cluster"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("cluster")).head().getLong(0)
+      labels = next
+      converged = s == lastSum
+      lastSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * `maxDocFreq` drops shingles present in more than that many documents
     * (stop-shingles) to bound join fan-out — at corpus scale the frequent

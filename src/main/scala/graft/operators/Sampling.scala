@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling for training-data pipelines.
+  *
+  * Random `df.sample()` draws differ per run, per partitioning, and per
+  * engine — useless when a sample must be reproducible across reruns or
+  * cross-checked between systems. Consistent HASH sampling fixes that:
+  * membership depends only on the row's id (first hex digit of md5), so
+  * the same rows are selected on every run, every engine, and any
+  * partitioning; it composes with incremental loads (new rows sample
+  * independently); and it is a pure per-row codegen'd filter — no RNG
+  * state, no shuffle, pushdown-friendly.
+  */
+object Sampling {
+
+  /** Keep rows whose md5(id) first hex digit falls below `sixteenths`
+    * (rate = sixteenths/16). Deterministic and engine-portable (md5 of
+    * the decimal id string). */
+  def hashSample(df: DataFrame, idCol: String, sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16,
+      s"sixteenths must be in [1,16], got $sixteenths")
+    df.filter(hashBucket(col(idCol)) < sixteenths)
+  }
+
+  /** The 0-15 bucket of a row id: first md5 hex digit as an int. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Per-stratum consistent sampling: rate sixteenths(stratum)/16 for
+    * each value of `strataCol` (absent strata keep nothing) — the
+    * training-mix primitive ("keep 100% of lang=en, 25% of the rest"
+    * style re-weighting), still fully deterministic. */
+  def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
+                           sixteenths: Map[String, Int]): DataFrame = {
+    require(sixteenths.values.forall(s => s >= 0 && s <= 16),
+      "stratum rates must be in [0,16] sixteenths")
+    val rate = sixteenths.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -39,9 +39,38 @@ object Pipeline {
         TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // ---- sampling (deterministic, engine-portable)
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(docs(s, dir), "doc_id", 4)
+        .select("doc_id").orderBy("doc_id")),
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(
+        docs(s, dir).withColumn("lang", TextAnalysis.langId(col("text"))),
+        "doc_id", "lang", Map("en" -> 8, "und" -> 2))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
     // ---- dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("fp")),
+    // the id set a dedup pass actually deletes (everything but each
+    // fingerprint group's kept representative). The fixture corpus has no
+    // exact duplicates, so clone the first 50 docs under shifted ids —
+    // the oracle plants the same clones; a 0-row check would be vacuous.
+    "dedup_drops" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val cloned = d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.exactDrops(d.unionByName(cloned), "doc_id", "text")
+        .orderBy("drop_id")
+    }),
+    // connected components over the near-dup graph: cluster = min
+    // reachable id (the keep-one-representative step); oracle is a
+    // DuckDB recursive CTE over the same jaccard>=0.5 pair set
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3,
+          maxDocFreq = 1000L).filter(col("jaccard") >= 0.5))
+        .orderBy("id")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       // maxDocFreq bounds the common-shingle join fan-out on skewed
       // corpora; fixture max shingle doc-freq is 25, so 1000 changes no
@@ -212,10 +241,9 @@ object Pipeline {
        |          FROM toks),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
 
-  /** Exact word-3-gram jaccard pairs at a threshold — the ground truth the
-    * dedup family is checked against (also reused as the recall oracle for
-    * the hash-based operators). */
-  private def jaccardPairsSql(tau: String, cols: String = "id_a, id_b, jaccard") =
+  /** Shared CTE chain ending in `scored(id_a, id_b, jaccard)` — the exact
+    * word-3-gram jaccard of every shingle-sharing pair. */
+  private def jaccardScoredCte =
     s"""$shinglesCte,
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS i
@@ -224,7 +252,13 @@ object Pipeline {
        |scored AS (SELECT id_a, id_b,
        |           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
        |           FROM inter JOIN sizes sa ON id_a = sa.doc_id
-       |                      JOIN sizes sb ON id_b = sb.doc_id)
+       |                      JOIN sizes sb ON id_b = sb.doc_id)""".stripMargin
+
+  /** Jaccard pairs at a threshold — the ground truth the dedup family is
+    * checked against (also reused as the recall oracle for the hash-based
+    * operators). */
+  private def jaccardPairsSql(tau: String, cols: String = "id_a, id_b, jaccard") =
+    s"""$jaccardScoredCte
        |SELECT $cols FROM scored WHERE jaccard >= $tau
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -242,6 +276,44 @@ object Pipeline {
     "dedup_exact" ->
       (s"SELECT md5($norm) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY fp"),
+    "sample_hash" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') " +
+        "ORDER BY doc_id"),
+    "sample_stratified" ->
+      s"""WITH langs AS (SELECT doc_id, $langIdSql AS lang FROM documents)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM langs
+         |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7'))
+         |   OR (lang = 'und' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+         |         IN ('0','1'))
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_drops" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |fp AS (SELECT doc_id, md5($norm) AS fp FROM all_docs),
+         |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
+         |SELECT CAST(f.doc_id AS BIGINT) AS drop_id,
+         |       CAST(k.keep_id AS BIGINT) AS keep_id
+         |FROM fp f JOIN keep k USING (fp) WHERE f.doc_id != k.keep_id
+         |ORDER BY drop_id""".stripMargin,
+    // transitive closure via a recursive CTE: cluster = min reachable id
+    "dedup_clusters" ->
+      (jaccardScoredCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """,
+          |p AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          |          UNION ALL SELECT id_b, id_a FROM p),
+          |nodes AS (SELECT DISTINCT src AS id FROM edges),
+          |reach(id, r) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id
+          |)
+          |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS cluster
+          |FROM reach GROUP BY id ORDER BY id""".stripMargin),
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
