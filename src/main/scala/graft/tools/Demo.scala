@@ -71,6 +71,22 @@ object Demo {
     graft.operators.Ivf.ivfTopK(embs, "vec_id", "embedding", q, 5,
       nCells = 8, nProbe = 4).show(false)
 
+    println("=== multi-partition topic: -p selection + per-partition LEO ===")
+    val mpBase = graft.sources.MpFixture.baseDir(spark, sf)
+    FluvioDuck.partitions(spark, mpBase).orderBy("partition").show(false)
+    println("partition 2, first 3 records:")
+    FluvioDuck.consume(spark, "events_mp -p 2 -B --rows 3", mpBase).show(false)
+
+    println("=== dedup clusters + deterministic sampling ===")
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, maxDocFreq = 1000L).filter(org.apache.spark.sql.functions.col("jaccard") >= 0.5)
+    val cl = graft.operators.Dedup.clusters(pairs)
+    println(s"near-dup graph: ${pairs.count()} pairs -> " +
+      s"${cl.select("cluster").distinct().count()} clusters over ${cl.count()} docs")
+    val sampled = graft.operators.Sampling.hashSample(docs, "doc_id", 4)
+    println(s"hash sample 4/16: kept ${sampled.count()} of ${docs.count()} docs (deterministic)")
+
     spark.stop()
   }
 }
