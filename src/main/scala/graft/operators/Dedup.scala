@@ -228,7 +228,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
-    var lastSum = labels.agg(sum("cluster")).head().getLong(0)
+    // DECIMAL(38) sum: a Long sum wraps silently on large id spaces and
+    // a wrap collision would mis-detect convergence
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var lastSum = labelSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -239,9 +244,9 @@ object Dedup {
         .union(viaEdges)
         .groupBy("id").agg(min("cand").as("cluster"))
         .localCheckpoint(true)
-      val s = next.agg(sum("cluster")).head().getLong(0)
+      val s = labelSum(next)
       labels = next
-      converged = s == lastSum
+      converged = s.compareTo(lastSum) == 0
       lastSum = s
       i += 1
     }

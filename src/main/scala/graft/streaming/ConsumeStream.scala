@@ -118,10 +118,22 @@ object ConsumeStream {
           val sofar = state.getOption.getOrElse(0L)
           if (sofar >= n) Iterator.empty
           else {
-            val batch = it.toArray.sortBy(_._1) // offset order within the batch
-            val take = math.min(n - sofar, batch.length.toLong).toInt
-            state.update(sofar + take)
-            batch.iterator.take(take)
+            // bounded selection of the `need` smallest offsets via a
+            // max-heap: memory O(cap remaining), never O(micro-batch) —
+            // a backfill's first batch can be the whole log
+            val need = math.min(n - sofar, Int.MaxValue.toLong).toInt
+            val heap = new java.util.PriorityQueue[(Long, java.sql.Timestamp, String)](
+              math.max(need, 1),
+              Ordering.by[(Long, java.sql.Timestamp, String), Long](_._1).reverse)
+            it.foreach { r =>
+              if (heap.size < need) heap.add(r)
+              else if (r._1 < heap.peek()._1) { heap.poll(); heap.add(r) }
+            }
+            val take = new Array[(Long, java.sql.Timestamp, String)](heap.size)
+            var i = take.length - 1
+            while (i >= 0) { take(i) = heap.poll(); i -= 1 } // ascending offset
+            state.update(sofar + take.length)
+            take.iterator
           }
       }
       .toDF("offset", "timestamp", "value")
