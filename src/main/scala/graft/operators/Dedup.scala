@@ -221,7 +221,7 @@ object Dedup {
     * a label-sum for convergence — the sum is strictly decreasing until
     * fixpoint) are cheap at any corpus scale. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 10): DataFrame = {
+               maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint(true)
@@ -229,11 +229,12 @@ object Dedup {
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
     // DECIMAL(38) sum: a Long sum wraps silently on large id spaces and
-    // a wrap collision would mis-detect convergence
+    // a wrap collision would mis-detect convergence. Null ⇔ zero rows.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
         .getDecimal(0)
     var lastSum = labelSum(labels)
+    if (lastSum == null) return labels // no pairs → no rows, not an NPE
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -250,6 +251,14 @@ object Dedup {
       lastSum = s
       i += 1
     }
+    // Non-convergence must be LOUD: partial labels are silently-wrong
+    // components. maxIter bounds rounds ≈ max component diameter; 50
+    // covers any realistic near-dup cluster (each round is edge-table
+    // work, so a higher bound costs nothing when convergence is early).
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters: not converged after $maxIter rounds — a component has " +
+          s"diameter > $maxIter; raise maxIter")
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.transforms.{TransformChain, TransformRegistry}
 
@@ -65,7 +65,16 @@ object MpFixture {
       sys.props("java.io.tmpdir"),
       "graft_mp_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val topic = new java.io.File(base, "events_mp.parquet")
-    if (!new java.io.File(topic, "_SUCCESS").exists()) {
+    // cache stamp = source mtime+length: a regenerated events table must
+    // invalidate the derived fixture, or the oracle (which reads the
+    // fresh source) would silently diverge from a stale topic
+    val src = new java.io.File(Tables.path(sfDir, "events"))
+    val stamp = s"${src.lastModified()}_${src.length()}"
+    val stampFile = new java.io.File(base, "source.stamp")
+    val fresh = new java.io.File(topic, "_SUCCESS").exists() &&
+      stampFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) == stamp
+    if (!fresh) {
       Tables.load(spark, sfDir, "events")
         .select(
           expr(s"event_id DIV $NumPartitions").as("offset"),
@@ -75,6 +84,7 @@ object MpFixture {
         .repartition(col("partition"))
         .write.mode("overwrite").partitionBy("partition")
         .parquet(topic.getAbsolutePath)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
     }
     base.getAbsolutePath
   }
@@ -91,6 +101,20 @@ object MpFixture {
   * pushdown/pruning freedom; no driver-side row loops.
   */
 object FluvioDuck {
+
+  /** The one partition-selection contract, shared by the batch and
+    * streaming consume paths. Single-partition topics (no `partition`
+    * layout column): `-p`/`-A` are accepted and ignored, matching the
+    * reference's consumer pinned to partition 0 regardless of flags
+    * (/root/reference/src/consume.rs:179). Multi-partition topics (hive
+    * `partition=N` subdirs) implement the axis Spark actually has:
+    * default reads partition 0 (the reference's pin), `-p N` selects one
+    * partition — a partition-value filter the scan turns into storage
+    * partition pruning (only that subtree is listed/read) — and `-A`
+    * reads all. */
+  def selectPartition(df: DataFrame, opt: ConsumeOpt): DataFrame =
+    if (!df.columns.contains("partition") || opt.allPartitions) df
+    else df.filter(col("partition") === opt.partition)
 
   /** Materialize a bounded window of a topic as a DataFrame.
     *
@@ -131,28 +155,38 @@ object FluvioDuck {
 
     val raw = Tables.load(spark, baseDir, opt.topic)
 
-    // ---- partition selection. Single-partition topics (no `partition`
-    // layout column): -p/-A are accepted and ignored, matching the
-    // reference's consumer pinned to partition 0 regardless of flags
-    // (/root/reference/src/consume.rs:179). Multi-partition topics
-    // (hive `partition=N` subdirs) implement the axis Spark actually has:
-    // default reads partition 0 (the reference's pin), `-p N` selects one
-    // partition — a partition-value filter the scan turns into storage
-    // partition pruning (only that subtree is listed/read) — and `-A`
-    // reads all. Offsets are dense PER PARTITION, so all offset-window
-    // logic below stays exact for any single-partition selection; under
-    // `-A`, offset windows/caps apply per partition (documented
-    // divergence — a fan-in total order would serialize the scan).
-    val selected =
-      if (!raw.columns.contains("partition") || opt.allPartitions) raw
-      else raw.filter(col("partition") === opt.partition)
+    // ---- partition selection (shared contract with the streaming path —
+    // see [[selectPartition]]). Offsets are dense PER PARTITION, so all
+    // offset-window logic below stays exact for any single-partition
+    // selection; under `-A`, offset windows/caps apply per partition
+    // (records carry a `__part` key and every end-relative window joins
+    // per-partition LEOs — a fan-in total order would serialize the
+    // scan; documented divergence).
+    val selected = selectPartition(raw, opt)
+    val multiPart = opt.allPartitions && raw.columns.contains("partition")
 
     // Canonical record shape. Offsets in fixtures are dense from 0 per
     // partition (LEO = max(offset)+1 = count).
-    val records = selected.select(
+    val baseCols = Seq(
       col(view.offsetCol).cast("long").as("offset"),
       col(view.timestampCol).cast("timestamp").as("timestamp"),
       col(view.valueCol).cast("string").as("value"))
+    val records =
+      if (multiPart) selected.select(baseCols :+ col("partition").as("__part"): _*)
+      else selected.select(baseCols: _*)
+
+    // Log-end offset join for end-relative windows: PER PARTITION for a
+    // `-A` multi-partition read (grouped agg broadcast-joined on
+    // `__part`), else one global LEO via a broadcast single-row agg —
+    // in-plan either way, no driver collect, any partition count.
+    def leoJoin(target: DataFrame, leoName: String): (DataFrame, Column) =
+      if (multiPart) {
+        val leo = records.groupBy("__part").agg((max(col("offset")) + 1).as(leoName))
+        (target.join(broadcast(leo), "__part"), col(leoName))
+      } else {
+        val leo = records.agg((max(col("offset")) + 1).as(leoName))
+        (target.crossJoin(broadcast(leo)), col(leoName))
+      }
 
     // ---- offset window (calculate_offset, /root/reference/src/consume.rs:580-605)
     val windowed: DataFrame = opt.startOffset match {
@@ -160,17 +194,11 @@ object FluvioDuck {
       case OffsetSpec.FromBeginning(n) => records.filter(col("offset") >= n)
       case OffsetSpec.Absolute(n)      => records.filter(col("offset") >= n)
       case OffsetSpec.FromEnd(n) =>
-        // start = LEO - n, computed in-plan via a broadcast single-row agg
-        // (no driver collect; scales to any partition count).
-        val leo = records.agg((max(col("offset")) + 1).as("__leo"))
-        records.crossJoin(broadcast(leo))
-          .filter(col("offset") >= col("__leo") - n)
-          .drop("__leo")
+        val (j, leo) = leoJoin(records, "__leo")
+        j.filter(col("offset") >= leo - n).drop("__leo")
       case OffsetSpec.End =>
-        val leo = records.agg((max(col("offset")) + 1).as("__leo"))
-        records.crossJoin(broadcast(leo))
-          .filter(col("offset") >= col("__leo"))
-          .drop("__leo")
+        val (j, leo) = leoJoin(records, "__leo")
+        j.filter(col("offset") >= leo).drop("__leo")
     }
     val ended = opt.end match {
       case Some(e) => windowed.filter(col("offset") <= e) // inclusive end bound
@@ -204,15 +232,11 @@ object FluvioDuck {
           case OffsetSpec.FromBeginning(n) => transformed.filter(col("offset") < n + capN)
           case OffsetSpec.Absolute(n)      => transformed.filter(col("offset") < n + capN)
           case OffsetSpec.FromEnd(n) =>
-            val leo = records.agg((max(col("offset")) + 1).as("__leo2"))
-            transformed.crossJoin(broadcast(leo))
-              .filter(col("offset") < col("__leo2") - n + capN)
-              .drop("__leo2")
+            val (j, leo) = leoJoin(transformed, "__leo2")
+            j.filter(col("offset") < leo - n + capN).drop("__leo2")
           case OffsetSpec.End =>
-            val leo = records.agg((max(col("offset")) + 1).as("__leo2"))
-            transformed.crossJoin(broadcast(leo))
-              .filter(col("offset") < col("__leo2") + capN)
-              .drop("__leo2")
+            val (j, leo) = leoJoin(transformed, "__leo2")
+            j.filter(col("offset") < leo + capN).drop("__leo2")
         }
       } else {
         // cardinality-changing chain: the cap must count POST-transform

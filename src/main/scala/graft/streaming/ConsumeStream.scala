@@ -34,13 +34,10 @@ object ConsumeStream {
     val schema = Tables.load(spark, baseDir, opt.topic).schema
     val raw = spark.readStream.schema(schema)
       .parquet(TopicRegistry.topicPath(baseDir, opt.topic))
-    // partition selection, same contract as the batch path: hive-layout
-    // topics stream one partition by default (the reference's pinned
-    // consumer) or the `-p` one — the filter prunes at file listing —
-    // and `-A` streams all; single-partition topics ignore the flags.
-    val selected =
-      if (!raw.columns.contains("partition") || opt.allPartitions) raw
-      else raw.filter(col("partition") === opt.partition)
+    // partition selection: the one shared contract (default pins 0,
+    // -p prunes at file listing, -A streams all; single-partition topics
+    // ignore the flags) — see FluvioDuck.selectPartition.
+    val selected = graft.sources.FluvioDuck.selectPartition(raw, opt)
     fromRecords(selected, opt, view.offsetCol, view.timestampCol, view.valueCol)
   }
 
@@ -151,7 +148,7 @@ object ConsumeStream {
     // concurrent writers — only the concurrent reader in the wait loop
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val need = rows - count.get()
+        val need = math.min(rows - count.get(), Int.MaxValue.toLong)
         if (need > 0) {
           val got = df.limit(need.toInt).collect()
           var i = 0

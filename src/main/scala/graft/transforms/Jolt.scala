@@ -58,16 +58,16 @@ object Jolt {
 
   /** jolt target-name substitution: `&(n)` is the key matched `n` spec
     * levels up (0 = this level); bare `&` ≡ `&(0)`. `stack` holds matched
-    * keys innermost-first. */
-  private val refPattern = "&\\((\\d+)\\)".r
-  private def substituteRefs(target: String, stack: List[String]): String = {
-    val withN = refPattern.replaceAllIn(target, m => {
-      val n = m.group(1).toInt
+    * keys innermost-first. ONE regex pass over both forms — substituting
+    * in two passes would rescan already-substituted text, corrupting
+    * targets whenever a matched key itself contains `&`. */
+  private val refPattern = "&(?:\\((\\d+)\\))?".r
+  private def substituteRefs(target: String, stack: List[String]): String =
+    refPattern.replaceAllIn(target, m => {
+      val n = Option(m.group(1)).map(_.toInt).getOrElse(0)
       scala.util.matching.Regex.quoteReplacement(
         if (n < stack.length) stack(n) else "")
     })
-    withN.replace("&", stack.headOption.getOrElse(""))
-  }
 
   /** Walk `node` under `spec`, writing matched values into `out`.
     * Literal spec keys match exactly and win over `*`, which matches every

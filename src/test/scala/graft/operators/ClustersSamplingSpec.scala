@@ -26,6 +26,17 @@ class ClustersSamplingSpec extends SparkSpec {
     assert(got.keySet == (0L to 12L).toSet)
   }
 
+  test("clusters: empty pair set returns empty, not an NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.clusters(empty).collect().isEmpty)
+  }
+
+  test("clusters: non-convergence within maxIter raises loudly") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](Dedup.clusters(pairs, maxIter = 3))
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("hashSample: deterministic, rate ≈ sixteenths/16, subset-monotone") {
     val df = (0L until 4000L).toDF("id")
     val s4 = Sampling.hashSample(df, "id", 4).collect().map(_.getLong(0)).toSet

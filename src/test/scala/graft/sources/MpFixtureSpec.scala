@@ -37,6 +37,26 @@ class MpFixtureSpec extends SparkSpec {
     assert(all.count() == total)
   }
 
+  test("-A end-relative windows use per-partition LEOs (unequal partitions)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mp_unequal").toFile
+    val topic = new java.io.File(dir, "events_mp.parquet")
+    // partition 0 has 10 records, partition 1 only 5 — a global LEO would
+    // tail only the long partition
+    val rows =
+      (0L until 10L).map(o =>
+        (o, new java.sql.Timestamp(1700000000000L + o), s"""{"k":$o}""", 0)) ++
+      (0L until 5L).map(o =>
+        (o, new java.sql.Timestamp(1700000000000L + o), s"""{"k":$o}""", 1))
+    rows.toDF("offset", "ts", "value", "partition")
+      .repartition(col("partition"))
+      .write.mode("overwrite").partitionBy("partition")
+      .parquet(topic.getAbsolutePath)
+    val got = FluvioDuck.consume(spark, "events_mp -A -T 2", dir.getAbsolutePath)
+      .select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L, 8L, 9L)) // each partition's own last 2
+  }
+
   test("streaming consume over the mp topic honors -p like batch") {
     val stream = graft.streaming.ConsumeStream.consume(
       spark, "events_mp -d -p 3 -B --rows 1000000", base)

@@ -85,6 +85,13 @@ class TransformsSuite extends SparkSpec {
       """{"payload_vp":26,"payload_ts":7,"meta_id":3}""")
   }
 
+  test("jolt shift: ancestor key containing & is not re-substituted") {
+    val df = TransformRegistry.jolt(
+      records("""{"a&b": {"vp": 1}}"""),
+      Map("spec" -> """[{"operation":"shift","spec":{"*":{"*":"&(1)_&"}}}]"""))
+    assert(df.select("value").head().getString(0) == """{"a&b_vp":1}""")
+  }
+
   test("jolt shift: literal beats wildcard at an inner level too") {
     val df = TransformRegistry.jolt(
       records("""{"payload": {"vp": 26, "ts": 7}}"""),
