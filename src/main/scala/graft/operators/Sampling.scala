@@ -32,14 +32,25 @@ object Sampling {
   /** Per-stratum consistent sampling: rate sixteenths(stratum)/16 for
     * each value of `strataCol` (absent strata keep nothing) — the
     * training-mix primitive ("keep 100% of lang=en, 25% of the rest"
-    * style re-weighting), still fully deterministic. */
+    * style re-weighting), still fully deterministic.
+    *
+    * The rate lookup is a BROADCAST JOIN against the tiny rate table,
+    * not an inlined CASE: predicate pushdown substitutes the strata
+    * expression into every CASE branch, and codegen subexpression
+    * elimination skips conditional branches — with an expensive strata
+    * column (e.g. langId's regex bank) the CASE form re-evaluated it
+    * per branch per row (measured 5×). The join evaluates the strata
+    * expression exactly once per row; the inner join drops absent
+    * strata, preserving the keep-nothing contract. */
   def stratifiedHashSample(df: DataFrame, idCol: String, strataCol: String,
                            sixteenths: Map[String, Int]): DataFrame = {
     require(sixteenths.values.forall(s => s >= 0 && s <= 16),
       "stratum rates must be in [0,16] sixteenths")
-    val rate = sixteenths.foldLeft(lit(0)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
-    }
-    df.filter(hashBucket(col(idCol)) < rate)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = sixteenths.toSeq.toDF("__stratum", "__rate")
+    df.join(broadcast(rates), col(strataCol) === col("__stratum"))
+      .filter(hashBucket(col(idCol)) < col("__rate"))
+      .drop("__stratum", "__rate")
   }
 }

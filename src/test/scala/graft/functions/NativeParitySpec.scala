@@ -27,6 +27,36 @@ class NativeParitySpec extends SparkSpec {
 
   private lazy val texts = randomTexts(300, seed = 20260812L).toDF("id", "text")
 
+  test("StopwordHits / LangIdExpr == regexp_count formulation (incl. für-style non-word chars)") {
+    // stopword-dense pool: real stopwords, prefixes ("an" vs "a"),
+    // non-ASCII-inside words ("für"), boundary punctuation
+    val swPool = Array("the", "a", "of", "für", "fur", "f", "und", "andy",
+      "and", "la", "les", "de", " ", ".", ",", "-", "_", "x", "9", "\t", "ü")
+    val rnd = new scala.util.Random(42)
+    val swTexts = (1L to 300L).map { id =>
+      id -> (0 until rnd.nextInt(30)).map(_ => swPool(rnd.nextInt(swPool.length))).mkString
+    }.toDF("id", "text")
+    for ((_, words) <- TextAnalysis.stopwords) {
+      val pat = "\\b(" + words.mkString("|") + ")\\b"
+      val rows = swTexts.select(
+        StopwordHits(col("text"), words).as("native"),
+        regexp_count(lower(col("text")), lit(pat)).as("regex")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"words=$words row=$r"))
+    }
+    // langId parity vs the original CASE-chain formulation
+    val scores = TextAnalysis.stopwords.map { case (lang, words) =>
+      lang -> regexp_count(lower(col("text")), lit("\\b(" + words.mkString("|") + ")\\b"))
+    }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val caseChain = scores.foldRight(lit("und")) { case ((lang, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(elseCol)
+    }
+    val cmp = swTexts.select(
+      graft.functions.LangIdExpr(col("text"), TextAnalysis.stopwords).as("native"),
+      caseChain.as("regex")).collect()
+    cmp.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("WordShingles == composed builtins (distinct n-gram HOF form) for n in 1..5") {
     for (n <- Seq(1, 2, 3, 5)) {
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
