@@ -29,14 +29,31 @@ object Similarity {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** Default input-size guard for [[nearDupPairs]]: 20k rows ≈ 2×10⁸
+    * candidate pairs — the outer edge of what a validation run should ever
+    * brute-force. */
+  val NearDupMaxRows: Long = 20000L
+
   /** Exact near-duplicate pairs: all (a, b), a < b, with cosine ≥ threshold.
     * Per-row norms are materialized BEFORE the self-join, so each of the
     * O(n²) pairs costs exactly one dot product (not three) — the norm
     * subexpression would otherwise also be re-evaluated by the pushed-down
-    * threshold filter. Quadratic: validation scales only; use
-    * [[annNearDupPairs]] for the scale path. */
+    * threshold filter.
+    *
+    * Quadratic BY CONSTRUCTION — validation scales only; the scale path is
+    * [[annNearDupPairs]] (banded signature join, Σ bucket²). Because the
+    * plan is a cartesian-class self-join, the input size is guarded: more
+    * than `maxRows` rows fails LOUDLY before any pair is formed (one cheap
+    * linear count vs a quadratic join that would run for days on a corpus).
+    * Raising the guard is an explicit opt-in at the call site. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxRows: Long = NearDupMaxRows): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"nearDupPairs: input has $n rows > maxRows=$maxRows — the exact " +
+        s"pair join is O(n^2) and intended for validation scales only. " +
+        s"Use annNearDupPairs (banded LSH) for large inputs, or pass " +
+        s"maxRows explicitly to opt in to the brute-force join.")
     val withNorm = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2Norm(col(vecCol)).as("nrm"))
     val a = withNorm.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))

@@ -40,6 +40,18 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDupPairs refuses inputs above the O(n^2) guard, loudly") {
+    val big = spark.range(0, 101).selectExpr("id AS vec_id",
+      "array(cast(id AS float), 1.0F) AS embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(big, "vec_id", "embedding", 0.9, maxRows = 100))
+    assert(e.getMessage.contains("O(n^2)"), e.getMessage)
+    assert(e.getMessage.contains("annNearDupPairs"), e.getMessage)
+    // explicit opt-in raises the guard — same call succeeds
+    assert(Similarity.nearDupPairs(big, "vec_id", "embedding", 0.9999,
+      maxRows = 200).count() >= 0)
+  }
+
   test("annTopK recall vs brute force >= 0.8 at tuned planes/probes") {
     // measured on the fixtures: (8 planes, radius 5) = 0.95 recall at
     // sf0.001 and 1.00 at sf0.01 — the assertion has real margin

@@ -66,6 +66,20 @@ class FluvioDuckSpec extends SparkSpec {
     assert(e.getMessage.contains("Topic not found"))
   }
 
+  test("two-message error contract holds on BOTH batch and streaming paths") {
+    // a parquet table that exists but has no record view: "not a stream
+    // topic"; an unknown name: "Topic not found" — same pair of messages
+    // whether the consume is bounded or -d continuous.
+    val b1 = intercept[IllegalArgumentException](consume("documents -B"))
+    assert(b1.getMessage.contains("not a stream topic"), b1.getMessage)
+    val s1 = intercept[IllegalArgumentException](
+      graft.streaming.ConsumeStream.consume(spark, "documents -B", sf))
+    assert(s1.getMessage.contains("not a stream topic"), s1.getMessage)
+    val s2 = intercept[IllegalArgumentException](
+      graft.streaming.ConsumeStream.consume(spark, "nosuch -B", sf))
+    assert(s2.getMessage.contains("Topic not found"), s2.getMessage)
+  }
+
   test("bad options raise with clap-style message") {
     val e = intercept[IllegalArgumentException](consume("events -B -T 5"))
     assert(e.getMessage.contains("cannot be used with"))
