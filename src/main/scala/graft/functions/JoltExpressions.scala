@@ -76,3 +76,11 @@ case class JoltRemove(child: Expression, specJson: String) extends JoltExpressio
   override protected def withNewChildInternal(newChild: Expression): JoltRemove =
     copy(child = newChild)
 }
+
+/** jolt `cardinality`: coerce matched fields to `ONE` (array → first
+  * element) or `MANY` (scalar → one-element array). */
+case class JoltCardinality(child: Expression, specJson: String) extends JoltExpressionBase {
+  override protected def makeFn(spec: JsonNode): String => String = Jolt.cardinalityFn(spec)
+  override protected def withNewChildInternal(newChild: Expression): JoltCardinality =
+    copy(child = newChild)
+}

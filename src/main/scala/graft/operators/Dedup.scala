@@ -127,8 +127,18 @@ object Dedup {
       .agg(graft.functions.SketchAggregates.simhash(col("tok")).as("simhash"))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist (≤ 3 with the
-    * default 4 segments, by pigeonhole). Blocks on 16-bit signature
-    * segments so only same-segment pairs are compared. */
+    * default 4 segments, by pigeonhole — capture is complete only while
+    * maxDist < segments). Blocks on 16-bit signature segments so only
+    * same-segment pairs are compared.
+    *
+    * Operating-point note (measured, PairsTune): on the fixture corpus the
+    * word-3-gram jaccard≥0.5 truth pairs span hamming 0-12 — the docs are
+    * short, so one differing token moves many bit-sums across zero. Full
+    * recall of that truth set therefore needs maxDist=12/segments=16,
+    * which also admits ~640k low-signal pairs at sf0.1 (precision-free).
+    * The default (3, 4) is the useful dedup point; its exact-duplicate
+    * recall (hamming 0 — guaranteed capture) is oracle-proved by the
+    * dedup_simhash_dups planted-clone entry. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, segments: Int = 4): DataFrame = {
     val sigs = simhash(df, idCol, textCol)
@@ -212,28 +222,41 @@ object Dedup {
     * representative-selection step of a dedup pipeline (keep each
     * cluster's id, drop the rest).
     *
-    * Iterative min-label propagation: each round sends every node's label
-    * across the edges and keeps the min — one shuffle join + one agg per
-    * round, converging in O(component diameter) rounds (near-dup clusters
-    * are short-diameter in practice; `maxIter` bounds the work). The edge
-    * table is PAIR-sized, orders of magnitude below the corpus, so the
-    * per-round actions (eager localCheckpoint to cut the growing lineage,
-    * a label-sum for convergence — the sum is strictly decreasing until
-    * fixpoint) are cheap at any corpus scale. */
+    * Min-label propagation with POINTER JUMPING: each round (a) sends
+    * every node's label across the edges and keeps the min, then (b)
+    * replaces each label by its label's label (path compression — the
+    * hook/compress shape of CC-on-MapReduce). Propagation alone needs
+    * O(component diameter) rounds; the jump step doubles how far the min
+    * travels per round, giving O(log diameter) — measured on a 60-node
+    * path fixture: 6 rounds vs 50+ (ClustersSamplingSpec).
+    *
+    * ONE action per round: the convergence metric (label sum — strictly
+    * decreasing until fixpoint) rides the round's checkpoint action as an
+    * `observe()` metric instead of a second aggregate job. DECIMAL(38)
+    * sum: a Long sum wraps silently on large id spaces and a wrap
+    * collision would mis-detect convergence.
+    *
+    * Lineage/durability: every round cuts lineage with an eager
+    * checkpoint. Default is `localCheckpoint` (fast, blocks on executors
+    * — fine for local/interactive runs); pass `checkpointDir` for a
+    * reliable `checkpoint()` against shared storage so a long CC run on a
+    * 1000-executor cluster survives executor loss. The edge table is
+    * PAIR-sized, orders of magnitude below the corpus, so either flavor
+    * is cheap at any corpus scale. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
-    // DECIMAL(38) sum: a Long sum wraps silently on large id spaces and
-    // a wrap collision would mis-detect convergence. Null ⇔ zero rows.
+               maxIter: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
+    val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
-    var lastSum = labelSum(labels)
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
+    var lastSum = labelSum(labels) // cheap: labels is already materialized
     if (lastSum == null) return labels // no pairs → no rows, not an NPE
     var i = 0
     var converged = false
@@ -241,24 +264,46 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnsRenamed(Map("id" -> "src", "cluster" -> "cand")), "src")
         .select(col("dst").as("id"), col("cand"))
-      val next = labels.select(col("id"), col("cluster").as("cand"))
+      val propagated = labels.select(col("id"), col("cluster").as("cand"))
         .union(viaEdges)
         .groupBy("id").agg(min("cand").as("cluster"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
+      // pointer jump: cluster := min(cluster, cluster's cluster). Every
+      // label is a reachable node id, so label-of-label is reachable too
+      // (transitivity) — the jump never leaves the component.
+      val jumped = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("cluster2")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("cluster2"), col("cluster"))).as("cluster"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = cut(jumped.observe(obs,
+        sum(col("cluster").cast("decimal(38,0)")).as("s")))
       labels = next
+      // The checkpoint IS the round's one action; the observed metric
+      // arrives via the (async) listener right after it completes. The
+      // blocking get is bounded (Await) with a fallback aggregate over the
+      // just-materialized checkpoint blocks, so a listener regression can
+      // never hang a round — only slow it (and the ClustersSamplingSpec
+      // mechanism test would flag that loudly).
+      val s = try {
+        import scala.concurrent.duration._
+        scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get("s").asInstanceOf[java.math.BigDecimal])(
+            scala.concurrent.ExecutionContext.global), 10.seconds)
+      } catch { case _: java.util.concurrent.TimeoutException => labelSum(labels) }
       converged = s.compareTo(lastSum) == 0
       lastSum = s
       i += 1
     }
     // Non-convergence must be LOUD: partial labels are silently-wrong
-    // components. maxIter bounds rounds ≈ max component diameter; 50
-    // covers any realistic near-dup cluster (each round is edge-table
-    // work, so a higher bound costs nothing when convergence is early).
+    // components. With pointer jumping maxIter bounds rounds ≈
+    // log2(max component diameter) + constant; 50 covers any graph that
+    // fits in storage (each round is edge-table work, so the high bound
+    // costs nothing when convergence is early).
     if (!converged)
       throw new IllegalStateException(
         s"clusters: not converged after $maxIter rounds — a component has " +
-          s"diameter > $maxIter; raise maxIter")
+          s"diameter > ~2^$maxIter; raise maxIter")
     labels
   }
 

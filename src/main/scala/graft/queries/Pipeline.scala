@@ -107,6 +107,26 @@ object Pipeline {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
+    // Ground-truth recall proof for the simhash pipeline (tokenize →
+    // signature agg → segment blocking → pair): plant exact clones of the
+    // first 50 docs under shifted ids — identical text ⇒ identical simhash
+    // ⇒ hamming 0, and blocking MUST surface every planted pair (all
+    // segments agree). The filter keeps exactly the planted pair shape, so
+    // the result hash-checks against the SQL-constructed planted set.
+    // (A jaccard-truth version is not clean here: measured on the
+    // fixtures, word-3-gram jaccard>=0.5 pairs span simhash hamming 0-12 —
+    // short docs move many bits per differing token — so full capture
+    // needs maxDist=12/segments=16, a precision-free operating point;
+    // see simhashPairs scaladoc.)
+    "dedup_simhash_dups" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val cloned = d.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.simhashPairs(d.unionByName(cloned), "doc_id", "text", maxDist = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L && col("id_a") < 50)
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    }),
     // k=20-char grams (word-3-gram selectivity; see winnowNearDups
     // scaladoc for why char 8-grams are corpus-common and unusable);
     // w=16 keeps ~12% of positions — the sketch join input is ~0.6× the
@@ -147,6 +167,23 @@ object Pipeline {
         threshold = 0.4, nPlanes = 8, nBands = 4)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
+    // Candidate-recall oracle for the banded random-hyperplane LSH (the
+    // dedup_lsh_recall pattern): exact cosine>=0.4 pairs (SQL-expressible)
+    // SEMI-joined with the ANN pair set. Hash-matching the exact-pairs
+    // oracle proves every true pair survived banding — recall = 1,
+    // checked in SQL. Operating point (2 planes x 12 bands) measured
+    // recall 1.000 at sf0.01 (59/59) AND sf0.1 (920/920) — low-threshold
+    // (0.4 ≈ 66°) pairs need short band signatures; the per-band match
+    // probability is (1-θ/π)^nPlanes.
+    "emb_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+        .select("id_a", "id_b")
+        .join(Similarity.annNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.4, nPlanes = 2, nBands = 12),
+          Seq("id_a", "id_b"), "semi")
+        .orderBy("id_a", "id_b")
+    }),
     // IVF-flat ANN: probing ALL cells is exact by construction, so this
     // entry oracle-checks the full index/assign/probe machinery against
     // brute-force SQL; the approximate path (nProbe < nCells) is recall-
@@ -314,6 +351,15 @@ object Pipeline {
           |)
           |SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS cluster
           |FROM reach GROUP BY id ORDER BY id""".stripMargin),
+    "dedup_simhash_dups" ->
+      ("SELECT CAST(doc_id AS BIGINT) AS id_a, " +
+        "CAST(doc_id + 1000000 AS BIGINT) AS id_b " +
+        "FROM documents WHERE doc_id < 50 ORDER BY id_a"),
+    "emb_ann_recall" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),

@@ -108,6 +108,21 @@ object TierA {
     "jolt_remove" -> consume(
       "events -B --rows 300 " +
         """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"default\",\"spec\":{\"src\":\"graft\"}},{\"operation\":\"remove\",\"spec\":{\"k\":\"\"}}]"}}"""),
+    // cardinality MANY through the real --transform CLI path: the flat
+    // numeric k becomes a one-element array
+    "jolt_cardinality" -> consume(
+      "events -B --rows 300 " +
+        """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"cardinality\",\"spec\":{\"k\":\"MANY\"}}]"}}"""),
+    // shift `@` input-value reference: copy the whole payload subtree
+    "jolt_shift_at" -> ((s, dir) => {
+      val k0 = ColumnMapping.parsed(col("props")).getItem("k")
+      val rec0 = Tables.load(s, dir, "events")
+        .select(col("event_id").as("offset"), col("ts").as("timestamp"),
+          concat(lit("{\"payload\": {\"vp\": "), k0, lit("}}")).as("value"))
+      graft.transforms.TransformRegistry("infinyon/jolt@0.1.0")(rec0,
+        Map("spec" -> """[{"operation":"shift","spec":{"payload":{"@":"pl"}}}]"""))
+        .orderBy("offset").limit(300).select("offset", "value")
+    }),
     // two-level `*` wildcard shift with an `&(1)` ancestor reference,
     // over a nested payload synthesized from events (props is flat)
     "jolt_shift_wild2" -> ((s, dir) => {
@@ -201,6 +216,12 @@ object TierA {
     "jolt_remove" ->
       ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
         """'{"src":"graft"}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_cardinality" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
+        s"""'{"k":[' || $jk || ']}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_shift_at" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", " +
+        s"""'{"pl":{"vp":' || $jk || '}}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
     "jolt_shift_wild2" ->
       ("SELECT CAST(event_id AS BIGINT) AS \"offset\", " +
         s"""'{"payload_vp":' || $jk || '}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),

@@ -21,6 +21,15 @@ import scala.jdk.CollectionConverters._
   *   - `default`: `{field: value}` adds fields that are absent.
   *   - `remove`: spec tree whose `""` leaves delete the matched field;
   *     `*` keys match every field at that level, nested objects recurse.
+  *   - `cardinality`: spec tree whose leaves are `"ONE"` (an array field is
+  *     replaced by its first element; empty arrays are removed) or `"MANY"`
+  *     (a non-array field is wrapped in a one-element array); `*` wildcards
+  *     and nested objects recurse like `remove`.
+  *   - shift `@` spec key: matches the WHOLE value at the current level
+  *     (jolt's bare input-value reference) — `{payload: {"@": "pl"}}`
+  *     copies the entire `payload` subtree to `pl`. The target supports the
+  *     same `&(n)` references as ordinary shift targets; `@` never consumes
+  *     fields from the `*` wildcard (literals and `*` see the same node).
   *
   * Both ops run as one jackson parse + one serialize per record —
   * matching the reference's WASM module (also a per-record JSON
@@ -78,7 +87,17 @@ object Jolt {
                          stack: List[String] = Nil): Unit = {
     if (node == null || !node.isObject) return
     val entries = spec.properties().asScala.toSeq
-    val literals = entries.filter(_.getKey != "*")
+    // `@` = the whole value at this level (input-value reference): write
+    // the current node itself to the target. Evaluated first; does not
+    // claim any field from `*`.
+    entries.filter(_.getKey == "@").foreach { e =>
+      val rhs = e.getValue
+      require(rhs.isTextual,
+        s"unsupported jolt shift spec value at @: $rhs (target name expected)")
+      if (!node.isNull)
+        out.set[JsonNode](substituteRefs(rhs.asText(), stack), node)
+    }
+    val literals = entries.filter(e => e.getKey != "*" && e.getKey != "@")
     val wildcard = entries.find(_.getKey == "*").map(_.getValue)
     def emit(key: String, v: JsonNode, rhs: JsonNode): Unit =
       if (rhs.isTextual) {
@@ -116,6 +135,59 @@ object Jolt {
           throw new IllegalArgumentException(
             s"unsupported jolt remove spec value at $k: $rhs")
       }
+    }
+  }
+
+  /** Walk `node` under a cardinality spec, adjusting matched fields in
+    * place. Leaf `"ONE"`: an array is replaced by its first element (empty
+    * array → field removed); non-arrays stay. Leaf `"MANY"`: a non-array is
+    * wrapped in a one-element array; arrays stay. An object RHS recurses;
+    * `*` matches every field at that level (literals win, like shift). */
+  private def applyCardinality(node: JsonNode, spec: JsonNode): Unit = {
+    if (node == null || !node.isObject) return
+    val obj = node.asInstanceOf[ObjectNode]
+    val entries = spec.properties().asScala.toSeq
+    val literalKeys = entries.collect { case e if e.getKey != "*" => e.getKey }.toSet
+    def adjust(k: String, rhs: JsonNode): Unit = {
+      val v = obj.get(k)
+      if (v == null) return
+      if (rhs.isTextual) rhs.asText() match {
+        case "ONE" =>
+          if (v.isArray) {
+            if (v.size() == 0) obj.remove(k)
+            else obj.set[JsonNode](k, v.get(0))
+          }
+        case "MANY" =>
+          if (!v.isArray) {
+            val arr = mapper.createArrayNode(); arr.add(v)
+            obj.set[JsonNode](k, arr)
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported jolt cardinality value at $k: $other (ONE|MANY)")
+      }
+      else if (rhs.isObject) applyCardinality(v, rhs)
+      else
+        throw new IllegalArgumentException(
+          s"unsupported jolt cardinality spec value at $k: $rhs")
+    }
+    entries.foreach { e =>
+      if (e.getKey == "*")
+        obj.properties().asScala.map(_.getKey).toSeq
+          .filterNot(literalKeys.contains).foreach(adjust(_, e.getValue))
+      else adjust(e.getKey, e.getValue)
+    }
+  }
+
+  /** `cardinality` as a per-record function (ONE/MANY arity coercion). */
+  def cardinalityFn(spec: JsonNode): String => String = {
+    (value: String) => {
+      val m = Jolt.mapper
+      val root =
+        try m.readTree(if (value == null) "{}" else value)
+        catch { case _: Exception => m.createObjectNode() }
+      applyCardinality(root, spec)
+      m.writeValueAsString(root)
     }
   }
 

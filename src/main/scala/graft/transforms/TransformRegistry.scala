@@ -40,18 +40,19 @@ object TransformRegistry {
       throw new IllegalArgumentException("jolt transform requires a `spec` param"))
     val ops = Jolt.parseSpec(specJson)
     import org.apache.spark.sql.graft.shim
-    import graft.functions.{JoltDefault, JoltRemove, JoltShift}
+    import graft.functions.{JoltCardinality, JoltDefault, JoltRemove, JoltShift}
     // native expressions (one jackson parse/record, stay inside
     // whole-stage codegen), not ScalaUDFs
     val valueOut = ops.foldLeft(col("value")) { (v, op) =>
       val specText = Jolt.mapper.writeValueAsString(op.spec)
       op.operation match {
-        case "shift"   => shim.column(JoltShift(shim.expression(v), specText))
-        case "default" => shim.column(JoltDefault(shim.expression(v), specText))
-        case "remove"  => shim.column(JoltRemove(shim.expression(v), specText))
+        case "shift"       => shim.column(JoltShift(shim.expression(v), specText))
+        case "default"     => shim.column(JoltDefault(shim.expression(v), specText))
+        case "remove"      => shim.column(JoltRemove(shim.expression(v), specText))
+        case "cardinality" => shim.column(JoltCardinality(shim.expression(v), specText))
         case other =>
           throw new IllegalArgumentException(
-            s"unsupported jolt operation: $other (supported: shift, default, remove)")
+            s"unsupported jolt operation: $other (supported: shift, default, remove, cardinality)")
       }
     }
     df.withColumn("value", valueOut)

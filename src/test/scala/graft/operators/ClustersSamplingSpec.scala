@@ -17,13 +17,15 @@ class ClustersSamplingSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
-  test("clusters: converges on a long chain within maxIter") {
-    // path 0-1-2-...-12: diameter 12, min label must flood end to end
-    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs, maxIter = 20).collect()
+  test("clusters: long chain converges in LOG rounds (pointer jumping)") {
+    // path 0-1-2-...-60: diameter 60. Pure propagation needs ~60 rounds;
+    // with the per-round pointer jump the reach roughly doubles each
+    // round, so maxIter=10 only passes if the jump is doing its job.
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.values.toSet == Set(0L))
-    assert(got.keySet == (0L to 12L).toSet)
+    assert(got.keySet == (0L to 60L).toSet)
   }
 
   test("clusters: empty pair set returns empty, not an NPE") {
@@ -33,8 +35,35 @@ class ClustersSamplingSpec extends SparkSpec {
 
   test("clusters: non-convergence within maxIter raises loudly") {
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException](Dedup.clusters(pairs, maxIter = 3))
+    val e = intercept[IllegalStateException](Dedup.clusters(pairs, maxIter = 2))
     assert(e.getMessage.contains("not converged"))
+  }
+
+  test("clusters: reliable checkpointDir flavor produces identical labels") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // the reliable checkpoint actually wrote RDD blocks to the dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("observe metric rides the checkpoint action (clusters' 1-action round)") {
+    val obs = org.apache.spark.sql.Observation()
+    spark.range(10).toDF("id")
+      .observe(obs, sum(col("id")).as("s"))
+      .localCheckpoint(true)
+    // the listener delivers asynchronously right after the action; if
+    // localCheckpoint were not a listener-visible action clusters() would
+    // silently pay a fallback aggregate every round — fail here instead
+    import scala.concurrent.duration._
+    val s = scala.concurrent.Await.result(
+      scala.concurrent.Future(obs.get("s"))(
+        scala.concurrent.ExecutionContext.global), 30.seconds)
+    assert(s == 45L, s"metric not delivered by checkpoint: $s")
   }
 
   test("hashSample: deterministic, rate ≈ sixteenths/16, subset-monotone") {

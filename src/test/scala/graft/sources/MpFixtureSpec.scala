@@ -57,6 +57,26 @@ class MpFixtureSpec extends SparkSpec {
     assert(got == Seq(3L, 4L, 8L, 9L)) // each partition's own last 2
   }
 
+  test("-A display order: offset-sorted WITHIN each output partition (the " +
+    "whole guarantee — no total order across partitions, SURVEY §4.2)") {
+    val all = FluvioDuck.consume(spark, "events_mp -A -B --rows 1000000", base)
+    val perPart = all.select("offset").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toArray))
+      .collect()
+    // the guarantee a consume presents: each output partition is in offset
+    // order (sortWithinPartitions — no range-shuffle Exchange)...
+    perPart.foreach { a =>
+      assert(a.sameElements(a.sorted), "offsets not sorted within a partition")
+    }
+    // ...and nothing is lost or duplicated across the fan-out
+    assert(perPart.map(_.length).sum == total)
+    // A TOTAL order is deliberately NOT promised: with 4 partitions of
+    // dense offsets the concatenation interleaves duplicates of every
+    // offset value; a consumer needing one adds its own orderBy("offset").
+    // (documented divergence: the reference is single-partition-pinned,
+    // /root/reference/src/consume.rs:179)
+  }
+
   test("streaming consume over the mp topic honors -p like batch") {
     val stream = graft.streaming.ConsumeStream.consume(
       spark, "events_mp -d -p 3 -B --rows 1000000", base)

@@ -57,6 +57,57 @@ class JoltNativeSpec extends SparkSpec {
       """{"keep_a":1,"other_b":2}""")
   }
 
+  test("cardinality ONE: array -> first element; scalar untouched; empty removed") {
+    val df = TransformRegistry.jolt(
+      records("""{"tags": ["a", "b"], "k": 7, "empty": []}"""),
+      Map("spec" -> """[{"operation":"cardinality","spec":{"tags":"ONE","k":"ONE","empty":"ONE"}}]"""))
+    assert(df.select("value").head().getString(0) == """{"tags":"a","k":7}""")
+  }
+
+  test("cardinality MANY: scalar -> one-element array; array untouched") {
+    val df = TransformRegistry.jolt(
+      records("""{"k": 7, "tags": ["a"]}"""),
+      Map("spec" -> """[{"operation":"cardinality","spec":{"k":"MANY","tags":"MANY"}}]"""))
+    assert(df.select("value").head().getString(0) == """{"k":[7],"tags":["a"]}""")
+  }
+
+  test("cardinality: * wildcard and nested recursion") {
+    val df = TransformRegistry.jolt(
+      records("""{"a": [1, 2], "b": [3], "nest": {"c": 4}}"""),
+      Map("spec" -> """[{"operation":"cardinality","spec":{"nest":{"c":"MANY"},"*":"ONE"}}]"""))
+    assert(df.select("value").head().getString(0) ==
+      """{"a":1,"b":3,"nest":{"c":[4]}}""")
+  }
+
+  test("cardinality: bad leaf value raises loudly") {
+    val e = intercept[Exception](
+      TransformRegistry.jolt(
+        records("""{"a": 1}"""),
+        Map("spec" -> """[{"operation":"cardinality","spec":{"a":"SOME"}}]"""))
+        .collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+    assert(chain(e).contains("ONE|MANY"), chain(e))
+  }
+
+  test("shift @: copies the whole value at the current level") {
+    val df = TransformRegistry.jolt(
+      records("""{"payload": {"vp": {"lat": 60.1}}, "k": 5}"""),
+      Map("spec" -> """[{"operation":"shift","spec":{"payload":{"@":"pl"},"k":"k"}}]"""))
+    assert(df.select("value").head().getString(0) ==
+      """{"pl":{"vp":{"lat":60.1}},"k":5}""")
+  }
+
+  test("shift @ with &-reference target and * coexistence") {
+    // @ does not consume fields from *: payload is still matched by *
+    val df = TransformRegistry.jolt(
+      records("""{"payload": {"a": 1}}"""),
+      Map("spec" -> """[{"operation":"shift","spec":{"payload":{"@":"copy_&"}}}]"""))
+    // stack at @ is List("payload"): & == &(0) == "payload"
+    assert(df.select("value").head().getString(0) ==
+      """{"copy_payload":{"a":1}}""")
+  }
+
   test("null / malformed payloads still transform like empty objects") {
     val df = TransformRegistry.jolt(
       records("""not json""", """{"a":5}"""),
