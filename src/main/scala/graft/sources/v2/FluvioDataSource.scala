@@ -1,0 +1,326 @@
+package graft.sources.v2
+
+import java.io.File
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{ConsumeOpt, OffsetSpec, RecordView, TopicRegistry}
+
+/** DataSource-v2 streaming source for topic directories — the Spark-native
+  * analog of the reference's LIVE consumer loop
+  * (`/root/reference/src/consume.rs:72-134`): a consume that keeps
+  * delivering as the log grows, with REAL per-partition log offsets in the
+  * streaming checkpoint (not file names).
+  *
+  * ```
+  * spark.readStream.format("graft.sources.v2.FluvioTableProvider")
+  *   .option("cmd", "events_mp -A -B").option("baseDir", dir).load()
+  * ```
+  *
+  * Fixed record schema, like the Kafka source: (partition INT, offset
+  * LONG, timestamp TIMESTAMP, value STRING). Column projection and
+  * transform chains compose on top (they are plan-level); the `--rows`
+  * bounded-pull semantics live in [[graft.streaming.ConsumeStream]].
+  *
+  * Offset model: a topic partition is an append-only sequence of parquet
+  * segment files with DENSE record offsets; the stream offset per
+  * partition is the record count delivered so far (≡ LEO when caught up,
+  * matching `fluvio_partitions()`). `latestOffset` reads only footer
+  * metadata (row counts, cached by (mtime, length)); `planInputPartitions`
+  * maps record ranges onto segment files, so a micro-batch reads ONLY the
+  * new segments — never a rescan of the topic. Bind-time offset flags
+  * follow the reference: `-B`/`-H n`/`--start n` → absolute starts,
+  * `-T n`/default-end → relative to the log end AS OF STREAM START (the
+  * reference computes the start offset once at bind, consume.rs:580-605).
+  */
+object FluvioDsv2 {
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("value", StringType, nullable = true)))
+
+  /** partition id → its data directory/file. Hive `partition=N` subdirs
+    * for multi-partition topics; partition 0 = the topic path itself
+    * otherwise. */
+  def partitionDirs(baseDir: String, topic: String): Map[Int, File] = {
+    val root = new File(TopicRegistry.topicPath(baseDir, topic))
+    val subs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("partition="))
+    if (subs.nonEmpty)
+      subs.map(f => f.getName.stripPrefix("partition=").toInt -> f).toMap
+    else Map(0 -> root)
+  }
+
+  /** Data segments of one partition, in append order (mtime, then name —
+    * appended segments always have later mtimes). */
+  def segmentFiles(dirOrFile: File): Seq[File] =
+    if (dirOrFile.isFile) Seq(dirOrFile)
+    else Option(dirOrFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && f.getName.endsWith(".parquet"))
+      .sortBy(f => (f.lastModified(), f.getName)).toSeq
+
+  // footer row counts, keyed by (path, mtime, length) — segments are
+  // immutable once written, so this never goes stale
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  def rowCount(f: File): Long =
+    rowCountCache.computeIfAbsent(
+      (f.getAbsolutePath, f.lastModified(), f.length()),
+      _ => {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
+        try r.getRecordCount finally r.close()
+      })
+
+  /** Current LEO (record count) per partition. */
+  def leo(baseDir: String, topic: String): Map[Int, Long] =
+    partitionDirs(baseDir, topic).map { case (p, d) =>
+      p -> segmentFiles(d).map(rowCount).sum
+    }
+
+  private[v2] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
+/** Per-partition log positions, serialized as `{"0": 123, "1": 456}` in
+  * the streaming checkpoint — restart-stable consumer offsets. */
+case class FluvioOffset(positions: Map[Int, Long]) extends Offset {
+  override def json(): String = {
+    val node = FluvioDsv2.mapper.createObjectNode()
+    positions.toSeq.sortBy(_._1).foreach { case (p, o) => node.put(p.toString, o) }
+    FluvioDsv2.mapper.writeValueAsString(node)
+  }
+}
+
+object FluvioOffset {
+  def fromJson(json: String): FluvioOffset = {
+    val node = FluvioDsv2.mapper.readTree(json)
+    FluvioOffset(node.properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+  }
+}
+
+class FluvioTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FluvioDsv2.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val cmd = Option(properties.get("cmd")).getOrElse(
+      throw new IllegalArgumentException("fluvio source requires a `cmd` option"))
+    val baseDir = Option(properties.get("baseDir")).getOrElse(
+      throw new IllegalArgumentException("fluvio source requires a `baseDir` option"))
+    new FluvioTable(cmd, baseDir)
+  }
+}
+
+class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead {
+  private val opt: ConsumeOpt = ConsumeOpt.parse(cmd) match {
+    case Left(err) => throw new IllegalArgumentException(err)
+    case Right(o)  => o
+  }
+  private val view: RecordView = TopicRegistry.recordViews.getOrElse(opt.topic,
+    if (TopicRegistry.exists(baseDir, opt.topic))
+      throw new IllegalArgumentException(
+        s"topic `${opt.topic}` is not a stream topic (no record view registered)")
+    else
+      throw new IllegalArgumentException(s"Topic not found: ${opt.topic}"))
+
+  override def name(): String = s"fluvio_consume(${opt.topic})"
+  override def schema(): StructType = FluvioDsv2.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FluvioDsv2.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new FluvioMicroBatchStream(opt, view, baseDir)
+      }
+    }
+}
+
+class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String)
+    extends MicroBatchStream {
+
+  /** The shared partition-selection contract (FluvioDuck.selectPartition):
+    * single-partition topics ignore `-p`/`-A`; multi-partition topics pin
+    * partition 0 by default, `-p N` selects one, `-A` fans over all. */
+  private def selectedDirs(): Map[Int, File] = {
+    val dirs = FluvioDsv2.partitionDirs(baseDir, opt.topic)
+    if (dirs.size <= 1 || opt.allPartitions) dirs
+    else dirs.filter(_._1 == opt.partition)
+  }
+
+  override def initialOffset(): Offset = {
+    // bind-time start offsets, like the reference's calculate_offset
+    // (consume.rs:580-605): end-relative flags read the log end ONCE here
+    val dirs = selectedDirs()
+    val starts = opt.startOffset match {
+      case OffsetSpec.FromBeginning(n) => dirs.map { case (p, _) => p -> n }
+      case OffsetSpec.Absolute(n)      => dirs.map { case (p, _) => p -> n }
+      case OffsetSpec.FromEnd(n) =>
+        dirs.map { case (p, d) =>
+          p -> math.max(0L, FluvioDsv2.segmentFiles(d).map(FluvioDsv2.rowCount).sum - n)
+        }
+      case OffsetSpec.End =>
+        dirs.map { case (p, d) =>
+          p -> FluvioDsv2.segmentFiles(d).map(FluvioDsv2.rowCount).sum
+        }
+    }
+    FluvioOffset(starts)
+  }
+
+  override def latestOffset(): Offset = {
+    // footer-metadata only; `--end N` (inclusive) caps delivery at N+1
+    val cap = opt.end.map(_ + 1).getOrElse(Long.MaxValue)
+    FluvioOffset(selectedDirs().map { case (p, d) =>
+      p -> math.min(FluvioDsv2.segmentFiles(d).map(FluvioDsv2.rowCount).sum, cap)
+    })
+  }
+
+  override def deserializeOffset(json: String): Offset = FluvioOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FluvioOffset].positions
+    val e = end.asInstanceOf[FluvioOffset].positions
+    val dirs = selectedDirs()
+    val parts = Seq.newBuilder[InputPartition]
+    for ((p, from0) <- s.toSeq.sortBy(_._1)) {
+      val to = e.getOrElse(p, from0)
+      if (to > from0) {
+        // map the record range [from0, to) onto segment files by
+        // cumulative row count — only overlapping segments are read
+        var cum = 0L
+        for (f <- dirs.get(p).map(FluvioDsv2.segmentFiles).getOrElse(Seq.empty)) {
+          val n = FluvioDsv2.rowCount(f)
+          val fileStart = cum
+          val fileEnd = cum + n
+          val lo = math.max(from0, fileStart)
+          val hi = math.min(to, fileEnd)
+          if (hi > lo)
+            parts += FluvioInputPartition(f.getAbsolutePath, p,
+              skip = lo - fileStart, take = hi - lo,
+              view.offsetCol, view.timestampCol, view.valueCol)
+          cum = fileEnd
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new FluvioPartitionReader(partition.asInstanceOf[FluvioInputPartition])
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One segment-file slice: rows [skip, skip+take) of `path`, belonging to
+  * topic partition `partitionId`. */
+case class FluvioInputPartition(path: String, partitionId: Int,
+                                skip: Long, take: Long,
+                                offsetCol: String, tsCol: String,
+                                valueCol: String) extends InputPartition
+
+/** Executor-side reader: parquet example API (Group) — record-at-a-time
+  * over one segment slice, no Spark-internal reader dependencies. The
+  * timestamp unit (ms/µs/ns) is read from the file's logical type
+  * annotation and normalized to Spark's µs. */
+class FluvioPartitionReader(p: FluvioInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(p.path)).build()
+  private var skipped = 0L
+  private var delivered = 0L
+  private var current: Group = _
+  // timestamp extractor (handles INT64 ms/µs/ns annotations AND the
+  // legacy INT96 julian-day encoding Spark writes by default), resolved
+  // once from the first record's schema
+  private var tsMicrosOf: Group => Long = _
+
+  override def next(): Boolean = {
+    if (delivered >= p.take) return false
+    while (skipped < p.skip) {
+      if (reader.read() == null) return false
+      skipped += 1
+    }
+    current = reader.read()
+    if (current == null) return false
+    delivered += 1
+    true
+  }
+
+  private def resolveTsExtractor(g: Group): Group => Long = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val t = g.getType
+    val idx = t.getFieldIndex(p.tsCol)
+    val prim = t.getType(idx).asPrimitiveType()
+    if (prim.getPrimitiveTypeName == PrimitiveTypeName.INT96) {
+      // INT96: 8 bytes little-endian nanos-of-day + 4 bytes julian day
+      (grp: Group) => {
+        val buf = java.nio.ByteBuffer
+          .wrap(grp.getInt96(idx, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      }
+    } else {
+      val factor: Long => Long =
+        prim.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case TimeUnit.MILLIS => v => v * 1000L
+              case TimeUnit.MICROS => v => v
+              case TimeUnit.NANOS  => v => v / 1000L
+            }
+          case _ => v => v
+        }
+      (grp: Group) => factor(grp.getLong(idx, 0))
+    }
+  }
+
+  override def get(): InternalRow = {
+    val g = current
+    if (tsMicrosOf == null) tsMicrosOf = resolveTsExtractor(g)
+    val t = g.getType
+    def longOf(name: String): Long = {
+      val idx = t.getFieldIndex(name)
+      t.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+          g.getInteger(idx, 0).toLong
+        case _ => g.getLong(idx, 0)
+      }
+    }
+    val offset = longOf(p.offsetCol)
+    val micros = tsMicrosOf(g)
+    val value = UTF8String.fromString(g.getString(p.valueCol, 0))
+    new GenericInternalRow(Array[Any](p.partitionId, offset, micros, value))
+  }
+
+  override def close(): Unit = reader.close()
+}

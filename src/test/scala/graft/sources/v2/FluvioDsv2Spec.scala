@@ -1,0 +1,124 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import graft.sources.{MpFixture, Tables}
+import org.apache.spark.sql.functions._
+
+/** The DSv2 MicroBatchStream source: real per-partition log offsets over a
+  * growing topic directory — the analog of the reference's live consumer
+  * loop (consume.rs:72-134), with the offset-window flags computed at bind
+  * time like the reference (consume.rs:580-605). */
+class FluvioDsv2Spec extends SparkSpec {
+
+  private val fmt = classOf[FluvioTableProvider].getName
+
+  private def mkTopic(prefix: String, n: Long): (java.io.File, java.io.File) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < n)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    (dir, topicDir)
+  }
+
+  private def startQuery(cmd: String, baseDir: String): (String, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val name = s"dsv2_${System.nanoTime()}"
+    val q = spark.readStream.format(fmt)
+      .option("cmd", cmd).option("baseDir", baseDir).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    (name, q)
+  }
+
+  test("micro-batches deliver new segments as the topic grows; offsets are log positions") {
+    val (dir, topicDir) = mkTopic("dsv2_grow", 100)
+    val (name, q) = startQuery("events -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100)
+      Tables.load(spark, sf, "events")
+        .filter(col("event_id") >= 100 && col("event_id") < 160)
+        .write.mode("append").parquet(topicDir.getAbsolutePath)
+      q.processAllAvailable()
+      val rows = spark.table(name).select("partition", "offset")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(rows.length == 160)
+      assert(rows.map(_._2).sorted.toSeq == (0L until 160L)) // exactly once
+      assert(rows.forall(_._1 == 0))
+      // the committed stream offset is a real log position
+      val progress = q.lastProgress.sources.head
+      assert(progress.endOffset.contains("160"), progress.endOffset)
+    } finally q.stop()
+  }
+
+  test("bind-time -T n starts n before the log end, like the reference") {
+    val (dir, topicDir) = mkTopic("dsv2_tail", 100)
+    val (name, q) = startQuery("events -T 5", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).select("offset").collect()
+        .map(_.getLong(0)).sorted.toSeq == (95L until 100L))
+      // later appends still stream (bind-time start, unbounded tail)
+      Tables.load(spark, sf, "events")
+        .filter(col("event_id") >= 100 && col("event_id") < 120)
+        .write.mode("append").parquet(topicDir.getAbsolutePath)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 25)
+    } finally q.stop()
+  }
+
+  test("--end N caps delivery inclusively") {
+    val (dir, _) = mkTopic("dsv2_end", 100)
+    val (name, q) = startQuery("events -B --end 49", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).select("offset").collect()
+        .map(_.getLong(0)).sorted.toSeq == (0L to 49L))
+    } finally q.stop()
+  }
+
+  test("multi-partition topic: -p prunes to one partition, -A streams all") {
+    val base = MpFixture.baseDir(spark, sf)
+    val perPart = Tables.load(spark, sf, "events").count() / 4
+    val (n1, q1) = startQuery("events_mp -p 2 -B", base)
+    try {
+      q1.processAllAvailable()
+      val rows = spark.table(n1).select("partition", "offset").collect()
+      assert(rows.length == perPart)
+      assert(rows.forall(_.getInt(0) == 2))
+    } finally q1.stop()
+    val (n2, q2) = startQuery("events_mp -A -B", base)
+    try {
+      q2.processAllAvailable()
+      val byPart = spark.table(n2).groupBy("partition").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byPart == Map(0 -> perPart, 1 -> perPart, 2 -> perPart, 3 -> perPart))
+    } finally q2.stop()
+  }
+
+  test("timestamps survive the unit conversion (nanos fixture -> micros)") {
+    val (dir, _) = mkTopic("dsv2_ts", 10)
+    val (name, q) = startQuery("events -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).orderBy("offset")
+        .select("timestamp").head().getTimestamp(0)
+      val exp = Tables.load(spark, sf, "events").orderBy("event_id")
+        .select(col("ts").cast("timestamp")).head().getTimestamp(0)
+      assert(got == exp, s"$got != $exp")
+    } finally q.stop()
+  }
+
+  test("error surface matches the batch contract") {
+    val (dir, _) = mkTopic("dsv2_err", 10)
+    val e1 = intercept[Exception](
+      spark.readStream.format(fmt)
+        .option("cmd", "nosuch -B").option("baseDir", dir.getAbsolutePath).load())
+    assert(e1.getMessage.contains("Topic not found") ||
+      Option(e1.getCause).exists(_.getMessage.contains("Topic not found")),
+      e1.toString)
+    val e2 = intercept[Exception](
+      spark.readStream.format(fmt)
+        .option("baseDir", dir.getAbsolutePath).load())
+    assert(e2.toString.contains("cmd"), e2.toString)
+  }
+}

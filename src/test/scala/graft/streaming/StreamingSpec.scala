@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 100)
   }
 
+  test("growing topic: a parquet file appended MID-QUERY arrives as a new micro-batch") {
+    // the reference's live consumer keeps delivering as the log grows
+    // (consume.rs:72-134); on the file-backed topic the same contract is
+    // "new parquet segment in the topic dir = new micro-batch"
+    val dir = java.nio.file.Files.createTempDirectory("grow_topic").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    val src = graft.sources.Tables.load(spark, sf, "events")
+    src.filter(col("event_id") < 100)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    val stream = ConsumeStream.consume(spark, "events -d -B --rows 100000000",
+      dir.getAbsolutePath)
+    val name = s"grow_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100)
+      // a producer appends a new segment while the query is RUNNING
+      src.filter(col("event_id") >= 100 && col("event_id") < 150)
+        .write.mode("append").parquet(topicDir.getAbsolutePath)
+      q.processAllAvailable()
+      val offsets = spark.table(name).select("offset")
+        .collect().map(_.getLong(0)).sorted
+      assert(offsets.length == 150, s"got ${offsets.length} records")
+      assert(offsets.toSeq == (0L until 150L)) // new records, no re-delivery
+    } finally q.stop()
+  }
+
   test("sliding windows: each record lands in window/slide overlapping windows") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
     val base = 1700000000000L // 2023-11-14 22:13:20 UTC
