@@ -252,12 +252,16 @@ object Dedup {
 
     val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
+    // initial labels stay LAZY (derived from the materialized edges): on a
+    // non-empty graph round 1 always decreases the label sum (every pair
+    // (a,b), a<b, pulls b's label down), so no initial-sum job is needed —
+    // `lastSum == null` means "no previous round", never "converged".
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    if (edges.isEmpty) return labels // no pairs → no rows, not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
-    var lastSum = labelSum(labels) // cheap: labels is already materialized
-    if (lastSum == null) return labels // no pairs → no rows, not an NPE
+    var lastSum: java.math.BigDecimal = null
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -291,7 +295,7 @@ object Dedup {
           scala.concurrent.Future(obs.get("s").asInstanceOf[java.math.BigDecimal])(
             scala.concurrent.ExecutionContext.global), 10.seconds)
       } catch { case _: java.util.concurrent.TimeoutException => labelSum(labels) }
-      converged = s.compareTo(lastSum) == 0
+      converged = lastSum != null && s.compareTo(lastSum) == 0
       lastSum = s
       i += 1
     }
