@@ -88,16 +88,27 @@ object Similarity {
   /** LSH-bucketed near-dup pairs: join on equal signature bucket, then
     * exact-cosine filter. Banding over `nBands` signature words raises
     * recall (a pair is a candidate if ANY band matches). Scales as
-    * Σ bucket² instead of n². */
+    * Σ bucket² instead of n².
+    *
+    * All band signatures are computed in ONE corpus scan (a per-row
+    * signature array exploded into (band, bucket) rows) — a per-band
+    * union would rescan the corpus nBands times, the difference between
+    * one and twelve passes over 100 TB. Shuffle volume is unchanged
+    * (nBands rows/doc either way). */
   def annNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 12, nBands: Int = 4,
                       seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val banded = (0 until nBands).map { b =>
+    val bandSigs = (0 until nBands).map { b =>
       val planes = randomPlanes(nPlanes, dim, seed + b)
-      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        l2Norm(col(vecCol)).as("nrm"),
-        lit(b).as("band"), rhpSignature(col(vecCol), planes).as("bucket"))
-    }.reduce(_.unionAll(_))
+      struct(lit(b).as("band"), rhpSignature(col("vec"), planes).as("bucket"))
+    }
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .select(col("id"), col("vec"), col("nrm"),
+        explode(array(bandSigs: _*)).as("bb"))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),

@@ -120,7 +120,11 @@ object FluvioOffset {
   }
 }
 
-class FluvioTableProvider extends TableProvider {
+/** Registered as format("fluvio") via the DataSourceRegister service
+  * file (META-INF/services). */
+class FluvioTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "fluvio"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     FluvioDsv2.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

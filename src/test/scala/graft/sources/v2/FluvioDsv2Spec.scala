@@ -108,6 +108,46 @@ class FluvioDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint resumes at the committed log offsets (no re-delivery)") {
+    val (dir, topicDir) = mkTopic("dsv2_restart", 80)
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    // foreachBatch sink: supports checkpoint recovery (memory does not)
+    def start() = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.select("offset").collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == (0L until 80L), s"first run: ${got.size}")
+    got.clear()
+    // topic grows while NO query is running; the restart must pick up
+    // exactly the new records from the checkpointed per-partition offset
+    Tables.load(spark, sf, "events")
+      .filter(col("event_id") >= 80 && col("event_id") < 130)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.asScala.toSeq.sorted == (80L until 130L),
+        s"restart delivered ${got.size} rows (expected exactly the 50 new)")
+    } finally q2.stop()
+  }
+
+  test("short name: format(\"fluvio\") resolves via DataSourceRegister") {
+    val (dir, _) = mkTopic("dsv2_short", 10)
+    val name = s"dsv2_sn_${System.nanoTime()}"
+    val q = spark.readStream.format("fluvio")
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).count() == 10)
+  }
+
   test("error surface matches the batch contract") {
     val (dir, _) = mkTopic("dsv2_err", 10)
     val e1 = intercept[Exception](
