@@ -109,16 +109,15 @@ object Similarity {
         explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("vec"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    // shuffle join → the banded-signature subtree is exchange-reused
-    // across the self-join (see Dedup.minhashCandidates)
-    l.hint("shuffle_hash").join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
+    // Self-join the SAME plan aliased twice, renaming only AFTER the join:
+    // the two Exchange children then canonicalize equal and AQE reuses the
+    // shuffle stage — the signature pipeline runs ONCE per query. (Renaming
+    // the sides before the join, as an earlier version did, broke the
+    // match: 2 scans + 2 identical shuffles in the executed plan.)
+    banded.as("l").hint("shuffle_hash").join(banded.as("r"), Seq("band", "bucket"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("score"))
       .filter(col("score") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }
