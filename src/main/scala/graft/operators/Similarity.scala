@@ -64,26 +64,42 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** The bucket-pruned candidate rows an [[annTopK]] probe ranks: rows
+    * within `probeRadius` Hamming distance of the query's signature in ANY
+    * of `nBands` independent signature tables (classic multi-table LSH —
+    * a true neighbor is missed only if EVERY table separates it, so recall
+    * converges to 1 exponentially in nBands while each table stays
+    * selective). One scan; the per-row cost is nBands signature dots.
+    * Exposed for recall/pruning measurement (RecallTune,
+    * emb_ann_topk_recall). */
+  def annCandidates(df: DataFrame, idCol: String, vecCol: String,
+                    query: Array[Double], nPlanes: Int = 12,
+                    probeRadius: Int = 2, nBands: Int = 1,
+                    seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val perBand = (0 until nBands).map { b =>
+      val planes = randomPlanes(nPlanes, dim, seed + b)
+      val querySig: Long = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (x, y) => x * y }.sum
+        if (d >= 0.0) 1L << i else 0L
+      }.sum
+      bit_count(rhpSignature(col(vecCol), planes).bitwiseXOR(lit(querySig))) <= probeRadius
+    }
+    df.filter(perBand.reduce(_ || _))
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket plus all
-    * buckets within `probeRadius` Hamming distance of it, rank candidates
-    * by exact cosine. One scan + one bucket-pruned ranking. */
+    * buckets within `probeRadius` Hamming distance of it, in each of
+    * `nBands` signature tables; rank the surviving candidates by exact
+    * cosine. One scan + one bucket-pruned ranking. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Double], k: Int,
               nPlanes: Int = 12, probeRadius: Int = 2,
-              seed: Long = 42L): DataFrame = {
-    val dim = query.length
-    val planes = randomPlanes(nPlanes, dim, seed)
-    val querySig: Long = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (x, y) => x * y }.sum
-      if (d >= 0.0) 1L << i else 0L
-    }.sum
-    df.select(col(idCol), col(vecCol),
-        rhpSignature(col(vecCol), planes).as("__sig"))
-      .filter(bit_count(col("__sig").bitwiseXOR(lit(querySig))) <= probeRadius)
+              nBands: Int = 1, seed: Long = 42L): DataFrame =
+    annCandidates(df, idCol, vecCol, query, nPlanes, probeRadius, nBands, seed)
       .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
-  }
 
   /** LSH-bucketed near-dup pairs: join on equal signature bucket, then
     * exact-cosine filter. Banding over `nBands` signature words raises

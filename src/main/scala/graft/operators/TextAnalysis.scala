@@ -87,6 +87,36 @@ object TextAnalysis {
     (lenOk + wordLenOk + stopBp + punctOk).cast("double") / 10000.0
   }
 
+  /** Top word-n-gram fraction (Gopher/C4 repetition signal): the share of
+    * all n-grams taken by the most frequent one. One-pass native kernel
+    * ([[graft.functions.TopGramFrac]]) — the composed explode/groupBy form
+    * would shuffle corpus-sized gram rows twice for a per-doc number. */
+  def topGramFrac(text: Column, n: Int): Column =
+    graft.functions.TopGramFrac(text, n)
+
+  /** Email pattern for PII scrubbing. Lookaround-free so the DuckDB (RE2)
+    * oracle matches identically. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like pattern: leading optional +, 7+ chars of digits/separators,
+    * ending in a digit. Greedy char-class quantifier — same result under
+    * java.util.regex and RE2 (no backtracking-order divergence). */
+  val phonePattern = "\\+?[0-9][0-9() -]{5,}[0-9]"
+
+  /** PII scrub: redact emails then phone-like numbers. Per-row codegen'd
+    * regexp_replace — shuffle-free at any scale. Emails first: a phone
+    * match can not span a redacted `<EMAIL>` token, but digits inside an
+    * un-redacted email local part could otherwise be eaten as a "phone". */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(phonePattern), lit("<PHONE>"))
+
+  /** Counts of redacted entities (for scrub audit metrics). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def phoneCount(text: Column): Column =
+    regexp_count(regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+      lit(phonePattern))
+
   /** Full per-document profile, one pass. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

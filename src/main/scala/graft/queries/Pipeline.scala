@@ -38,6 +38,31 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Gopher-style repetition signals: share of all word n-grams taken by
+    // the most frequent one. No round(): numerator/denominator are small
+    // exact integers on both engines, so the single IEEE division is
+    // bit-identical — rounding could only introduce half-way divergence.
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.topGramFrac(col("text"), 1).as("top_word_frac"),
+        TextAnalysis.topGramFrac(col("text"), 2).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+    // PII scrub over planted entities: the fixture corpus is digit-free
+    // word soup, so emails/phones are planted deterministically from
+    // doc_id — every match is a planted one and the redaction machinery
+    // (order: emails first, then phones) is fully oracle-checked. The
+    // scrubbed text is compared by md5 to keep the result row narrow.
+    "text_pii_scrub" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("text",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).cast("int").as("n_emails"),
+          TextAnalysis.phoneCount(col("text")).cast("int").as("n_phones"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrub_fp"))
+        .orderBy("doc_id")),
 
     // ---- sampling (deterministic, engine-portable)
     "sample_hash" -> ((s, dir) =>
@@ -104,6 +129,21 @@ object Pipeline {
           numHashes = 64, bands = 16), Seq("id_a", "id_b"), "semi")
         .orderBy("id_a", "id_b")
     }),
+    // Engine-portable minhash signatures: component i = MIN over shingles
+    // of md5(i || ':' || shingle), compared AS 32-hex STRINGS (fixed-width
+    // hex ⇒ lexicographic min ≡ numeric min). DuckDB computes the exact
+    // same signatures, so this entry oracle-proves the minhash ALGEBRA
+    // (per-shingle hash → per-doc column-wise min, one groupBy with
+    // map-side partial mins) end-to-end — the production path
+    // (dedup_minhash_lsh) keeps the cheaper native xxhash64, whose
+    // signature VALUES DuckDB cannot express; its recall is proved by
+    // dedup_lsh_recall and its verified pair set by dedup_minhash_neardups.
+    "dedup_minhash_portable" -> ((s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+      val aggs = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+      sh.groupBy("id").agg(aggs.head, aggs.tail: _*).orderBy("id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -157,11 +197,31 @@ object Pipeline {
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
-    // approximate (no oracle; recall unit-tested against brute force):
+    // approximate (no oracle; recall unit-tested against brute force).
+    // Operating point measured (RecallTune): 4 signature tables × 8 planes,
+    // probe radius 3 — recall 1.000 at sf0.001/0.01/0.1. One table at any
+    // radius needs ~96% probed for recall 1 on this corpus (iid random
+    // embeddings score near-uniformly against the ones query), multi-table
+    // OR-probing reaches it at ~82%; for single-query top-k at scale the
+    // cell-pruned IVF path (emb_ivf_topk) is the real answer.
     "emb_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
-        k = 20, nPlanes = 12, probeRadius = 3)
+        k = 20, nPlanes = 8, probeRadius = 3, nBands = 4)
         .withColumn("score", round(col("score"), 6))),
+    // Recall oracle for the multi-table probe (the emb_ann_recall pattern):
+    // at the measured recall-1 operating point the ANN top-k EQUALS the
+    // exact top-k, so exact-topk ⋉ ann-topk hash-checks against the exact
+    // top-k oracle — machinery proof (signatures, OR-probe, ranking), not
+    // a pruning claim.
+    "emb_ann_topk_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.cosineTopK(e, "vec_id", "embedding", onesQuery, k = 20)
+        .withColumn("score", round(col("score"), 6))
+        .join(Similarity.annTopK(e, "vec_id", "embedding", onesQuery, k = 20,
+          nPlanes = 8, probeRadius = 3, nBands = 4).select("vec_id"),
+          Seq("vec_id"), "semi")
+        .orderBy(desc("score"), col("vec_id"))
+    }),
     "emb_ann_neardups" -> ((s, dir) =>
       Similarity.annNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.4, nPlanes = 8, nBands = 4)
@@ -310,6 +370,41 @@ object Pipeline {
       s"SELECT doc_id, $langIdSql AS lang_pred FROM documents ORDER BY doc_id",
     "text_fingerprint" ->
       s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+    "text_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |u AS (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, len(arr)), i -> arr[i])) AS g
+         |      FROM toks),
+         |uc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM u GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |b AS (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 1)),
+         |             i -> array_to_string(arr[i:i+1], ' '))) AS g
+         |      FROM toks),
+         |bc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY doc_id)
+         |SELECT uc.doc_id, uc.f AS top_word_frac, bc.f AS top_bigram_frac
+         |FROM uc JOIN bc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" -> {
+      val email = TextAnalysis.emailPattern
+      val phone = TextAnalysis.phonePattern
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@example.com or +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |         regexp_replace(text, '$email', '<EMAIL>', 'g'), '$phone')) AS INTEGER) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |      '$phone', '<PHONE>', 'g')) AS scrub_fp
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
     "dedup_exact" ->
       (s"SELECT md5($norm) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY fp"),
@@ -360,11 +455,21 @@ object Pipeline {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_minhash_portable" ->
+      (shinglesCte + "\n" +
+        (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
+          .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
     "dedup_winnow_pairs" -> jaccardPairsSql("0.5", cols = "id_a, id_b"),
     "emb_cosine_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "emb_ann_topk_recall" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
          |FROM embeddings

@@ -63,6 +63,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("multi-table annTopK: recall 1 at the measured operating point, OR-probe supersets one table") {
+    // RecallTune: 4 tables x 8 planes, radius 3 => recall 1.000 at
+    // sf0.001, sf0.01 AND sf0.1 (the basis for emb_ann_topk_recall)
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annTopK(embs, "vec_id", "embedding", ones, 20,
+      nPlanes = 8, probeRadius = 3, nBands = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(multi == exact, s"missed: ${exact -- multi}")
+    // the OR over tables can only widen the candidate set
+    val one = Similarity.annCandidates(embs, "vec_id", "embedding", ones,
+      nPlanes = 8, probeRadius = 3, nBands = 1)
+      .collect().map(_.getLong(0)).toSet
+    val four = Similarity.annCandidates(embs, "vec_id", "embedding", ones,
+      nPlanes = 8, probeRadius = 3, nBands = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(four))
+    assert(four.size > one.size, "extra tables added no candidates")
+  }
+
   test("annTopK is seed-deterministic: identical rows across invocations") {
     def run() = Similarity.annTopK(embs, "vec_id", "embedding", ones, 20,
       nPlanes = 8, probeRadius = 3, seed = 42L)

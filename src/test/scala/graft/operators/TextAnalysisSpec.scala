@@ -57,6 +57,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(qb < 0.5)
   }
 
+  test("topGramFrac: repetition signal") {
+    // "a b a b a" → unigrams: a×3, b×2 of 5 → 0.6; bigrams: "a b"×2,
+    // "b a"×2 of 4 → 0.5
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 1), "a b a b a") == 0.6)
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 2), "a b a b a") == 0.5)
+    // all-distinct grams → 1/n
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 1), "w x y z") == 0.25)
+    // fully repeated text pins to 1.0
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 2), "spam spam spam spam") == 1.0)
+    // fewer tokens than n → one joined gram → 1.0 (matches the oracle's
+    // greatest(len-1, 1) slice form)
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 2), "single") == 1.0)
+    // normalization contract: case/whitespace collapse like WordShingles
+    assert(eval(TextAnalysis.topGramFrac(col("text"), 1), "A  a\ta") == 1.0)
+  }
+
+  test("topGramFrac parity with the composed explode/groupBy form") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat"),
+      (2L, "one two three"),
+      (3L, "x x x y"),
+      (4L, "  padded   text  with   runs  ")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+      TextAnalysis.topGramFrac(col("text"), 2).as("f")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference computation: explode bigrams of the normalized tokens,
+    // count per (doc, gram), max/total per doc
+    val toks = docs.select(col("doc_id"),
+      split(TextAnalysis.normalized(col("text")), " ").as("arr"))
+    val grams = toks.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, greatest(size(arr) - 1, 1)), i -> concat_ws(' ', slice(arr, i, 2)))")).as("g"))
+    val ref = grams.groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg((max("count") / sum("count")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native == ref, s"$native vs $ref")
+  }
+
+  test("scrubPii redacts emails before phones; counts match") {
+    val t = "mail bob.smith+x@corp.example.org or call +1 (555) 123-4567 now"
+    val scrubbed = eval(TextAnalysis.scrubPii(col("text")), t).toString
+    assert(scrubbed == "mail <EMAIL> or call <PHONE> now", scrubbed)
+    assert(eval(TextAnalysis.emailCount(col("text")), t) == 1)
+    assert(eval(TextAnalysis.phoneCount(col("text")), t) == 1)
+    // digits inside an email local part must NOT count as a phone
+    val t2 = "reach 12345678a9@example.com today"
+    assert(eval(TextAnalysis.phoneCount(col("text")), t2) == 0)
+    assert(eval(TextAnalysis.scrubPii(col("text")), t2) ==
+      "reach <EMAIL> today")
+    // no PII → unchanged
+    assert(eval(TextAnalysis.scrubPii(col("text")), "plain words only") ==
+      "plain words only")
+  }
+
   test("profile produces one row per doc with all features") {
     val df = Seq((1L, "the quick brown fox"), (2L, "le chat est la")).toDF("doc_id", "text")
     val p = TextAnalysis.profile(df, "doc_id", "text").collect()
