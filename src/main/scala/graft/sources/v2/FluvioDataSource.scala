@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,6 +50,13 @@ import graft.sources.{ConsumeOpt, OffsetSpec, RecordView, TopicRegistry}
   * follow the reference: `-B`/`-H n`/`--start n` → absolute starts,
   * `-T n`/default-end → relative to the log end AS OF STREAM START (the
   * reference computes the start offset once at bind, consume.rs:580-605).
+  *
+  * Admission control (the 100 TB guard): `.option("maxRecordsPerTrigger",
+  * n)` caps each micro-batch at n records, split across partitions
+  * proportionally to backlog — without it, the FIRST batch of a `-B`
+  * consume over a deep topic is the entire log in one transaction.
+  * `Trigger.AvailableNow` is supported: the log end is latched at start,
+  * drained in rate-limited batches, then the query stops.
   */
 object FluvioDsv2 {
   val Schema: StructType = StructType(Seq(
@@ -153,18 +160,25 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
   override def schema(): StructType = FluvioDsv2.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Kafka-style admission control: caps records admitted per micro-batch
+    // (0/absent = unlimited). Read here — Spark passes stream options to
+    // the scan builder, not the table properties.
+    val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FluvioDsv2.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FluvioMicroBatchStream(opt, view, baseDir)
+          new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger)
       }
     }
+  }
 }
 
-class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String)
-    extends MicroBatchStream {
+class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
+                             maxPerTrigger: Long = 0L)
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** The shared partition-selection contract (FluvioDuck.selectPartition):
     * single-partition topics ignore `-p`/`-A`; multi-partition topics pin
@@ -194,12 +208,70 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String)
     FluvioOffset(starts)
   }
 
-  override def latestOffset(): Offset = {
-    // footer-metadata only; `--end N` (inclusive) caps delivery at N+1
+  /** Current deliverable end per partition: LEO capped by `--end N`
+    * (inclusive ⇒ cap at N+1). Footer-metadata only — no data read. */
+  private def currentEnds(): Map[Int, Long] = {
     val cap = opt.end.map(_ + 1).getOrElse(Long.MaxValue)
-    FluvioOffset(selectedDirs().map { case (p, d) =>
+    selectedDirs().map { case (p, d) =>
       p -> math.min(FluvioDsv2.segmentFiles(d).map(FluvioDsv2.rowCount).sum, cap)
-    })
+    }
+  }
+
+  // Trigger.AvailableNow contract: latch the log ends ONCE at prepare
+  // time; every subsequent micro-batch targets this fixed end (reached in
+  // maxRecordsPerTrigger-sized steps if admission control is on), then the
+  // query shuts down — records appended after the latch wait for the next
+  // run. Without the latch a busy topic could keep an "available now"
+  // query alive indefinitely.
+  @volatile private var availableNowEnds: Option[Map[Int, Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnds = Some(currentEnds())
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0L) ReadLimit.maxRows(maxPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset = FluvioOffset(currentEnds())
+
+  override def latestOffset(): Offset =
+    // SupportsAdmissionControl streams are driven via latestOffset(start,
+    // limit); keep the no-arg form total (≡ no limit) for direct callers
+    FluvioOffset(availableNowEnds.getOrElse(currentEnds()))
+
+  /** Rate-limited batch end: admit at most `budget` records above `start`,
+    * split across partitions PROPORTIONALLY to their backlog (a hot
+    * partition cannot starve the others; allocation is deterministic —
+    * floor of the proportional share, remainder to the lowest partition
+    * ids). The same shape as the Kafka source's maxOffsetsPerTrigger. */
+  private def admit(start: Map[Int, Long], target: Map[Int, Long],
+                    budget: Long): Map[Int, Long] = {
+    val backlog = target.map { case (p, t) =>
+      p -> math.max(0L, t - start.getOrElse(p, 0L)) }
+    val total = backlog.values.sum
+    if (total <= budget) return target
+    val base = backlog.toSeq.sortBy(_._1).map { case (p, b) =>
+      (p, b, budget * b / total) // floor share
+    }
+    var remainder = budget - base.map(_._3).sum
+    base.map { case (p, b, share) =>
+      val bump = if (remainder > 0 && share < b) { remainder -= 1; 1L } else 0L
+      p -> (start.getOrElse(p, 0L) + share + bump)
+    }.toMap
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowEnds.getOrElse(currentEnds())
+    val s = start.asInstanceOf[FluvioOffset].positions
+    val end = limit match {
+      case r: ReadMaxRows      => admit(s, target, r.maxRows())
+      case _: ReadAllAvailable => target
+      case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        composite.getReadLimits.collectFirst { case r: ReadMaxRows => r }
+          .map(r => admit(s, target, r.maxRows())).getOrElse(target)
+      case _ => target // minRows/other hints: deliver what's available
+    }
+    FluvioOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset = FluvioOffset.fromJson(json)

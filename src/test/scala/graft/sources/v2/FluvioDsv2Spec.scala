@@ -138,6 +138,52 @@ class FluvioDsv2Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxRecordsPerTrigger caps each micro-batch; AvailableNow drains and stops") {
+    val (dir, _) = mkTopic("dsv2_limit", 100)
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      .option("maxRecordsPerTrigger", "30").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.add(df.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    // AvailableNow must terminate on its own once the latched end is reached
+    assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+    import scala.jdk.CollectionConverters._
+    val batches = sizes.asScala.toSeq.filter(_ > 0)
+    assert(batches.sum == 100, s"delivered ${batches.sum}")
+    assert(batches.forall(_ <= 30), s"a batch exceeded the cap: $batches")
+    assert(batches.length == 4, s"expected ceil(100/30)=4 batches, got $batches")
+  }
+
+  test("admission control splits the budget across partitions by backlog") {
+    val base = MpFixture.baseDir(spark, sf)
+    val perPart = Tables.load(spark, sf, "events").count() / 4
+    val firstBatch =
+      new java.util.concurrent.atomic.AtomicReference[Map[Int, Long]](null)
+    val q = spark.readStream.format(fmt)
+      .option("cmd", "events_mp -A -B").option("baseDir", base)
+      .option("maxRecordsPerTrigger", "100").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (id == 0L) firstBatch.set(
+          df.groupBy("partition").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // equal backlogs (perPart each) ⇒ the 100-record budget splits 25/25/25/25
+      assert(perPart > 25, s"fixture too small for the test: $perPart")
+      assert(firstBatch.get() == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L),
+        s"first batch split: ${firstBatch.get()}")
+    } finally q.stop()
+  }
+
   test("short name: format(\"fluvio\") resolves via DataSourceRegister") {
     val (dir, _) = mkTopic("dsv2_short", 10)
     val name = s"dsv2_sn_${System.nanoTime()}"
