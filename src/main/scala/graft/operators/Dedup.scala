@@ -252,12 +252,16 @@ object Dedup {
 
     val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
-    // initial labels stay LAZY (derived from the materialized edges): on a
-    // non-empty graph round 1 always decreases the label sum (every pair
-    // (a,b), a<b, pulls b's label down), so no initial-sum job is needed —
-    // `lastSum == null` means "no previous round", never "converged".
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Initial labels = round 1 done as a PLAIN AGGREGATE: with identity
+    // starting labels, propagate(min over self+neighbors) is just
+    // min(src, min(dst)) — a single groupBy over the materialized edge
+    // table, no join/union/jump machinery. The generic loop takes over
+    // from round 2. Labels stay LAZY (derived from the materialized
+    // edges); no initial-sum job is needed — `lastSum == null` means
+    // "no previous round", never "converged".
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .select(col("src").as("id"), col("cluster"))
     if (edges.isEmpty) return labels // no pairs → no rows, not an NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)

@@ -1,0 +1,64 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Pins the 100 TB plan-shape claims as regression-tested facts — the
+  * properties PERF.md/SURVEY.md assert about the flagship plans (pushed
+  * scan filters, broadcast dimension joins, top-k without a global sort,
+  * exchange reuse across self-joins) are checked against the EXECUTED
+  * plan, so an operator rewrite that silently de-optimizes a plan fails
+  * a spec instead of a future benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Executed plan text, truncated to the AQE FINAL section (the adaptive
+    * plan string appends the pre-execution "Initial Plan", which would
+    * double-count scans/exchanges). collect() executes THIS QueryExecution
+    * so runtime reuse/broadcast decisions are visible. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("consume offset window pushes offset bounds into the parquet scan") {
+    val plan = finalPlan(q("offset_end_bound")) // --start 100 --end 299
+    assert(plan.contains("GreaterThanOrEqual(event_id,100)"), plan)
+    assert(plan.contains("LessThanOrEqual(event_id,299)"), plan)
+    // pruned column projection: props/ts only as mapped, never e.g. a *
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q5: every dimension join broadcasts; no sort-merge join") {
+    val plan = finalPlan(q("q5_local_supplier"))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 5, s"expected >=5 broadcast joins, got $bhj\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the region filter reaches the scan
+    assert(plan.contains("EqualTo(r_name,ASIA)"), plan)
+  }
+
+  test("exact cosine top-k is TakeOrderedAndProject — no global sort, no shuffle") {
+    val plan = finalPlan(q("emb_cosine_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), s"top-k should be shuffle-free\n$plan")
+  }
+
+  test("clean-corpus pipeline: one fingerprint shuffle, one corpus scan") {
+    val plan = finalPlan(q("pipeline_clean_corpus"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("banded-LSH self-join reuses the signature exchange (one signature compute)") {
+    val plan = finalPlan(q("dedup_minhash_lsh"))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+        .groupBy(identity).exists(_._2.size > 1),
+      s"no exchange/stage reuse found in the minhash self-join plan\n$plan")
+  }
+}
