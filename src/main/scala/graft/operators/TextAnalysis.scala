@@ -127,6 +127,7 @@ object TextAnalysis {
       subwordCount(t).as("n_subwords"),
       fingerprint(t).as("fingerprint"),
       langId(t).as("lang_pred"),
-      qualityScore(t).as("quality"))
+      qualityScore(t).as("quality"),
+      topGramFrac(t, 2).as("top_bigram_frac"))
   }
 }

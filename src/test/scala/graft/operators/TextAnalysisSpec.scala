@@ -116,6 +116,7 @@ class TextAnalysisSpec extends SparkSpec {
     val p = TextAnalysis.profile(df, "doc_id", "text").collect()
     assert(p.length == 2)
     assert(p.head.schema.fieldNames.toSeq == Seq(
-      "doc_id", "n_chars", "n_tokens", "n_subwords", "fingerprint", "lang_pred", "quality"))
+      "doc_id", "n_chars", "n_tokens", "n_subwords", "fingerprint", "lang_pred",
+      "quality", "top_bigram_frac"))
   }
 }
