@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — the two classic "Spark lacks the operator"
+  * joins (both named in the project brief as custom-operator candidates;
+  * both native in the reference's host engine: DuckDB `ASOF JOIN` and
+  * inequality joins, which is why each entry here is fully
+  * DuckDB-oracle-checked).
+  *
+  * Both are composed from existing relational operators in the shape a
+  * 100 TB run needs — a naive translation of either is a
+  * BroadcastNestedLoopJoin (all-pairs per key / full cartesian):
+  *
+  *   - [[asofJoin]]: union-tag + one per-key ordered window. ONE shuffle
+  *     on the key, no row multiplication — never the |L|×|R| per-key
+  *     product of "theta-join then argmax".
+  *   - [[rangeJoin]]: bin the ranges, hash-equi-join on the bin, post-
+  *     filter. Cartesian only within a bin.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single right row with the largest
+    * `rightTs` ≤ the row's `leftTs`, per key — DuckDB `ASOF JOIN`
+    * semantics, including the tie rule (a right row AT the left timestamp
+    * matches) and `joinType`: "inner" (default, like DuckDB) drops left
+    * rows with no prior right row; "left" keeps them null-filled.
+    *
+    * Plan shape: tag both inputs, align schemas, union, then ONE window —
+    * `last(right_payload, ignoreNulls)` over (key, ORDER BY ts with right
+    * rows sorting before left rows at equal ts) — and keep the left rows.
+    * One shuffle on the key, one per-partition sort, zero row
+    * multiplication; skew = a hot KEY's window (salt upstream if one key
+    * dominates, as with any per-key window).
+    *
+    * Left and right non-key column names must be disjoint (checked) —
+    * right's timestamp column rides along in the output like DuckDB's. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String,
+               joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType),
+      s"asofJoin supports inner|left, got $joinType")
+    val leftCols = left.columns.filterNot(keyCols.contains).toSeq
+    val rightCols = right.columns.filterNot(keyCols.contains).toSeq
+    val overlap = leftCols.intersect(rightCols)
+    require(overlap.isEmpty,
+      s"asofJoin: non-key columns must be disjoint, overlap: $overlap")
+
+    val lStruct = left.select(leftCols.map(col): _*).schema
+    val rStruct = right.select(rightCols.map(col): _*).schema
+    val lAligned = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTs).as("__t"), lit(1).as("__side"),
+        struct(leftCols.map(col): _*).as("__l"),
+        lit(null).cast(rStruct).as("__r")): _*)
+    val rAligned = right.select(
+      keyCols.map(col) ++ Seq(
+        col(rightTs).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__l"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+
+    // right rows (__side=0) sort before left rows at the same timestamp,
+    // so `t_left >= t_right` ties match — DuckDB's ASOF rule
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lAligned.unionByName(rAligned)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val kept = if (joinType == "inner") matched.filter(col("__m").isNotNull)
+               else matched
+    kept.select(
+      keyCols.map(col) ++
+        leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Range join: (left, right) pairs where `pointCol` ∈ [loCol, hiCol]
+    * (both inclusive), optionally also matching on `keyCols`. Each right
+    * range explodes into the ≤ span/binWidth + 1 bins it covers, each
+    * left point computes its ONE bin, and the join is a hash equi-join on
+    * (bin, keys) with the exact between-filter after — cartesian only
+    * within a bin. `binWidth` trades range fan-out (small bins → more bin
+    * rows per range) against candidate waste (large bins → more
+    * post-filtered pairs); set it near the typical range span. */
+  def rangeJoin(left: DataFrame, pointCol: String,
+                right: DataFrame, loCol: String, hiCol: String,
+                binWidth: Double, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val binned = right.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val points = left.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    points.join(binned, Seq("__bin") ++ keyCols)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}

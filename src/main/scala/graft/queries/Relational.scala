@@ -109,6 +109,42 @@ object Relational {
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
+    // As-of join (DuckDB `ASOF JOIN` is native in the reference's host
+    // engine): for each event, the latest "mark" record (every 7th id —
+    // 7 is coprime to 4, so every key class has marks) with mark_id <=
+    // event_id in the same key class. One key shuffle + one window — see
+    // operators/Temporal.asofJoin.
+    "join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.select(col("event_id"), (col("event_id") % 4).as("k"),
+        col("event_id").as("t"))
+      val r = ev.filter(col("event_id") % 7 === 0)
+        .select((col("event_id") % 4).as("k"), col("event_id").as("mark_id"))
+        .withColumn("mt", col("mark_id"))
+      graft.operators.Temporal.asofJoin(l, r, Seq("k"), "t", "mt")
+        .select("event_id", "k", "mark_id")
+        .orderBy("event_id")
+    }),
+
+    // Range join: lineitem quantities against overlapping quantity bands
+    // (derived from nation so the band table is fixture-stable). Binned
+    // equi-join — never the BroadcastNestedLoop all-pairs plan; see
+    // operators/Temporal.rangeJoin.
+    "join_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey").cast("double") * 2).as("lo"),
+        (col("n_nationkey").cast("double") * 2 + 3).as("hi"))
+      graft.operators.Temporal.rangeJoin(li, "l_quantity", bands,
+        "lo", "hi", binWidth = 4.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "band_id")
+        // quantity is in the sort: the fixture's (orderkey, linenumber)
+        // is NOT unique, so ties would order engine-dependently
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "band_id")
+    }),
+
     // window: per-supplier running quantity in shipdate order
     "window_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -281,6 +317,19 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "join_asof" ->
+      """WITH l AS (SELECT event_id, event_id % 4 AS k FROM events),
+        |m AS (SELECT event_id % 4 AS k, event_id AS mark_id FROM events
+        |      WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.k, m.mark_id
+        |FROM l ASOF JOIN m ON l.k = m.k AND l.event_id >= m.mark_id
+        |ORDER BY event_id""".stripMargin,
+    "join_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       n_nationkey AS band_id
+        |FROM lineitem, nation
+        |WHERE l_quantity >= n_nationkey * 2 AND l_quantity <= n_nationkey * 2 + 3
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, band_id""".stripMargin,
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the DuckDB ASOF JOIN reference example (verified against duckdb 1.0):
+  //   l: (1,5) (1,10) (2,7) (1,2)   r: (1,3,100) (1,8,200) (2,1,300)
+  private def l = Seq((1, 5), (1, 10), (2, 7), (1, 2)).toDF("k", "t")
+  private def r = Seq((1, 3, 100), (1, 8, 200), (2, 1, 300))
+    .toDF("k", "rt", "v")
+
+  test("asofJoin inner: latest right at-or-before each left ts; no-match rows dropped") {
+    val got = Temporal.asofJoin(l, r, Seq("k"), "t", "rt")
+      .select("k", "t", "rt", "v").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3))).toSet
+    assert(got == Set((1, 5, 3, 100), (1, 10, 8, 200), (2, 7, 1, 300)))
+  }
+
+  test("asofJoin left: unmatched left rows survive null-filled") {
+    val got = Temporal.asofJoin(l, r, Seq("k"), "t", "rt", joinType = "left")
+      .select("k", "t", "v").collect()
+      .map(x => (x.getInt(0), x.getInt(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSet
+    assert(got == Set((1, 2, None), (1, 5, Some(100)),
+      (1, 10, Some(200)), (2, 7, Some(300))))
+  }
+
+  test("asofJoin tie rule: a right row AT the left timestamp matches") {
+    val got = Temporal.asofJoin(
+      Seq((1, 8)).toDF("k", "t"), r, Seq("k"), "t", "rt")
+      .select("v").head().getInt(0)
+    assert(got == 200) // rt=8 matches t=8 (>=), not the earlier rt=3
+  }
+
+  test("asofJoin rejects overlapping non-key column names") {
+    val e = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l, r.withColumnRenamed("v", "t"), Seq("k"), "t", "rt"))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("rangeJoin: inclusive bounds, bin boundaries, negatives") {
+    val points = Seq((1, -4.0), (2, 0.0), (3, 3.9), (4, 4.0), (5, 12.0))
+      .toDF("id", "p")
+    val ranges = Seq((10, -5.0, -3.0), (11, 0.0, 4.0), (12, 3.5, 12.0))
+      .toDF("rid", "lo", "hi")
+    val got = Temporal.rangeJoin(points, "p", ranges, "lo", "hi", binWidth = 4.0)
+      .select("id", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(got == Set(
+      (1, 10),           // -4 in [-5,-3] (negative bins)
+      (2, 11),           // 0 at the lo boundary
+      (3, 11), (3, 12),  // 3.9 in both overlapping ranges
+      (4, 11), (4, 12),  // 4.0 at hi boundary of one, inside the other
+      (5, 12)))          // 12.0 at hi boundary, crosses 3 bins
+  }
+
+  test("rangeJoin with key columns scopes matches to the key") {
+    val points = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "p")
+    val ranges = Seq(("a", 0.0, 10.0)).toDF("g", "lo", "hi")
+    val got = Temporal.rangeJoin(points, "p", ranges, "lo", "hi",
+      binWidth = 4.0, keyCols = Seq("g"))
+      .select("g").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a"))
+  }
+}
