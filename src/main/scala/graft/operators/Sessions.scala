@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization and skew-safe aggregation — the remaining two
+  * shapes a large event pipeline leans on constantly.
+  */
+object Sessions {
+
+  /** Gap-based sessionization (the batch analog of streaming
+    * `session_window`, which covers the continuous path in
+    * ConsumeStream.sessionAgg): rows of one key whose consecutive `tsCol`
+    * values are ≤ `gap` apart share a session; `session_id` is the
+    * per-key session ordinal (1-based, in time order).
+    *
+    * The standard two-window form: flag rows that START a session
+    * (previous row absent or gap exceeded), then running-sum the flags.
+    * Both windows share one (key, ts) sort — ONE shuffle on the key, no
+    * joins. Skew = a hot key's window, as with any per-key sort. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gap: Long): DataFrame = {
+    val byKey = Window.partitionBy(keyCol).orderBy(tsCol)
+    val brk = when(col(tsCol) - lag(col(tsCol), 1).over(byKey) > gap ||
+      lag(col(tsCol), 1).over(byKey).isNull, 1L).otherwise(0L)
+    df.withColumn("__brk", brk)
+      .withColumn("session_id",
+        sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Per-session summary: bounds + row count per (key, session). */
+  def sessionSummary(df: DataFrame, keyCol: String, tsCol: String,
+                     gap: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, gap)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+
+  /** Skew-safe two-phase aggregation: spread each hot key over `salt`
+    * sub-keys, partially aggregate, then aggregate the partials. For
+    * algebraic aggregates (sum/count/min/max) the result is exactly the
+    * plain groupBy's — the salt only caps any single reducer's share of a
+    * hot key at 1/salt of its rows.
+    *
+    * Spark's map-side partial aggregation already handles moderate skew;
+    * the salted form is for the pathological case where even the PARTIAL
+    * rows of one key (one per map task) overwhelm a reducer, or where an
+    * ObjectHashAggregate (no partial merge) sits in the middle. The salt
+    * is derived from xxhash64 of the value column — deterministic per
+    * row, uniform across sub-keys, no RNG. */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                salt: Int = 16): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salt.toLong)))
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"))
+    partial.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"))
+  }
+}

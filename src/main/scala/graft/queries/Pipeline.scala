@@ -64,6 +64,16 @@ object Pipeline {
           md5(TextAnalysis.scrubPii(col("text"))).as("scrub_fp"))
         .orderBy("doc_id")),
 
+    // Corpus vocabulary: token occurrence counts, top-k — the first step
+    // of tokenizer/vocab induction over a corpus. One groupBy shuffle
+    // (map-side partial counts) + TakeOrderedAndProject; tie-broken by
+    // token so the k-cut is deterministic.
+    "text_vocab_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(50)),
+
     // ---- sampling (deterministic, engine-portable)
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 4)
@@ -388,6 +398,10 @@ object Pipeline {
          |SELECT uc.doc_id, uc.f AS top_word_frac, bc.f AS top_bigram_frac
          |FROM uc JOIN bc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "text_vocab_topk" ->
+      s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
     "text_pii_scrub" -> {
       val email = TextAnalysis.emailPattern
       val phone = TextAnalysis.phonePattern

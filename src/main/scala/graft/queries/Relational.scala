@@ -145,6 +145,29 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "band_id")
     }),
 
+    // Gap-based sessionization (batch analog of the streaming
+    // session_window path): one key shuffle, two windows sharing one
+    // sort — see operators/Sessions.sessionize. event_id is the dense
+    // time axis; gap 100 yields multi-session users on the fixtures.
+    "sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"))
+      graft.operators.Sessions.sessionSummary(ev, "user_id", "event_id",
+        gap = 100L)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Skew-safe two-phase (salted) aggregation — result must EQUAL the
+    // plain groupBy (the oracle); decimal sums make the equality exact
+    // under the salt's different addition order.
+    "agg_salted_skew" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,4)").as("qty"))
+      graft.operators.Sessions.saltedSum(li, Seq("l_returnflag"), "qty",
+        salt = 16)
+        .select(col("l_returnflag"), col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // window: per-supplier running quantity in shipdate order
     "window_running_sum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -330,6 +353,26 @@ object Relational {
         |FROM lineitem, nation
         |WHERE l_quantity >= n_nationkey * 2 AND l_quantity <= n_nationkey * 2 + 3
         |ORDER BY l_orderkey, l_linenumber, l_quantity, band_id""".stripMargin,
+    "sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN lag(event_id) OVER w IS NULL
+        |         OR event_id - lag(event_id) OVER w > 100 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |x AS (
+        |  SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(event_id) AS session_start, MAX(event_id) AS session_end
+        |FROM x GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize: gap splits, per-key ordinals, boundary is inclusive") {
+    // key 1: ts 1,2,8 with gap 5 → {1,2}, {8}; key 2: one session
+    val df = Seq((1, 1L), (1, 2L), (1, 8L), (2, 100L), (2, 105L))
+      .toDF("k", "ts")
+    val got = Sessions.sessionize(df, "k", "ts", gap = 5L)
+      .select("k", "ts", "session_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1, 1L, 1L), (1, 2L, 1L), (1, 8L, 2L),
+      (2, 100L, 1L), (2, 105L, 1L))) // 105-100 = 5 = gap → same session
+  }
+
+  test("sessionSummary aggregates bounds and counts per session") {
+    val df = Seq((1, 1L), (1, 2L), (1, 50L), (1, 52L)).toDF("k", "ts")
+    val got = Sessions.sessionSummary(df, "k", "ts", gap = 10L)
+      .orderBy("session_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 1L, 2L), (2L, 2L, 50L, 52L)))
+  }
+
+  test("saltedSum equals the plain groupBy exactly (decimal values)") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,4)").as("qty"))
+    val salted = Sessions.saltedSum(li, Seq("l_returnflag"), "qty", salt = 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val plain = li.groupBy("l_returnflag").agg(sum("qty").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedSum plan: two aggregation exchanges, none keyed on the raw hot key alone in phase 1") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,4)").as("qty"))
+    val plan = Sessions.saltedSum(li, Seq("l_returnflag"), "qty", salt = 16)
+      .queryExecution.optimizedPlan.toString
+    // phase-1 grouping includes the salt, so one reducer never owns a
+    // whole hot key
+    assert(plan.contains("__salt"), plan)
+  }
+}
