@@ -84,3 +84,11 @@ case class JoltCardinality(child: Expression, specJson: String) extends JoltExpr
   override protected def withNewChildInternal(newChild: Expression): JoltCardinality =
     copy(child = newChild)
 }
+
+/** jolt `sort`: object keys in natural order, recursively (arrays keep
+  * element order); the op takes no spec. */
+case class JoltSort(child: Expression, specJson: String) extends JoltExpressionBase {
+  override protected def makeFn(spec: JsonNode): String => String = Jolt.sortFn(spec)
+  override protected def withNewChildInternal(newChild: Expression): JoltSort =
+    copy(child = newChild)
+}

@@ -113,6 +113,20 @@ object TierA {
     "jolt_cardinality" -> consume(
       "events -B --rows 300 " +
         """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"cardinality\",\"spec\":{\"k\":\"MANY\"}}]"}}"""),
+    // jolt `sort`: recursive key ordering over a deliberately unsorted
+    // nested payload; the oracle constructs the sorted serialization
+    // directly (int payload values round-trip jackson bit-identically)
+    "jolt_sort" -> ((s, dir) => {
+      val k = ColumnMapping.parsed(col("props")).getItem("k")
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("offset"), col("ts").as("timestamp"),
+          concat(lit("{\"z\": "), k, lit(", \"a\": "), k,
+            lit(", \"m\": {\"d\": 1, \"b\": 2}}")).as("value"))
+      graft.transforms.TransformRegistry("infinyon/jolt@0.1.0")(rec,
+        Map("spec" -> """[{"operation":"sort"}]"""))
+        .orderBy("offset").limit(300).select("offset", "value")
+    }),
+
     // shift `@` input-value reference: copy the whole payload subtree
     "jolt_shift_at" -> ((s, dir) => {
       val k0 = ColumnMapping.parsed(col("props")).getItem("k")
@@ -219,6 +233,9 @@ object TierA {
     "jolt_cardinality" ->
       ("SELECT CAST(event_id AS BIGINT) AS \"offset\", epoch_ms(-1) AS \"timestamp\", " +
         s"""'{"k":[' || $jk || ']}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
+    "jolt_sort" ->
+      ("SELECT CAST(event_id AS BIGINT) AS \"offset\", " +
+        s"""'{"a":' || $jk || ',"m":{"b":2,"d":1},"z":' || $jk || '}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),
     "jolt_shift_at" ->
       ("SELECT CAST(event_id AS BIGINT) AS \"offset\", " +
         s"""'{"pl":{"vp":' || $jk || '}}' AS "value" FROM events ORDER BY event_id LIMIT 300"""),

@@ -179,6 +179,34 @@ object Jolt {
     }
   }
 
+  /** Rebuild `n` with object keys in natural String order, recursively
+    * (arrays keep element order; only map key order changes) — jolt's
+    * `sort` operation. Jackson ObjectNode serializes in insertion order,
+    * so inserting sorted IS the sort. */
+  private def sortNode(n: JsonNode): JsonNode =
+    if (n.isObject) {
+      val o = mapper.createObjectNode()
+      n.properties().asScala.toSeq.sortBy(_.getKey)
+        .foreach(e => o.set[JsonNode](e.getKey, sortNode(e.getValue)))
+      o
+    } else if (n.isArray) {
+      val a = mapper.createArrayNode()
+      n.elements().asScala.foreach(e => a.add(sortNode(e)))
+      a
+    } else n
+
+  /** `sort` as a per-record function (spec is ignored — jolt's sort op
+    * takes none). */
+  def sortFn(spec: JsonNode): String => String = {
+    (value: String) => {
+      val m = Jolt.mapper
+      val root =
+        try m.readTree(if (value == null) "{}" else value)
+        catch { case _: Exception => m.createObjectNode() }
+      m.writeValueAsString(sortNode(root))
+    }
+  }
+
   /** `cardinality` as a per-record function (ONE/MANY arity coercion). */
   def cardinalityFn(spec: JsonNode): String => String = {
     (value: String) => {

@@ -40,7 +40,7 @@ object TransformRegistry {
       throw new IllegalArgumentException("jolt transform requires a `spec` param"))
     val ops = Jolt.parseSpec(specJson)
     import org.apache.spark.sql.graft.shim
-    import graft.functions.{JoltCardinality, JoltDefault, JoltRemove, JoltShift}
+    import graft.functions.{JoltCardinality, JoltDefault, JoltRemove, JoltShift, JoltSort}
     // native expressions (one jackson parse/record, stay inside
     // whole-stage codegen), not ScalaUDFs
     val valueOut = ops.foldLeft(col("value")) { (v, op) =>
@@ -50,9 +50,10 @@ object TransformRegistry {
         case "default"     => shim.column(JoltDefault(shim.expression(v), specText))
         case "remove"      => shim.column(JoltRemove(shim.expression(v), specText))
         case "cardinality" => shim.column(JoltCardinality(shim.expression(v), specText))
+        case "sort"        => shim.column(JoltSort(shim.expression(v), specText))
         case other =>
           throw new IllegalArgumentException(
-            s"unsupported jolt operation: $other (supported: shift, default, remove, cardinality)")
+            s"unsupported jolt operation: $other (supported: shift, default, remove, cardinality, sort)")
       }
     }
     df.withColumn("value", valueOut)

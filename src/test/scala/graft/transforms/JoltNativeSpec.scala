@@ -108,6 +108,14 @@ class JoltNativeSpec extends SparkSpec {
       """{"copy_payload":{"a":1}}""")
   }
 
+  test("sort: recursive key ordering, arrays keep element order, no spec needed") {
+    val df = TransformRegistry.jolt(
+      records("""{"z": 1, "a": {"d": [3, 1, 2], "b": 0}, "m": "x"}"""),
+      Map("spec" -> """[{"operation":"sort"}]"""))
+    assert(df.select("value").head().getString(0) ==
+      """{"a":{"b":0,"d":[3,1,2]},"m":"x","z":1}""")
+  }
+
   test("null / malformed payloads still transform like empty objects") {
     val df = TransformRegistry.jolt(
       records("""not json""", """{"a":5}"""),
