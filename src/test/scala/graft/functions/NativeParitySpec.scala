@@ -71,6 +71,24 @@ class NativeParitySpec extends SparkSpec {
     }
   }
 
+  test("TopGramFrac == composed explode/groupBy formulation for n in 1..3") {
+    for (n <- Seq(1, 2, 3)) {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val toks = split(norm, " ")
+      val grams = when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      val composed = texts.select(col("id"), explode(grams).as("g"))
+        .groupBy("id", "g").count()
+        .groupBy("id").agg((max("count") / sum("count")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val native = texts.select(col("id"),
+        TopGramFrac(col("text"), n).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(native == composed, s"n=$n")
+    }
+  }
+
   test("SimHashText == batch simhash aggregate on random texts") {
     val batch = Dedup.simhash(texts, "id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
