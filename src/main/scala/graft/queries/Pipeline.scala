@@ -74,6 +74,22 @@ object Pipeline {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(50)),
 
+    // The SQL scalar-kernel surface (graft.sql.GraftSql): the reference's
+    // UX is SQL-first, so the text kernels are callable from pure SQL —
+    // this entry drives them THROUGH the SQL parser/function registry and
+    // hash-checks against the same DuckDB formulas as the Scala-API
+    // entries.
+    "sql_fn_kernels" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      docs(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+              |       graft_langid(text) AS lang_pred,
+              |       graft_token_count(text) AS n_tokens,
+              |       graft_fingerprint(text) AS fp,
+              |       graft_top_gram_frac(text, 2) AS top_bigram_frac
+              |FROM documents_v ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- sampling (deterministic, engine-portable)
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 4)
@@ -402,6 +418,19 @@ object Pipeline {
       s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
          |FROM (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "sql_fn_kernels" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |b AS (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 1)),
+         |             i -> array_to_string(arr[i:i+1], ' '))) AS g
+         |      FROM toks),
+         |bc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS f
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY doc_id)
+         |SELECT d.doc_id, $langIdSql AS lang_pred, $tokenCountSql AS n_tokens,
+         |       md5($norm) AS fp, bc.f AS top_bigram_frac
+         |FROM documents d JOIN bc ON bc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "text_pii_scrub" -> {
       val email = TextAnalysis.emailPattern
       val phone = TextAnalysis.phonePattern

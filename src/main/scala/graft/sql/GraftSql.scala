@@ -88,11 +88,83 @@ object GraftSql {
         shim.logicalPlan(FluvioDuck.partitions(spark, baseDir("fluvio_partitions", args, 0)))
       }))
 
-  /** Register the TVFs into a live session (idempotent). */
+  type ScalarFunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def intArg(fn: String, e: Expression): Int = e match {
+    case other if other.foldable &&
+      (other.dataType == org.apache.spark.sql.types.IntegerType ||
+        other.dataType == org.apache.spark.sql.types.LongType) =>
+      other.eval(null) match {
+        case i: Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case null => throw new IllegalArgumentException(s"$fn: argument must not be NULL")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a constant integer argument, got: ${e.sql}")
+  }
+
+  /** The operator kernels as SQL scalar functions — the reference's UX is
+    * SQL-first (a DuckDB extension), so the text/dedup kernels are
+    * reachable from pure SQL too:
+    *
+    *   `SELECT graft_langid(text), graft_quality(text) FROM docs`
+    *
+    * Each builder returns the SAME native Catalyst expression the Scala
+    * API plans (whole-stage codegen'd, no UDF seat); constant int args
+    * (shingle length, winnow k/w) are required foldable, like the TVF
+    * string args. */
+  def scalarDescriptions: Seq[ScalarFunctionDescription] = {
+    import graft.operators.TextAnalysis
+    def viaColumn(name: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+    : ScalarFunctionDescription =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(GraftSql.getClass.getName, name),
+        (args: Seq[Expression]) => {
+          if (args.length != 1)
+            throw new IllegalArgumentException(s"$name(<text>)")
+          // EAGER conversion: a deferred ColumnNodeExpression would reach
+          // codegen unresolved from a registry builder (see shim)
+          shim.resolvedExpression(f(shim.column(args.head)))
+        })
+    def textInt(name: String, f: (Expression, Int) => Expression)
+    : ScalarFunctionDescription =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(GraftSql.getClass.getName, name),
+        (args: Seq[Expression]) => {
+          if (args.length != 2)
+            throw new IllegalArgumentException(s"$name(<text>, <n>)")
+          f(args.head, intArg(name, args(1)))
+        })
+    Seq(
+      viaColumn("graft_langid", TextAnalysis.langId),
+      viaColumn("graft_quality", TextAnalysis.qualityScore),
+      viaColumn("graft_token_count", TextAnalysis.tokenCount),
+      viaColumn("graft_fingerprint", TextAnalysis.fingerprint),
+      viaColumn("graft_scrub_pii", TextAnalysis.scrubPii),
+      viaColumn("graft_simhash", c => shim.column(
+        graft.functions.SimHashText(shim.expression(c)))),
+      textInt("graft_top_gram_frac", (e, n) => graft.functions.TopGramFrac(e, n)),
+      textInt("graft_shingles", (e, n) => graft.functions.WordShingles(e, n)),
+      (FunctionIdentifier("graft_winnow"),
+        new ExpressionInfo(GraftSql.getClass.getName, "graft_winnow"),
+        (args: Seq[Expression]) => {
+          if (args.length != 3)
+            throw new IllegalArgumentException("graft_winnow(<text>, <k>, <w>)")
+          graft.functions.WinnowFingerprint(args.head,
+            intArg("graft_winnow", args(1)), intArg("graft_winnow", args(2)))
+        }))
+  }
+
+  /** Register the TVFs + scalar kernels into a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = shim.tableFunctionRegistry(spark)
     descriptions.foreach { case (name, info, builder) =>
       reg.registerFunction(name, info, builder)
+    }
+    val sreg = shim.functionRegistry(spark)
+    scalarDescriptions.foreach { case (name, info, builder) =>
+      sreg.registerFunction(name, info, builder)
     }
   }
 }
@@ -101,6 +173,8 @@ object GraftSql {
   * at session build time, the analog of the reference extension's
   * `register_table_function` calls (`/root/reference/src/lib.rs:37-39`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftSql.descriptions.foreach(e.injectTableFunction)
+    GraftSql.scalarDescriptions.foreach(e.injectFunction)
+  }
 }

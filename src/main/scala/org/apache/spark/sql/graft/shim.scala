@@ -16,9 +16,22 @@ object shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Expression conversion. `expression` defers behind a
+    * `ColumnNodeExpression` placeholder that only Dataset-API code paths
+    * unwrap — an expression returned from a FunctionRegistry builder
+    * (GraftSql's scalar kernels) never goes through them and would reach
+    * codegen unresolved. This converts the node tree to plain (possibly
+    * unresolved) Catalyst nodes the analyzer handles like any SQL. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   def tableFunctionRegistry(spark: SparkSession): TableFunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry
+
+  def functionRegistry(spark: SparkSession): org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]

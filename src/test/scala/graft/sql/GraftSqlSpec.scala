@@ -94,4 +94,40 @@ class GraftSqlSpec extends SparkSpec {
       s.sql(s"SELECT * FROM fluvio_topics('$sf', 'extra')").collect())
     assert(e2.getMessage.contains("fluvio_topics([<baseDir>])"))
   }
+
+  test("scalar kernels are callable from SQL and match the Scala API") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "the cat sat on the mat"), (2L, "le chat est dans la maison"))
+      .toDF("id", "text").createOrReplaceTempView("t_kernels")
+    val viaSql = s.sql(
+      """SELECT id, graft_langid(text) AS lang, graft_token_count(text) AS n,
+        |graft_fingerprint(text) AS fp, graft_top_gram_frac(text, 2) AS f,
+        |graft_simhash(text) AS sh
+        |FROM t_kernels ORDER BY id""".stripMargin).collect()
+    val viaApi = s.table("t_kernels").select(col("id"),
+      graft.operators.TextAnalysis.langId(col("text")).as("lang"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).as("n"),
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.operators.TextAnalysis.topGramFrac(col("text"), 2).as("f"),
+      graft.functions.SimHashText(col("text")).as("sh"))
+      .orderBy("id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // plans as the native expression, not a UDF seat
+    val plan = s.sql("SELECT graft_langid(text) FROM t_kernels")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("scalar kernels reject non-constant / wrong-arity int args") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "x", 2)).toDF("id", "text", "n").createOrReplaceTempView("t_badargs")
+    val e1 = intercept[Exception](
+      s.sql("SELECT graft_top_gram_frac(text, n) FROM t_badargs").collect())
+    assert(e1.getMessage.contains("constant integer"), e1.getMessage)
+    val e2 = intercept[Exception](
+      s.sql("SELECT graft_shingles(text) FROM t_badargs").collect())
+    assert(e2.getMessage.contains("graft_shingles(<text>, <n>)"), e2.getMessage)
+  }
 }
