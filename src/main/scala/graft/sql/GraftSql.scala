@@ -153,6 +153,17 @@ object GraftSql {
             throw new IllegalArgumentException("graft_winnow(<text>, <k>, <w>)")
           graft.functions.WinnowFingerprint(args.head,
             intArg("graft_winnow", args(1)), intArg("graft_winnow", args(2)))
+        }),
+      // sketch AGGREGATES: a builder may return a bare AggregateFunction —
+      // the analyzer wraps it in an AggregateExpression like any built-in
+      // SQL aggregate (SUM et al. register the same way)
+      textInt("graft_minhash", (e, n) => graft.functions.MinHashAgg(e, n)),
+      (FunctionIdentifier("graft_simhash_agg"),
+        new ExpressionInfo(GraftSql.getClass.getName, "graft_simhash_agg"),
+        (args: Seq[Expression]) => {
+          if (args.length != 1)
+            throw new IllegalArgumentException("graft_simhash_agg(<token>)")
+          graft.functions.SimHashAgg(args.head)
         }))
   }
 

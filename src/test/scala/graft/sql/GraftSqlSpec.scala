@@ -119,6 +119,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("sketch aggregates are callable from SQL and match the Scala API") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "aa"), (1L, "bb"), (1L, "cc"), (2L, "aa"), (2L, "zz"))
+      .toDF("id", "sh").createOrReplaceTempView("t_sketch")
+    val viaSql = s.sql(
+      """SELECT id, graft_minhash(sh, 8) AS sig, graft_simhash_agg(sh) AS sim
+        |FROM t_sketch GROUP BY id ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val viaApi = s.table("t_sketch").groupBy("id")
+      .agg(graft.functions.SketchAggregates.minhash(col("sh"), 8).as("sig"),
+        graft.functions.SketchAggregates.simhash(col("sh")).as("sim"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("scalar kernels reject non-constant / wrong-arity int args") {
     val s = registered()
     import s.implicits._
