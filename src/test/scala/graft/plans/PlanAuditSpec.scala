@@ -54,6 +54,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("asof/range joins never plan a nested-loop join") {
+    val asof = finalPlan(q("join_asof"))
+    assert(!asof.contains("BroadcastNestedLoopJoin") &&
+      !asof.contains("CartesianProduct"), asof)
+    assert(asof.contains("Window"), asof) // the one-window formulation
+    val range = finalPlan(q("join_range"))
+    assert(!range.contains("BroadcastNestedLoopJoin") &&
+      !range.contains("CartesianProduct"), range)
+    // the join is the binned equi-join
+    assert(range.contains("__bin"), range)
+  }
+
   test("banded-LSH self-join reuses the signature exchange (one signature compute)") {
     val plan = finalPlan(q("dedup_minhash_lsh"))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
