@@ -44,19 +44,24 @@ object Sessions {
     * sub-keys, partially aggregate, then aggregate the partials. For
     * algebraic aggregates (sum/count/min/max) the result is exactly the
     * plain groupBy's — the salt only caps any single reducer's share of a
-    * hot key at 1/salt of its rows.
+    * hot key at roughly 1/salt of its rows.
     *
     * Spark's map-side partial aggregation already handles moderate skew;
     * the salted form is for the pathological case where even the PARTIAL
     * rows of one key (one per map task) overwhelm a reducer, or where an
     * ObjectHashAggregate (no partial merge) sits in the middle. The salt
-    * is derived from xxhash64 of the value column — deterministic per
-    * row, uniform across sub-keys, no RNG. */
+    * is `spark_partition_id() % salt` — rows of a hot key spread across
+    * sub-keys exactly as evenly as they are spread across input
+    * partitions, INDEPENDENT of the data (a value-derived hash collapses
+    * to one sub-key whenever a hot key carries a constant/low-cardinality
+    * measure — the common case — silently reintroducing the skew), and
+    * deterministic under task retry for deterministic input partitioning
+    * (file scans). */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salt: Int = 16): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val partial = df
-      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(salt.toLong)))
+      .withColumn("__salt", pmod(spark_partition_id(), lit(salt)))
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"))
     partial.groupBy(keyCols.map(col): _*)

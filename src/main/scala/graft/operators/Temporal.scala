@@ -62,9 +62,24 @@ object Temporal {
         struct(rightCols.map(col): _*).as("__r")): _*)
 
     // right rows (__side=0) sort before left rows at the same timestamp,
-    // so `t_left >= t_right` ties match — DuckDB's ASOF rule
+    // so `t_left >= t_right` ties match — DuckDB's ASOF rule. Among right
+    // DUPLICATES at the same (key, ts), last() would otherwise pick by
+    // physical partition order (nondeterministic across runs); a payload-
+    // hash tiebreaker pins one winner whenever the payload is hashable
+    // (maps are not — those keep the arbitrary-pick semantics, which is
+    // also DuckDB's behavior for ties).
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    val hashable = rStruct.forall(f => !hasMap(f.dataType))
+    val tieBreak =
+      if (hashable) Seq(xxhash64(col("__r")).asc) else Seq.empty
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++ tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lAligned.unionByName(rAligned)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -89,6 +104,15 @@ object Temporal {
                 right: DataFrame, loCol: String, hiCol: String,
                 binWidth: Double, keyCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // same contract as asofJoin: non-key columns must be disjoint, or the
+    // equi-join output has ambiguous duplicates that fail (or silently
+    // mis-bind) on the first select-by-name
+    val overlap = left.columns.filterNot(keyCols.contains)
+      .intersect(right.columns.filterNot(keyCols.contains))
+    require(overlap.isEmpty,
+      s"rangeJoin: non-key columns must be disjoint, overlap: ${overlap.toSeq}")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "rangeJoin: `__bin` is reserved")
     val binned = right.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))

@@ -39,6 +39,18 @@ object TopicRegistry {
       .sorted.toSeq
   }
 
+  /** The ONE two-message consume error contract, shared by every consume
+    * path (batch, `-d` streaming, DSv2): a parquet table that exists but
+    * has no record view is "not a stream topic"; anything else is
+    * "Topic not found". */
+  def requireRecordView(baseDir: String, topic: String): RecordView =
+    recordViews.getOrElse(topic,
+      if (exists(baseDir, topic))
+        throw new IllegalArgumentException(
+          s"topic `$topic` is not a stream topic (no record view registered)")
+      else
+        throw new IllegalArgumentException(s"Topic not found: $topic"))
+
   /** Partition count of a topic, from its hive `partition=N` layout
     * (directory metadata only); single-partition topics have no subdirs. */
   def partitionCount(baseDir: String, topic: String): Int = {
@@ -145,13 +157,7 @@ object FluvioDuck {
     // bounded-batch fallback.
     if (opt.continuous)
       return graft.streaming.ConsumeStream.consume(spark, cmd, baseDir)
-    val view = TopicRegistry.recordViews.getOrElse(
-      opt.topic,
-      if (TopicRegistry.exists(baseDir, opt.topic))
-        throw new IllegalArgumentException(
-          s"topic `${opt.topic}` is not a stream topic (no record view registered)")
-      else
-        throw new IllegalArgumentException(s"Topic not found: ${opt.topic}"))
+    val view = TopicRegistry.requireRecordView(baseDir, opt.topic)
 
     val raw = Tables.load(spark, baseDir, opt.topic)
 

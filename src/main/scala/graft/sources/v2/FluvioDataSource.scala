@@ -136,9 +136,13 @@ class FluvioTableProvider extends TableProvider
     FluvioDsv2.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val cmd = Option(properties.get("cmd")).getOrElse(
+    // properties arrive with the user's original key casing; DSv2 options
+    // are case-insensitive by convention (inferSchema already receives a
+    // CaseInsensitiveStringMap), so look up through the same wrapper
+    val opts = new CaseInsensitiveStringMap(properties)
+    val cmd = Option(opts.get("cmd")).getOrElse(
       throw new IllegalArgumentException("fluvio source requires a `cmd` option"))
-    val baseDir = Option(properties.get("baseDir")).getOrElse(
+    val baseDir = Option(opts.get("baseDir")).getOrElse(
       throw new IllegalArgumentException("fluvio source requires a `baseDir` option"))
     new FluvioTable(cmd, baseDir)
   }
@@ -149,12 +153,7 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
     case Left(err) => throw new IllegalArgumentException(err)
     case Right(o)  => o
   }
-  private val view: RecordView = TopicRegistry.recordViews.getOrElse(opt.topic,
-    if (TopicRegistry.exists(baseDir, opt.topic))
-      throw new IllegalArgumentException(
-        s"topic `${opt.topic}` is not a stream topic (no record view registered)")
-    else
-      throw new IllegalArgumentException(s"Topic not found: ${opt.topic}"))
+  private val view: RecordView = TopicRegistry.requireRecordView(baseDir, opt.topic)
 
   override def name(): String = s"fluvio_consume(${opt.topic})"
   override def schema(): StructType = FluvioDsv2.Schema
@@ -281,8 +280,13 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     val e = end.asInstanceOf[FluvioOffset].positions
     val dirs = selectedDirs()
     val parts = Seq.newBuilder[InputPartition]
-    for ((p, from0) <- s.toSeq.sortBy(_._1)) {
-      val to = e.getOrElse(p, from0)
+    // iterate the END map: a topic partition ADDED after stream start has
+    // no entry in `s` (bind-time initialOffset) but latestOffset already
+    // advanced and will commit it — planning from `s` would silently skip
+    // every record it ever held. New partitions start at 0 (their whole
+    // log is new to this query).
+    for ((p, to) <- e.toSeq.sortBy(_._1)) {
+      val from0 = s.getOrElse(p, 0L)
       if (to > from0) {
         // map the record range [from0, to) onto segment files by
         // cumulative row count — only overlapping segments are read
@@ -384,6 +388,8 @@ class FluvioPartitionReader(p: FluvioInputPartition)
     val g = current
     if (tsMicrosOf == null) tsMicrosOf = resolveTsExtractor(g)
     val t = g.getType
+    def present(name: String): Boolean =
+      g.getFieldRepetitionCount(t.getFieldIndex(name)) > 0
     def longOf(name: String): Long = {
       val idx = t.getFieldIndex(name)
       t.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
@@ -392,9 +398,15 @@ class FluvioPartitionReader(p: FluvioInputPartition)
         case _ => g.getLong(idx, 0)
       }
     }
+    // offsets are dense by the log model — a null offset is corrupt data
+    // and must fail loudly; timestamp/value are nullable in the advertised
+    // schema, so null cells pass through as nulls (the example-API getters
+    // throw on absent fields instead of returning null)
     val offset = longOf(p.offsetCol)
-    val micros = tsMicrosOf(g)
-    val value = UTF8String.fromString(g.getString(p.valueCol, 0))
+    val micros: Any = if (present(p.tsCol)) tsMicrosOf(g) else null
+    val value: Any =
+      if (present(p.valueCol)) UTF8String.fromString(g.getString(p.valueCol, 0))
+      else null
     new GenericInternalRow(Array[Any](p.partitionId, offset, micros, value))
   }
 

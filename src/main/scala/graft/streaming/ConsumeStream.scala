@@ -28,15 +28,8 @@ object ConsumeStream {
       case Left(err) => throw new IllegalArgumentException(err)
       case Right(o)  => o
     }
-    // same two-message error contract as the batch path
-    // (FluvioDuck.consume): a parquet table that exists but has no record
-    // view is "not a stream topic", not "not found".
-    val view = TopicRegistry.recordViews.getOrElse(opt.topic,
-      if (TopicRegistry.exists(baseDir, opt.topic))
-        throw new IllegalArgumentException(
-          s"topic `${opt.topic}` is not a stream topic (no record view registered)")
-      else
-        throw new IllegalArgumentException(s"Topic not found: ${opt.topic}"))
+    // the shared two-message error contract (TopicRegistry.requireRecordView)
+    val view = TopicRegistry.requireRecordView(baseDir, opt.topic)
     // schema comes from the batch reader (streaming sources need one fixed)
     val schema = Tables.load(spark, baseDir, opt.topic).schema
     val raw = spark.readStream.schema(schema)

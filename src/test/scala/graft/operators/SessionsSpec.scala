@@ -36,6 +36,21 @@ class SessionsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedSum spreads a constant-valued hot key (value-derived salt would collapse)") {
+    // one hot key, CONSTANT measure — the case a value-hash salt
+    // reintroduces skew on. The partition-id salt must spread it.
+    val hot = spark.range(0, 10000).repartition(8)
+      .select(lit("hot").as("k"), lit(java.math.BigDecimal.valueOf(1))
+        .cast("decimal(18,4)").as("v"))
+    val salts = hot
+      .select(pmod(spark_partition_id(), lit(16)).as("s"))
+      .distinct().count()
+    assert(salts > 1, s"constant-value hot key collapsed to $salts sub-key(s)")
+    val total = Sessions.saltedSum(hot, Seq("k"), "v", salt = 16)
+      .head().getDecimal(1)
+    assert(total == java.math.BigDecimal.valueOf(10000).setScale(4))
+  }
+
   test("saltedSum plan: two aggregation exchanges, none keyed on the raw hot key alone in phase 1") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,4)").as("qty"))

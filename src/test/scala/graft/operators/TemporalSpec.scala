@@ -56,6 +56,27 @@ class TemporalSpec extends SparkSpec {
       (5, 12)))          // 12.0 at hi boundary, crosses 3 bins
   }
 
+  test("asofJoin: duplicate right rows at the same (key, ts) resolve deterministically") {
+    val dup = Seq((1, 5, 100), (1, 5, 200), (1, 5, 300)).toDF("k", "rt", "v")
+    def run() = Temporal.asofJoin(
+      Seq((1, 7)).toDF("k", "t").repartition(4), dup.repartition(4),
+      Seq("k"), "t", "rt").select("v").head().getInt(0)
+    val first = run()
+    assert((1 to 5).forall(_ => run() == first), "tie pick varied across runs")
+  }
+
+  test("rangeJoin rejects overlapping non-key columns and reserved __bin") {
+    val points = Seq((1, 2.0)).toDF("id", "p")
+    val e = intercept[IllegalArgumentException](
+      Temporal.rangeJoin(points, "p",
+        Seq((1, 0.0, 4.0)).toDF("id", "lo", "hi"), "lo", "hi", 4.0))
+    assert(e.getMessage.contains("disjoint"))
+    val e2 = intercept[IllegalArgumentException](
+      Temporal.rangeJoin(points.withColumn("__bin", lit(1)), "p",
+        Seq((0.0, 4.0)).toDF("lo", "hi"), "lo", "hi", 4.0))
+    assert(e2.getMessage.contains("__bin"))
+  }
+
   test("rangeJoin with key columns scopes matches to the key") {
     val points = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "p")
     val ranges = Seq(("a", 0.0, 10.0)).toDF("g", "lo", "hi")

@@ -184,6 +184,59 @@ class FluvioDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a topic partition added mid-stream is read from 0, not silently committed away") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_newpart").toFile
+    val topicDir = new java.io.File(dir, "events_mp.parquet")
+    val src = Tables.load(spark, sf, "events")
+      .filter(col("event_id") < 50)
+      .select(col("event_id").as("offset"), col("ts"),
+        col("props").as("value"))
+    for (p <- 0 to 1)
+      src.write.mode("append")
+        .parquet(new java.io.File(topicDir, s"partition=$p").getAbsolutePath)
+    val (name, q) = startQuery("events_mp -A -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100)
+      // producer adds partition 2 while the query is live
+      src.write.mode("append")
+        .parquet(new java.io.File(topicDir, "partition=2").getAbsolutePath)
+      q.processAllAvailable()
+      val p2 = spark.table(name).filter(col("partition") === 2)
+        .select("offset").collect().map(_.getLong(0)).sorted
+      assert(p2.toSeq == (0L until 50L), s"partition 2 delivered ${p2.length} rows")
+    } finally q.stop()
+  }
+
+  test("null value/timestamp cells stream as nulls (nullable schema), not task crashes") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_nulls").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < 10)
+      .withColumn("props", when(col("event_id") === 5, lit(null)).otherwise(col("props")))
+      .withColumn("ts", when(col("event_id") === 7, lit(null)).otherwise(col("ts")))
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    val (name, q) = startQuery("events -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name).orderBy("offset").collect()
+      assert(rows.length == 10)
+      assert(rows(5).isNullAt(rows(5).fieldIndex("value")))
+      assert(rows(7).isNullAt(rows(7).fieldIndex("timestamp")))
+      assert(!rows(4).isNullAt(rows(4).fieldIndex("value")))
+    } finally q.stop()
+  }
+
+  test("options are case-insensitive (cmd/baseDir/maxRecordsPerTrigger)") {
+    val (dir, _) = mkTopic("dsv2_ci", 10)
+    val name = s"dsv2_ci_${System.nanoTime()}"
+    val q = spark.readStream.format("fluvio")
+      .option("CMD", "events -B").option("basedir", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).count() == 10)
+  }
+
   test("short name: format(\"fluvio\") resolves via DataSourceRegister") {
     val (dir, _) = mkTopic("dsv2_short", 10)
     val name = s"dsv2_sn_${System.nanoTime()}"
