@@ -66,6 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(range.contains("__bin"), range)
   }
 
+  test("sessionize: both windows share ONE key shuffle + sort") {
+    val plan = finalPlan(q("sessionize"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, // the key window + the summary groupBy
+      s"expected <=2 hash exchanges (window, summary agg), got $exchanges\n$plan")
+    // the break-flag and running-sum windows must share ONE (key, ts)
+    // sort (the other Sort in the plan is the query's output orderBy)
+    val windowSorts = "Sort \\[user_id[^\\]]*event_id".r.findAllIn(plan).size
+    assert(windowSorts == 1,
+      s"the two windows must share one (key, ts) sort, got $windowSorts\n$plan")
+  }
+
   test("banded-LSH self-join reuses the signature exchange (one signature compute)") {
     val plan = finalPlan(q("dedup_minhash_lsh"))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
