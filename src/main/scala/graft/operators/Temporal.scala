@@ -36,10 +36,17 @@ object Temporal {
     * dominates, as with any per-key window).
     *
     * Left and right non-key column names must be disjoint (checked) —
-    * right's timestamp column rides along in the output like DuckDB's. */
+    * right's timestamp column rides along in the output like DuckDB's.
+    *
+    * `tolerance`: maximum lookback (same units as the timestamp columns,
+    * inclusive) — a matched right row older than `leftTs - tolerance` is
+    * treated as NO match (dropped under inner, null-filled under left),
+    * the pandas `merge_asof` tolerance semantics a feature-store join
+    * needs (a price/feature older than the window is stale, not a match). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
-               joinType: String = "inner"): DataFrame = {
+               joinType: String = "inner",
+               tolerance: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType),
       s"asofJoin supports inner|left, got $joinType")
     val leftCols = left.columns.filterNot(keyCols.contains).toSeq
@@ -81,9 +88,13 @@ object Temporal {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((Seq(col("__t").asc, col("__side").asc) ++ tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lAligned.unionByName(rAligned)
+    val matched0 = lAligned.unionByName(rAligned)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // tolerance: a match staler than leftTs - tolerance is no match
+    val matched = tolerance.fold(matched0)(tol =>
+      matched0.withColumn("__m",
+        when(col(s"__m.$rightTs") >= col("__t") - tol, col("__m"))))
     val kept = if (joinType == "inner") matched.filter(col("__m").isNotNull)
                else matched
     kept.select(

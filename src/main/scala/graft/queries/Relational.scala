@@ -126,6 +126,22 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // As-of with a lookback tolerance (pandas merge_asof semantics): a
+    // mark older than 10 below the event is stale → no match (inner
+    // drops the row). Oracle = the argmax formulation in plain SQL.
+    "join_asof_tol" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.select(col("event_id"), (col("event_id") % 4).as("k"),
+        col("event_id").as("t"))
+      val r = ev.filter(col("event_id") % 7 === 0)
+        .select((col("event_id") % 4).as("k"), col("event_id").as("mark_id"))
+        .withColumn("mt", col("mark_id"))
+      graft.operators.Temporal.asofJoin(l, r, Seq("k"), "t", "mt",
+        tolerance = Some(10L))
+        .select("event_id", "k", "mark_id")
+        .orderBy("event_id")
+    }),
+
     // Range join: lineitem quantities against overlapping quantity bands
     // (derived from nation so the band table is fixture-stable). Binned
     // equi-join — never the BroadcastNestedLoop all-pairs plan; see
@@ -346,6 +362,15 @@ object Relational {
         |      WHERE event_id % 7 = 0)
         |SELECT l.event_id, l.k, m.mark_id
         |FROM l ASOF JOIN m ON l.k = m.k AND l.event_id >= m.mark_id
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_tol" ->
+      """WITH l AS (SELECT event_id, event_id % 4 AS k FROM events),
+        |m AS (SELECT event_id % 4 AS k, event_id AS mark_id FROM events
+        |      WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.k, MAX(m.mark_id) AS mark_id
+        |FROM l JOIN m ON l.k = m.k
+        |  AND m.mark_id <= l.event_id AND m.mark_id >= l.event_id - 10
+        |GROUP BY l.event_id, l.k
         |ORDER BY event_id""".stripMargin,
     "join_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

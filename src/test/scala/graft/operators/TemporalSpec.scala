@@ -35,6 +35,22 @@ class TemporalSpec extends SparkSpec {
     assert(got == 200) // rt=8 matches t=8 (>=), not the earlier rt=3
   }
 
+  test("asofJoin tolerance: stale matches drop (inner) or null-fill (left)") {
+    // r has (1, rt=3): within reach of t=5 (gap 2) but stale for t=10 (gap 7)
+    val inner = Temporal.asofJoin(l, r, Seq("k"), "t", "rt",
+      tolerance = Some(2L))
+      .select("k", "t", "v").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2))).toSet
+    assert(inner == Set((1, 5, 100), (1, 10, 200))) // (2,7): rt=1 is 6 stale; (1,2): no prior
+    val leftJoin = Temporal.asofJoin(l, r, Seq("k"), "t", "rt",
+      joinType = "left", tolerance = Some(2L))
+      .select("k", "t", "v").collect()
+      .map(x => (x.getInt(0), x.getInt(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSet
+    assert(leftJoin == Set((1, 2, None), (1, 5, Some(100)),
+      (1, 10, Some(200)), (2, 7, None)))
+  }
+
   test("asofJoin rejects overlapping non-key column names") {
     val e = intercept[IllegalArgumentException](
       Temporal.asofJoin(l, r.withColumnRenamed("v", "t"), Seq("k"), "t", "rt"))
