@@ -117,6 +117,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** CROSS-CORPUS near-dup pairs (decontamination): documents of `left`
+    * within jaccard ≥ threshold of any document of `right` — the
+    * "scrub the training corpus against the eval/test set" step every
+    * training-data pipeline runs. Same banded-LSH architecture as
+    * [[minhashNearDups]] but the (band, bucket) join is across the two
+    * corpora (never a self-join, never n²): candidates = bucket
+    * collisions, verified by exact shingle jaccard computed only for
+    * candidate pairs. Scales as Σ per-bucket (|left| × |right|) — at
+    * 100 TB the right side (an eval set) is typically tiny, and the
+    * verification fan-out is |candidates| × avg-shingles.
+    *
+    * Returns (id_l, id_r, jaccard), one row per cross pair ≥ threshold. */
+  def minhashNearDupsAcross(left: DataFrame, right: DataFrame,
+                            idCol: String, textCol: String, threshold: Double,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleLen: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame): DataFrame = {
+      val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+      val bandBuckets = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+      }
+      sigs.select(col("id"), explode(array(bandBuckets: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }
+    val cand = banded(left).withColumnRenamed("id", "id_l")
+      .join(banded(right).withColumnRenamed("id", "id_r"), Seq("band", "bucket"))
+      .select("id_l", "id_r").distinct()
+    val shL = shingles(left, idCol, textCol, shingleLen)
+    val shR = shingles(right, idCol, textCol, shingleLen)
+    val szL = shL.groupBy("id").agg(count(lit(1)).as("sz_l"))
+    val szR = shR.groupBy("id").agg(count(lit(1)).as("sz_r"))
+    val inter = cand
+      .join(shL.withColumnsRenamed(Map("id" -> "id_l")), "id_l")
+      .join(shR.withColumnsRenamed(Map("id" -> "id_r")), Seq("id_r", "shingle"))
+      .groupBy("id_l", "id_r").agg(count(lit(1)).as("inter"))
+    inter
+      .join(szL.withColumnsRenamed(Map("id" -> "id_l")), "id_l")
+      .join(szR.withColumnsRenamed(Map("id" -> "id_r")), "id_r")
+      .select(col("id_l"), col("id_r"),
+        (col("inter").cast("double") /
+          (col("sz_l") + col("sz_r") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash per document over word tokens: bit i of the signature
     * is the sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1), via the
     * one-pass [[graft.functions.SimHashAgg]] TypedImperativeAggregate. */

@@ -170,6 +170,21 @@ object Pipeline {
         min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
       sh.groupBy("id").agg(aggs.head, aggs.tail: _*).orderBy("id")
     }),
+    // Cross-corpus decontamination: corpus documents within jaccard>=0.5
+    // of any "test set" document (here: the first 100 docs cloned under
+    // shifted ids — identical text guarantees contamination hits, and the
+    // corpus's own jaccard>=0.5 neighbors of those docs are the realistic
+    // near-miss leaks). The banded cross-join's candidate recall at this
+    // operating point is the one dedup_lsh_recall oracle-proves = 1, so
+    // the whole pipeline is hash-checked against the SQL cross-jaccard.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val test = corpus.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDupsAcross(corpus, test, "doc_id", "text",
+        threshold = 0.5)
+        .orderBy("id_l", "id_r")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -502,6 +517,27 @@ object Pipeline {
       (shinglesCte + "\n" +
         (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
           .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
+    "dedup_decontaminate" ->
+      s"""$shinglesCte,
+         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |         WHERE doc_id < 100),
+         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+         |gramsT AS (SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+         |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+         |           FROM toksT),
+         |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
+         |szC AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |szT AS (SELECT doc_id, COUNT(*) AS sz FROM shT GROUP BY doc_id),
+         |inter AS (SELECT c.doc_id AS id_l, t.doc_id AS id_r, COUNT(*) AS i
+         |          FROM sh c JOIN shT t ON c.shingle = t.shingle
+         |          GROUP BY 1, 2)
+         |SELECT id_l, id_r,
+         |       CAST(i AS DOUBLE) / (sc.sz + st.sz - i) AS jaccard
+         |FROM inter JOIN szC sc ON id_l = sc.doc_id
+         |           JOIN szT st ON id_r = st.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sc.sz + st.sz - i) >= 0.5
+         |ORDER BY id_l, id_r""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),

@@ -70,6 +70,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((5L, 6L)))
   }
 
+  test("cross-corpus decontamination finds contaminated + near-miss docs, never in-corpus pairs") {
+    // test set = doc 1 verbatim (contamination) + a close near-dup of doc
+    // 3 (one word APPENDED → jaccard ~0.92; a mid-text edit at ~0.57 has
+    // only ~0.83 banding probability at 16×4 — the approximation is the
+    // point, so the spec plants a pair inside the reliable regime)
+    val testSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (102L, "entirely novel evaluation prompt with no corpus overlap whatsoever at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashNearDupsAcross(corpus, testSet, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1,2 are exact matches of 100; docs 3,4 near-dups of 101
+    assert(hits.contains((1L, 100L)) && hits.contains((2L, 100L)), hits)
+    assert(hits.contains((3L, 101L)), hits)
+    assert(!hits.exists(_._2 == 102L), s"unrelated test doc matched: $hits")
+    // pairs are strictly cross-corpus: left ids from corpus, right from test
+    assert(hits.forall { case (l, r) => l < 100 && r >= 100 }, hits)
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
