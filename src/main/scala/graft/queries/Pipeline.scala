@@ -185,6 +185,17 @@ object Pipeline {
         threshold = 0.5)
         .orderBy("id_l", "id_r")
     }),
+    // the actionable output of decontamination: the DISTINCT corpus ids
+    // to drop before training (a doc leaking into ANY test doc goes)
+    "dedup_decontaminate_drops" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val test = corpus.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashNearDupsAcross(corpus, test, "doc_id", "text",
+        threshold = 0.5)
+        .select(col("id_l").as("drop_id")).distinct()
+        .orderBy("drop_id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
@@ -538,6 +549,26 @@ object Pipeline {
          |           JOIN szT st ON id_r = st.doc_id
          |WHERE CAST(i AS DOUBLE) / (sc.sz + st.sz - i) >= 0.5
          |ORDER BY id_l, id_r""".stripMargin,
+    "dedup_decontaminate_drops" ->
+      s"""$shinglesCte,
+         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |         WHERE doc_id < 100),
+         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+         |gramsT AS (SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+         |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+         |           FROM toksT),
+         |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
+         |szC AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |szT AS (SELECT doc_id, COUNT(*) AS sz FROM shT GROUP BY doc_id),
+         |inter AS (SELECT c.doc_id AS id_l, t.doc_id AS id_r, COUNT(*) AS i
+         |          FROM sh c JOIN shT t ON c.shingle = t.shingle
+         |          GROUP BY 1, 2)
+         |SELECT DISTINCT id_l AS drop_id
+         |FROM inter JOIN szC sc ON id_l = sc.doc_id
+         |           JOIN szT st ON id_r = st.doc_id
+         |WHERE CAST(i AS DOUBLE) / (sc.sz + st.sz - i) >= 0.5
+         |ORDER BY drop_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),

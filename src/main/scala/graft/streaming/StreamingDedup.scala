@@ -24,6 +24,21 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming decontamination gate: drop records whose content
+    * fingerprint appears in a static contamination set (built offline by
+    * [[graft.operators.Dedup.minhashNearDupsAcross]] / exact fingerprints
+    * of the eval set). Planned as a per-micro-batch broadcast LEFT ANTI
+    * join against the static side — NO streaming state at all; the
+    * contamination set is fingerprints-only (tiny even for a huge eval
+    * corpus), so the broadcast holds at scale. */
+  def decontaminate(records: DataFrame, textCol: String,
+                    contaminatedFps: DataFrame, fpCol: String): DataFrame =
+    records
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(broadcast(contaminatedFps.select(col(fpCol).as("__fp")).distinct()),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Near-dup streaming filter by SimHash bucket: drops records whose
     * 64-bit simhash collides with one already seen inside the watermark
     * window. Coarser than the batch Hamming-radius pairing (an exact

@@ -53,6 +53,24 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("decontaminate drops contaminated fingerprints, stateless broadcast anti-join") {
+    val contaminated = Seq("leaked eval prompt one", "another leaked doc")
+      .toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    input.addData(Seq(
+      (1L, ts(0), "clean document"),
+      (2L, ts(1), "  LEAKED eval   prompt one "), // normalized match → drop
+      (3L, ts(2), "another leaked doc"),          // drop
+      (4L, ts(3), "also clean")))
+    val out = StreamingDedup.decontaminate(
+      input.toDS.toDF("id", "ts", "text"), "text", contaminated, "fp")
+    val got = runStream(out).map(_.getLong(0)).sorted
+    assert(got == Seq(1L, 4L))
+    // stateless: the plan must carry no stateful operator
+    assert(!out.queryExecution.analyzed.toString.contains("dropDuplicates"))
+  }
+
   test("per-row SimHashText is bit-identical to the batch simhash aggregate") {
     val docs = graft.sources.Tables.load(spark, sf, "documents").limit(200)
     val batch = Dedup.simhash(docs, "doc_id", "text")
