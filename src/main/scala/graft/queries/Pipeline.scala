@@ -319,6 +319,25 @@ object Pipeline {
         .select(col("doc_id"), col("n_dups"))
         .orderBy("doc_id")),
 
+    // v2 of the composite pipeline: the full Gopher/C4-style rule set —
+    // quality + language + REPETITION gates, PII scrub (a no-op on the
+    // digit-free fixture, but part of the plan and of the oracle), then
+    // exact dedup. Still per-row codegen'd expressions + ONE fingerprint
+    // shuffle; the repetition gate runs in the same scan pass.
+    "pipeline_clean_corpus_v2" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
+        .filter(col("quality") >= 0.5 && col("lang") === "en" &&
+          col("rep") <= 0.2)
+        .withColumn("text", TextAnalysis.scrubPii(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")),
+
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizePlan(
@@ -607,6 +626,29 @@ object Pipeline {
          |WHERE quality >= 0.5 AND lang = 'en'
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_clean_corpus_v2" -> {
+      val email = TextAnalysis.emailPattern
+      val phone = TextAnalysis.phonePattern
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |b AS (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 1)),
+         |             i -> array_to_string(arr[i:i+1], ' '))) AS g
+         |      FROM toks),
+         |bc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |kept AS (
+         |  SELECT d.doc_id,
+         |         regexp_replace(regexp_replace(d.text, '$email', '<EMAIL>', 'g'),
+         |                        '$phone', '<PHONE>', 'g') AS text
+         |  FROM documents d JOIN bc ON bc.doc_id = d.doc_id
+         |  WHERE ($qualitySql) >= 0.5 AND ($langIdSql) = 'en' AND bc.rep <= 0.2)
+         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM kept
+         |GROUP BY md5($norm)
+         |ORDER BY doc_id""".stripMargin
+    },
     "multimodal_framesample" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
