@@ -87,6 +87,28 @@ object Demo {
     val sampled = graft.operators.Sampling.hashSample(docs, "doc_id", 4)
     println(s"hash sample 4/16: kept ${sampled.count()} of ${docs.count()} docs (deterministic)")
 
+    println("=== decontamination: corpus vs a planted test set ===")
+    import org.apache.spark.sql.functions.col
+    val testSet = docs.select("doc_id", "text").filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val hits = graft.operators.Dedup.minhashNearDupsAcross(
+      docs.select("doc_id", "text"), testSet, "doc_id", "text", threshold = 0.5)
+    println(s"contaminated corpus docs: ${hits.select("id_l").distinct().count()} " +
+      s"(cross pairs: ${hits.count()})")
+
+    println("=== as-of join + sessionization over events ===")
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val l = ev.select(col("event_id"), (col("event_id") % 4).as("k"),
+      col("event_id").as("t"))
+    val marks = ev.filter(col("event_id") % 7 === 0)
+      .select((col("event_id") % 4).as("k"), col("event_id").as("mark_id"))
+      .withColumn("mt", col("mark_id"))
+    graft.operators.Temporal.asofJoin(l, marks, Seq("k"), "t", "mt")
+      .orderBy("event_id").show(3, false)
+    val sess = graft.operators.Sessions.sessionSummary(
+      ev.select(col("user_id"), col("event_id")), "user_id", "event_id", gap = 100L)
+    println(s"sessions: ${sess.count()} across ${sess.select("user_id").distinct().count()} users")
+
     spark.stop()
   }
 }

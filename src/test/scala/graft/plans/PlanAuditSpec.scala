@@ -48,10 +48,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("clean-corpus pipeline: one fingerprint shuffle, one corpus scan") {
-    val plan = finalPlan(q("pipeline_clean_corpus"))
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx\n$plan")
-    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    for (name <- Seq("pipeline_clean_corpus", "pipeline_clean_corpus_v2")) {
+      val plan = finalPlan(q(name))
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx <= 1, s"$name: expected <=1 hash exchange, got $hashEx\n$plan")
+      assert("FileScan parquet".r.findAllIn(plan).size == 1, s"$name\n$plan")
+    }
   }
 
   test("asof/range joins never plan a nested-loop join") {
