@@ -60,14 +60,14 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SketchAggregates.minhash(col("shingle"), numHashes).as("sig"))
 
-  /** Banded LSH candidate pairs from minhash signatures: `bands` buckets
-    * per doc, each bucket keyed by the hash of `rowsPerBand` consecutive
-    * minhash values; docs sharing any (band, bucket) are candidates.
-    * Returns distinct (id_a, id_b), a < b. Never forms the n² pair space:
-    * the join is on (band, bucket). */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, bands: Int = 16,
-                        shingleLen: Int = 3): DataFrame = {
+  /** (id, band, bucket) rows for banded LSH: `bands` buckets per doc, each
+    * keyed by the hash of `rowsPerBand` consecutive minhash values. The
+    * ONE banding construction, shared by the self-join candidates and the
+    * cross-corpus path — a hashing change must not be able to diverge
+    * them. */
+  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, bands: Int,
+                            shingleLen: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
@@ -75,9 +75,39 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
-    val exploded = sigs.select(col("id"),
-        explode(array(bandBuckets: _*)).as("bb"))
+    sigs.select(col("id"), explode(array(bandBuckets: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** The shared jaccard-verification tail: score candidate pairs by exact
+    * shingle jaccard (computed ONLY for candidates), keep ≥ threshold.
+    * `shA`/`shB` are (id, shingle) tables for the pair's two sides (the
+    * same table for a self-join). */
+  private def verifyJaccard(cand: DataFrame, aCol: String, bCol: String,
+                            shA: DataFrame, shB: DataFrame,
+                            threshold: Double): DataFrame = {
+    val szA = shA.groupBy("id").agg(count(lit(1)).as("sz_a"))
+    val szB = shB.groupBy("id").agg(count(lit(1)).as("sz_b"))
+    val inter = cand
+      .join(shA.withColumnsRenamed(Map("id" -> aCol)), aCol)
+      .join(shB.withColumnsRenamed(Map("id" -> bCol)), Seq(bCol, "shingle"))
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("inter"))
+    inter
+      .join(szA.withColumnsRenamed(Map("id" -> aCol)), aCol)
+      .join(szB.withColumnsRenamed(Map("id" -> bCol)), bCol)
+      .select(col(aCol), col(bCol),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Banded LSH candidate pairs from minhash signatures: docs sharing any
+    * (band, bucket) are candidates. Returns distinct (id_a, id_b), a < b.
+    * Never forms the n² pair space: the join is on (band, bucket). */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleLen: Int = 3): DataFrame = {
+    val exploded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleLen)
     // shuffle_hash, not broadcast: with both sides shuffled on
     // (band, bucket) the two identical signature subtrees collapse into
     // ONE Exchange + ReusedExchange — the expensive shingle→minhash
@@ -103,18 +133,7 @@ object Dedup {
     // table in executor memory (and caching leaked across queries in r1).
     val sh = shingles(df, idCol, textCol, shingleLen)
     val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a")), "id_a")
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), "id_a")
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, "id_a", "id_b", sh, sh, threshold)
   }
 
   /** CROSS-CORPUS near-dup pairs (decontamination): documents of `left`
@@ -133,35 +152,14 @@ object Dedup {
                             idCol: String, textCol: String, threshold: Double,
                             numHashes: Int = 64, bands: Int = 16,
                             shingleLen: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame): DataFrame = {
-      val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
-      val bandBuckets = (0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
-      }
-      sigs.select(col("id"), explode(array(bandBuckets: _*)).as("bb"))
-        .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    }
-    val cand = banded(left).withColumnRenamed("id", "id_l")
-      .join(banded(right).withColumnRenamed("id", "id_r"), Seq("band", "bucket"))
+    val cand = bandedBuckets(left, idCol, textCol, numHashes, bands, shingleLen)
+      .withColumnRenamed("id", "id_l")
+      .join(bandedBuckets(right, idCol, textCol, numHashes, bands, shingleLen)
+        .withColumnRenamed("id", "id_r"), Seq("band", "bucket"))
       .select("id_l", "id_r").distinct()
-    val shL = shingles(left, idCol, textCol, shingleLen)
-    val shR = shingles(right, idCol, textCol, shingleLen)
-    val szL = shL.groupBy("id").agg(count(lit(1)).as("sz_l"))
-    val szR = shR.groupBy("id").agg(count(lit(1)).as("sz_r"))
-    val inter = cand
-      .join(shL.withColumnsRenamed(Map("id" -> "id_l")), "id_l")
-      .join(shR.withColumnsRenamed(Map("id" -> "id_r")), Seq("id_r", "shingle"))
-      .groupBy("id_l", "id_r").agg(count(lit(1)).as("inter"))
-    inter
-      .join(szL.withColumnsRenamed(Map("id" -> "id_l")), "id_l")
-      .join(szR.withColumnsRenamed(Map("id" -> "id_r")), "id_r")
-      .select(col("id_l"), col("id_r"),
-        (col("inter").cast("double") /
-          (col("sz_l") + col("sz_r") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, "id_l", "id_r",
+      shingles(left, idCol, textCol, shingleLen),
+      shingles(right, idCol, textCol, shingleLen), threshold)
   }
 
   /** 64-bit SimHash per document over word tokens: bit i of the signature

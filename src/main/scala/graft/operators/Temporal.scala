@@ -38,11 +38,14 @@ object Temporal {
     * Left and right non-key column names must be disjoint (checked) —
     * right's timestamp column rides along in the output like DuckDB's.
     *
-    * `tolerance`: maximum lookback (same units as the timestamp columns,
-    * inclusive) — a matched right row older than `leftTs - tolerance` is
-    * treated as NO match (dropped under inner, null-filled under left),
-    * the pandas `merge_asof` tolerance semantics a feature-store join
-    * needs (a price/feature older than the window is stale, not a match). */
+    * `tolerance`: maximum lookback, inclusive — a matched right row older
+    * than `leftTs - tolerance` is treated as NO match (dropped under
+    * inner, null-filled under left), the pandas `merge_asof` tolerance
+    * semantics a feature-store join needs (a price/feature older than the
+    * window is stale, not a match). Units: the timestamp columns' natural
+    * units for numeric columns; SECONDS for TimestampType columns (the
+    * staleness test compares epoch values via a double cast, which Spark
+    * defines as epoch seconds). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String,
                joinType: String = "inner",
@@ -54,6 +57,9 @@ object Temporal {
     val overlap = leftCols.intersect(rightCols)
     require(overlap.isEmpty,
       s"asofJoin: non-key columns must be disjoint, overlap: $overlap")
+    val reserved = Seq("__t", "__side", "__l", "__r", "__m")
+    val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
+    require(clash.isEmpty, s"asofJoin: reserved column names in input: ${clash.toSeq}")
 
     val lStruct = left.select(leftCols.map(col): _*).schema
     val rStruct = right.select(rightCols.map(col): _*).schema
@@ -91,10 +97,14 @@ object Temporal {
     val matched0 = lAligned.unionByName(rAligned)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    // tolerance: a match staler than leftTs - tolerance is no match
+    // tolerance: a match staler than leftTs - tolerance is no match. The
+    // double cast makes the same predicate work for numeric AND
+    // TimestampType columns (timestamp → epoch seconds; Subtract on a raw
+    // TimestampType vs a Long literal has no coercion and fails analysis).
     val matched = tolerance.fold(matched0)(tol =>
       matched0.withColumn("__m",
-        when(col(s"__m.$rightTs") >= col("__t") - tol, col("__m"))))
+        when(col(s"__m.$rightTs").cast("double") >=
+          col("__t").cast("double") - tol, col("__m"))))
     val kept = if (joinType == "inner") matched.filter(col("__m").isNotNull)
                else matched
     kept.select(

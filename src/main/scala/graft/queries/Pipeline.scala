@@ -422,6 +422,31 @@ object Pipeline {
        |           FROM inter JOIN sizes sa ON id_a = sa.doc_id
        |                      JOIN sizes sb ON id_b = sb.doc_id)""".stripMargin
 
+  /** The ONE cross-corpus jaccard definition, shared by the decontaminate
+    * pair and drop-list oracles (same factoring contract as
+    * [[jaccardScoredCte]] for the self-join family): corpus shingles vs
+    * the planted shifted-id test set, ending in
+    * `crossScored(id_l, id_r, jaccard)`. */
+  private def crossJaccardCte =
+    s"""$shinglesCte,
+       |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |         WHERE doc_id < 100),
+       |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+       |gramsT AS (SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+       |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+       |           FROM toksT),
+       |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
+       |szC AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |szT AS (SELECT doc_id, COUNT(*) AS sz FROM shT GROUP BY doc_id),
+       |interX AS (SELECT c.doc_id AS id_l, t.doc_id AS id_r, COUNT(*) AS i
+       |           FROM sh c JOIN shT t ON c.shingle = t.shingle
+       |           GROUP BY 1, 2),
+       |crossScored AS (SELECT id_l, id_r,
+       |                CAST(i AS DOUBLE) / (sc.sz + st.sz - i) AS jaccard
+       |                FROM interX JOIN szC sc ON id_l = sc.doc_id
+       |                            JOIN szT st ON id_r = st.doc_id)""".stripMargin
+
   /** Jaccard pairs at a threshold — the ground truth the dedup family is
     * checked against (also reused as the recall oracle for the hash-based
     * operators). */
@@ -548,45 +573,14 @@ object Pipeline {
         (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
           .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
     "dedup_decontaminate" ->
-      s"""$shinglesCte,
-         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
-         |         WHERE doc_id < 100),
-         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
-         |gramsT AS (SELECT doc_id,
-         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
-         |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
-         |           FROM toksT),
-         |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
-         |szC AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |szT AS (SELECT doc_id, COUNT(*) AS sz FROM shT GROUP BY doc_id),
-         |inter AS (SELECT c.doc_id AS id_l, t.doc_id AS id_r, COUNT(*) AS i
-         |          FROM sh c JOIN shT t ON c.shingle = t.shingle
-         |          GROUP BY 1, 2)
-         |SELECT id_l, id_r,
-         |       CAST(i AS DOUBLE) / (sc.sz + st.sz - i) AS jaccard
-         |FROM inter JOIN szC sc ON id_l = sc.doc_id
-         |           JOIN szT st ON id_r = st.doc_id
-         |WHERE CAST(i AS DOUBLE) / (sc.sz + st.sz - i) >= 0.5
+      s"""$crossJaccardCte
+         |SELECT id_l, id_r, jaccard FROM crossScored
+         |WHERE jaccard >= 0.5
          |ORDER BY id_l, id_r""".stripMargin,
     "dedup_decontaminate_drops" ->
-      s"""$shinglesCte,
-         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
-         |         WHERE doc_id < 100),
-         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
-         |gramsT AS (SELECT doc_id,
-         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
-         |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
-         |           FROM toksT),
-         |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
-         |szC AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |szT AS (SELECT doc_id, COUNT(*) AS sz FROM shT GROUP BY doc_id),
-         |inter AS (SELECT c.doc_id AS id_l, t.doc_id AS id_r, COUNT(*) AS i
-         |          FROM sh c JOIN shT t ON c.shingle = t.shingle
-         |          GROUP BY 1, 2)
-         |SELECT DISTINCT id_l AS drop_id
-         |FROM inter JOIN szC sc ON id_l = sc.doc_id
-         |           JOIN szT st ON id_r = st.doc_id
-         |WHERE CAST(i AS DOUBLE) / (sc.sz + st.sz - i) >= 0.5
+      s"""$crossJaccardCte
+         |SELECT DISTINCT id_l AS drop_id FROM crossScored
+         |WHERE jaccard >= 0.5
          |ORDER BY drop_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),

@@ -91,10 +91,12 @@ object Demo {
     import org.apache.spark.sql.functions.col
     val testSet = docs.select("doc_id", "text").filter(col("doc_id") < 20)
       .withColumn("doc_id", col("doc_id") + 1000000L)
+    // one execution: collect the tiny pair list, derive both stats from it
     val hits = graft.operators.Dedup.minhashNearDupsAcross(
       docs.select("doc_id", "text"), testSet, "doc_id", "text", threshold = 0.5)
-    println(s"contaminated corpus docs: ${hits.select("id_l").distinct().count()} " +
-      s"(cross pairs: ${hits.count()})")
+      .select("id_l").collect().map(_.getLong(0))
+    println(s"contaminated corpus docs: ${hits.distinct.length} " +
+      s"(cross pairs: ${hits.length})")
 
     println("=== as-of join + sessionization over events ===")
     val ev = graft.sources.Tables.load(spark, sf, "events")
@@ -107,7 +109,8 @@ object Demo {
       .orderBy("event_id").show(3, false)
     val sess = graft.operators.Sessions.sessionSummary(
       ev.select(col("user_id"), col("event_id")), "user_id", "event_id", gap = 100L)
-    println(s"sessions: ${sess.count()} across ${sess.select("user_id").distinct().count()} users")
+      .select("user_id").collect().map(_.getLong(0))
+    println(s"sessions: ${sess.length} across ${sess.distinct.length} users")
 
     spark.stop()
   }

@@ -51,6 +51,24 @@ class TemporalSpec extends SparkSpec {
       (1, 10, Some(200)), (2, 7, None)))
   }
 
+  test("asofJoin tolerance works on TimestampType columns (units: seconds)") {
+    def tstamp(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val lt = Seq((1, tstamp(100))).toDF("k", "t")
+    val rt = Seq((1, tstamp(95), 10), (1, tstamp(40), 20)).toDF("k", "rt", "v")
+    val hit = Temporal.asofJoin(lt, rt, Seq("k"), "t", "rt",
+      tolerance = Some(10L)).select("v").collect()
+    assert(hit.map(_.getInt(0)).toSeq == Seq(10)) // rt=95 within 10s of t=100
+    val miss = Temporal.asofJoin(lt, rt.filter(col("v") === 20), Seq("k"),
+      "t", "rt", tolerance = Some(10L)).count()
+    assert(miss == 0) // rt=40 is 60s stale
+  }
+
+  test("asofJoin rejects reserved internal column names") {
+    val e = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l.withColumn("__m", lit(1)), r, Seq("k"), "t", "rt"))
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("asofJoin rejects overlapping non-key column names") {
     val e = intercept[IllegalArgumentException](
       Temporal.asofJoin(l, r.withColumnRenamed("v", "t"), Seq("k"), "t", "rt"))
