@@ -18,12 +18,19 @@ object Sessions {
     * The standard two-window form: flag rows that START a session
     * (previous row absent or gap exceeded), then running-sum the flags.
     * Both windows share one (key, ts) sort — ONE shuffle on the key, no
-    * joins. Skew = a hot key's window, as with any per-key sort. */
+    * joins. Skew = a hot key's window, as with any per-key sort.
+    *
+    * `gap` units: the column's natural units for numeric `tsCol`; SECONDS
+    * for TimestampType (the gap test compares epoch values via a double
+    * cast — a raw TimestampType difference is an interval, which a Long
+    * gap cannot compare against). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gap: Long): DataFrame = {
     val byKey = Window.partitionBy(keyCol).orderBy(tsCol)
-    val brk = when(col(tsCol) - lag(col(tsCol), 1).over(byKey) > gap ||
-      lag(col(tsCol), 1).over(byKey).isNull, 1L).otherwise(0L)
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val brk = when(
+      col(tsCol).cast("double") - prev.cast("double") > gap || prev.isNull,
+      1L).otherwise(0L)
     df.withColumn("__brk", brk)
       .withColumn("session_id",
         sum(col("__brk")).over(byKey.rowsBetween(Window.unboundedPreceding,

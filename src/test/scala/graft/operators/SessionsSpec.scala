@@ -17,6 +17,16 @@ class SessionsSpec extends SparkSpec {
       (2, 100L, 1L), (2, 105L, 1L))) // 105-100 = 5 = gap → same session
   }
 
+  test("sessionize works on TimestampType columns (gap in seconds)") {
+    def tstamp(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1, tstamp(0)), (1, tstamp(4)), (1, tstamp(20)))
+      .toDF("k", "ts")
+    val got = Sessions.sessionize(df, "k", "ts", gap = 5L)
+      .select("ts", "session_id").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (4L, 1L), (20L, 2L)))
+  }
+
   test("sessionSummary aggregates bounds and counts per session") {
     val df = Seq((1, 1L), (1, 2L), (1, 50L), (1, 52L)).toDF("k", "ts")
     val got = Sessions.sessionSummary(df, "k", "ts", gap = 10L)
