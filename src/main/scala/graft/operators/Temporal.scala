@@ -52,6 +52,13 @@ object Temporal {
                tolerance: Option[Long] = None): DataFrame = {
     require(Seq("inner", "left").contains(joinType),
       s"asofJoin supports inner|left, got $joinType")
+    // a key-less as-of would plan ONE global window partition (all rows
+    // through a single task) — at any real scale that is a silent
+    // bottleneck, so it must be an explicit modeling decision: add a
+    // constant key column if a global as-of is genuinely wanted
+    require(keyCols.nonEmpty,
+      "asofJoin requires at least one key column (a key-less as-of is a " +
+        "single global window partition; add a constant key to opt in)")
     val leftCols = left.columns.filterNot(keyCols.contains).toSeq
     val rightCols = right.columns.filterNot(keyCols.contains).toSeq
     val overlap = leftCols.intersect(rightCols)
