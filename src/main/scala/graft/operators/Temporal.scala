@@ -130,7 +130,8 @@ object Temporal {
     * post-filtered pairs); set it near the typical range span. */
   def rangeJoin(left: DataFrame, pointCol: String,
                 right: DataFrame, loCol: String, hiCol: String,
-                binWidth: Double, keyCols: Seq[String] = Nil): DataFrame = {
+                binWidth: Double, keyCols: Seq[String] = Nil,
+                maxBinsPerRange: Long = 10000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     // same contract as asofJoin: non-key columns must be disjoint, or the
     // equi-join output has ambiguous duplicates that fail (or silently
@@ -141,9 +142,22 @@ object Temporal {
       s"rangeJoin: non-key columns must be disjoint, overlap: ${overlap.toSeq}")
     require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
       "rangeJoin: `__bin` is reserved")
-    val binned = right.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    // fan-out guard: ONE degenerate range (huge span ÷ small binWidth)
+    // would explode into billions of bin rows and take the stage down
+    // with an opaque array-size error at best. Checked per row on the
+    // executor — no extra action — and raised loudly with the knob to
+    // turn: widen binWidth or raise maxBinsPerRange deliberately.
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    // the guard lives INSIDE the bin expression (a dropped side-column
+    // would be optimized away and never evaluate)
+    val hiBinGuarded = when(hiBin - loBin >= maxBinsPerRange,
+      raise_error(concat(
+        lit(s"rangeJoin: a range spans >= $maxBinsPerRange bins at binWidth=$binWidth (["),
+        col(loCol), lit(", "), col(hiCol),
+        lit("]); widen binWidth or raise maxBinsPerRange"))).cast("long"))
+      .otherwise(hiBin)
+    val binned = right.withColumn("__bin", explode(sequence(loBin, hiBinGuarded)))
     val points = left.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     points.join(binned, Seq("__bin") ++ keyCols)

@@ -111,6 +111,20 @@ class TemporalSpec extends SparkSpec {
     assert(e2.getMessage.contains("__bin"))
   }
 
+  test("rangeJoin: a degenerate range fails loudly before exploding") {
+    val points = Seq((1, 5.0)).toDF("id", "p")
+    val degenerate = Seq((10, 0.0, 1e12)).toDF("rid", "lo", "hi")
+    val e = intercept[Exception](
+      Temporal.rangeJoin(points, "p", degenerate, "lo", "hi",
+        binWidth = 1.0).count())
+    assert(e.getMessage.contains("widen binWidth") ||
+      Option(e.getCause).exists(_.getMessage.contains("widen binWidth")),
+      e.toString)
+    // the same call with an adequate binWidth succeeds
+    assert(Temporal.rangeJoin(points, "p", degenerate, "lo", "hi",
+      binWidth = 1e9).count() == 1)
+  }
+
   test("rangeJoin with key columns scopes matches to the key") {
     val points = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "p")
     val ranges = Seq(("a", 0.0, 10.0)).toDF("g", "lo", "hi")
