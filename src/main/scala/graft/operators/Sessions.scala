@@ -26,6 +26,12 @@ object Sessions {
     * gap cannot compare against). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gap: Long): DataFrame = {
+    // same reserved-name contract as Temporal.asofJoin/rangeJoin: a
+    // pre-existing `__brk`/`session_id` column would be silently
+    // overwritten (and `__brk` then dropped)
+    val clash = df.columns.filter(Seq("__brk", "session_id").contains)
+    require(clash.isEmpty,
+      s"sessionize: reserved column names in input: ${clash.toSeq}")
     val byKey = Window.partitionBy(keyCol).orderBy(tsCol)
     val prev = lag(col(tsCol), 1).over(byKey)
     val brk = when(

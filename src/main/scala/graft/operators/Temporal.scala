@@ -75,7 +75,14 @@ object Temporal {
         col(leftTs).as("__t"), lit(1).as("__side"),
         struct(leftCols.map(col): _*).as("__l"),
         lit(null).cast(rStruct).as("__r")): _*)
-    val rAligned = right.select(
+    // DuckDB ASOF JOIN (equi-key) never matches NULL keys, but
+    // Window.partitionBy groups NULLs into ONE partition — a null-key left
+    // row would silently match a null-key right row. Dropping null-key
+    // RIGHT rows restores the semantics exactly: a null-key left row's
+    // partition then holds no right rows, so it gets no match (dropped
+    // under inner, null-filled under left — DuckDB's behavior for both).
+    val rNonNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val rAligned = right.filter(rNonNullKeys).select(
       keyCols.map(col) ++ Seq(
         col(rightTs).as("__t"), lit(0).as("__side"),
         lit(null).cast(lStruct).as("__l"),
@@ -150,14 +157,21 @@ object Temporal {
     val loBin = floor(col(loCol) / binWidth).cast("long")
     val hiBin = floor(col(hiCol) / binWidth).cast("long")
     // the guard lives INSIDE the bin expression (a dropped side-column
-    // would be optimized away and never evaluate)
-    val hiBinGuarded = when(hiBin - loBin >= maxBinsPerRange,
-      raise_error(concat(
-        lit(s"rangeJoin: a range spans >= $maxBinsPerRange bins at binWidth=$binWidth (["),
-        col(loCol), lit(", "), col(hiCol),
-        lit("]); widen binWidth or raise maxBinsPerRange"))).cast("long"))
-      .otherwise(hiBin)
-    val binned = right.withColumn("__bin", explode(sequence(loBin, hiBinGuarded)))
+    // would be optimized away and never evaluate). Two degenerate shapes:
+    //   - huge forward span: would explode into >= maxBinsPerRange bin
+    //     rows — fail loudly with the knob to turn;
+    //   - INVERTED range (hi < lo): `sequence` auto-steps -1 and would
+    //     still generate |span| descending bin rows (all post-filtered
+    //     away, but the fan-out happens first) — an inverted range matches
+    //     nothing under BETWEEN, so it gets ZERO bins, not |span|.
+    val bins = when(hiBin < loBin, array().cast("array<long>"))
+      .when(hiBin - loBin >= maxBinsPerRange,
+        raise_error(concat(
+          lit(s"rangeJoin: a range spans >= $maxBinsPerRange bins at binWidth=$binWidth (["),
+          col(loCol), lit(", "), col(hiCol),
+          lit("]); widen binWidth or raise maxBinsPerRange"))).cast("array<long>"))
+      .otherwise(sequence(loBin, hiBin))
+    val binned = right.withColumn("__bin", explode(bins))
     val points = left.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     points.join(binned, Seq("__bin") ++ keyCols)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,6 +55,12 @@ import graft.sources.{ConsumeOpt, OffsetSpec, RecordView, TopicRegistry}
   * n)` caps each micro-batch at n records, split across partitions
   * proportionally to backlog — without it, the FIRST batch of a `-B`
   * consume over a deep topic is the entire log in one transaction.
+  * `.option("maxBytesPerTrigger", n)` caps the ESTIMATED parquet bytes per
+  * micro-batch the same way (the streaming analog of the reference's
+  * `-b/--maxbytes`, consume.rs:507-509) — on fat-payload topics a record
+  * cap alone under-controls memory; both compose (min wins per partition).
+  * A partition that vanishes or truncates below the committed offset fails
+  * the query loudly (Kafka `failOnDataLoss=true` semantics).
   * `Trigger.AvailableNow` is supported: the log end is latched at start,
   * drained in rate-limited batches, then the query stops.
   */
@@ -160,22 +166,29 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // Kafka-style admission control: caps records admitted per micro-batch
-    // (0/absent = unlimited). Read here — Spark passes stream options to
-    // the scan builder, not the table properties.
+    // Kafka-style admission control: caps records and/or bytes admitted
+    // per micro-batch (0/absent = unlimited). Bytes are the streaming
+    // analog of the reference's `-b/--maxbytes` fetch cap
+    // (`/root/reference/src/consume.rs:507-509,640-643`) — on a topic with
+    // fat payloads, record-count admission alone under-controls memory.
+    // Read here — Spark passes stream options to the scan builder, not the
+    // table properties.
     val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
+    val maxBytesPerTrigger = options.getLong("maxBytesPerTrigger", 0L)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FluvioDsv2.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger)
+          new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger,
+            maxBytesPerTrigger)
       }
     }
   }
 }
 
 class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
-                             maxPerTrigger: Long = 0L)
+                             maxPerTrigger: Long = 0L,
+                             maxBytesPerTrigger: Long = 0L)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -227,9 +240,17 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnds = Some(currentEnds())
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxPerTrigger > 0L) ReadLimit.maxRows(maxPerTrigger)
-    else ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option.when(maxPerTrigger > 0L)(ReadLimit.maxRows(maxPerTrigger)),
+      Option.when(maxBytesPerTrigger > 0L)(ReadLimit.maxBytes(maxBytesPerTrigger))
+    ).flatten
+    limits match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def reportLatestOffset(): Offset = FluvioOffset(currentEnds())
 
@@ -243,14 +264,18 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     * partition cannot starve the others; allocation is deterministic —
     * floor of the proportional share, remainder to the lowest partition
     * ids). The same shape as the Kafka source's maxOffsetsPerTrigger. */
-  private def admit(start: Map[Int, Long], target: Map[Int, Long],
-                    budget: Long): Map[Int, Long] = {
+  private[v2] def admit(start: Map[Int, Long], target: Map[Int, Long],
+                        budget: Long): Map[Int, Long] = {
     val backlog = target.map { case (p, t) =>
       p -> math.max(0L, t - start.getOrElse(p, 0L)) }
     val total = backlog.values.sum
     if (total <= budget) return target
     val base = backlog.toSeq.sortBy(_._1).map { case (p, b) =>
-      (p, b, budget * b / total) // floor share
+      // floor share — via BigInt: `budget * b` on Longs overflows for a
+      // large trigger cap times a deep backlog, turning the share negative
+      // (admitted end below `start` ⇒ zero-row batch with a REGRESSED
+      // committed offset — a stalled stream)
+      (p, b, (BigInt(budget) * b / total).toLong)
     }
     var remainder = budget - base.map(_._3).sum
     base.map { case (p, b, share) =>
@@ -259,16 +284,64 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     }.toMap
   }
 
+  /** Estimated bytes per record per partition, from segment metadata:
+    * on-disk bytes / footer row count. The parquet-encoded size is the
+    * same stored size the reference's `--maxbytes` caps fetches by
+    * (consume.rs:507-509) — an estimate (segments mix compression ratios)
+    * but metadata-only and conservative enough for admission control. */
+  private def avgBytesPerRecord(): Map[Int, Double] =
+    selectedDirs().map { case (p, d) =>
+      val fs = FluvioDsv2.segmentFiles(d)
+      val rows = fs.map(FluvioDsv2.rowCount).sum
+      p -> (if (rows == 0L) 0.0 else fs.map(_.length()).sum.toDouble / rows)
+    }
+
+  /** Byte-budget analog of [[admit]]: the byte budget splits across
+    * partitions proportionally to their byte backlog, then converts to a
+    * record count via the partition's average record size. A budget below
+    * one record's size still admits ONE record (lowest partition id with
+    * backlog) — the same minimum-progress rule as Kafka's maxBytes
+    * handling; otherwise the stream would stall forever. */
+  private[v2] def admitBytes(start: Map[Int, Long], target: Map[Int, Long],
+                             byteBudget: Long,
+                             bpr: Map[Int, Double]): Map[Int, Long] = {
+    val backlog = target.map { case (p, t) =>
+      p -> math.max(0L, t - start.getOrElse(p, 0L)) }
+    val bytes = backlog.map { case (p, b) => p -> b * bpr.getOrElse(p, 0.0) }
+    val totalBytes = bytes.values.sum
+    if (totalBytes <= byteBudget) return target
+    val ends = backlog.map { case (p, b) =>
+      val recs =
+        if (bpr.getOrElse(p, 0.0) <= 0.0) b
+        else math.min(b,
+          (byteBudget * (bytes(p) / totalBytes) / bpr(p)).toLong)
+      p -> (start.getOrElse(p, 0L) + recs)
+    }
+    val admitted = backlog.keys
+      .map(p => ends(p) - start.getOrElse(p, 0L)).sum
+    if (admitted == 0L && backlog.values.sum > 0L) {
+      val p = backlog.filter(_._2 > 0L).keys.min
+      ends.updated(p, start.getOrElse(p, 0L) + 1L)
+    } else ends
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowEnds.getOrElse(currentEnds())
     val s = start.asInstanceOf[FluvioOffset].positions
+    def applyOne(l: ReadLimit): Map[Int, Long] = l match {
+      case r: ReadMaxRows  => admit(s, target, r.maxRows())
+      case b: ReadMaxBytes => admitBytes(s, target, b.maxBytes(), avgBytesPerRecord())
+      case _               => target // allAvailable/minRows/other hints
+    }
     val end = limit match {
-      case r: ReadMaxRows      => admit(s, target, r.maxRows())
-      case _: ReadAllAvailable => target
       case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-        composite.getReadLimits.collectFirst { case r: ReadMaxRows => r }
-          .map(r => admit(s, target, r.maxRows())).getOrElse(target)
-      case _ => target // minRows/other hints: deliver what's available
+        // both caps hold: the admitted end per partition is the MIN of
+        // what each limiter admits
+        composite.getReadLimits.map(applyOne).reduce { (a, b) =>
+          target.keys.map(p =>
+            p -> math.min(a.getOrElse(p, 0L), b.getOrElse(p, 0L))).toMap
+        }
+      case l => applyOne(l)
     }
     FluvioOffset(end)
   }
@@ -279,6 +352,25 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     val s = start.asInstanceOf[FluvioOffset].positions
     val e = end.asInstanceOf[FluvioOffset].positions
     val dirs = selectedDirs()
+    // data-loss contract (Kafka's failOnDataLoss=true): a topic partition
+    // that VANISHED, or whose log shrank below the committed offset
+    // (segment deletion / compaction), cannot be streamed exactly-once —
+    // fail loudly instead of silently planning zero rows over the hole
+    for ((p, from) <- s.toSeq.sortBy(_._1)) {
+      val dir = dirs.getOrElse(p,
+        throw new IllegalStateException(
+          s"fluvio stream: partition $p of topic '${opt.topic}' vanished " +
+            s"(committed offset $from); a removed partition cannot be " +
+            "streamed exactly-once — restart from a fresh checkpoint to " +
+            "accept the loss"))
+      val leoP = FluvioDsv2.segmentFiles(dir).map(FluvioDsv2.rowCount).sum
+      if (leoP < from)
+        throw new IllegalStateException(
+          s"fluvio stream: partition $p of topic '${opt.topic}' truncated " +
+            s"(log end $leoP < committed offset $from); segments were " +
+            "deleted or compacted — restart from a fresh checkpoint to " +
+            "accept the loss")
+    }
     val parts = Seq.newBuilder[InputPartition]
     // iterate the END map: a topic partition ADDED after stream start has
     // no entry in `s` (bind-time initialOffset) but latestOffset already

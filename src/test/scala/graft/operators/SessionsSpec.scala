@@ -27,6 +27,16 @@ class SessionsSpec extends SparkSpec {
     assert(got == Set((0L, 1L), (4L, 1L), (20L, 2L)))
   }
 
+  test("sessionize rejects reserved column names instead of silently overwriting") {
+    val df = Seq((1, 1L)).toDF("k", "ts")
+    val e1 = intercept[IllegalArgumentException](
+      Sessions.sessionize(df.withColumn("session_id", lit(9L)), "k", "ts", 5L))
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException](
+      Sessions.sessionize(df.withColumn("__brk", lit(1)), "k", "ts", 5L))
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("sessionSummary aggregates bounds and counts per session") {
     val df = Seq((1, 1L), (1, 2L), (1, 50L), (1, 52L)).toDF("k", "ts")
     val got = Sessions.sessionSummary(df, "k", "ts", gap = 10L)

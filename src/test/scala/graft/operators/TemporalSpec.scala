@@ -125,6 +125,36 @@ class TemporalSpec extends SparkSpec {
       binWidth = 1e9).count() == 1)
   }
 
+  test("rangeJoin: an inverted range (hi < lo) yields no pairs and no fan-out") {
+    val points = Seq((1, 5.0)).toDF("id", "p")
+    // lo >> hi: sequence(loBin, hiBin) would auto-step -1 into ~1e12
+    // descending bin rows without the inverted-range branch; with it, the
+    // range simply matches nothing (BETWEEN semantics) at zero cost
+    val inverted = Seq((10, 1e12, 0.0)).toDF("rid", "lo", "hi")
+    assert(Temporal.rangeJoin(points, "p", inverted, "lo", "hi",
+      binWidth = 1.0).count() == 0)
+    // mixed with a valid range: the valid one still matches
+    val mixed = Seq((10, 1e12, 0.0), (11, 0.0, 10.0)).toDF("rid", "lo", "hi")
+    val got = Temporal.rangeJoin(points, "p", mixed, "lo", "hi",
+      binWidth = 4.0).select("rid").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(11))
+  }
+
+  test("asofJoin: NULL keys never match (DuckDB equi-key semantics)") {
+    val ln = Seq((Some(1), 5), (None, 5)).toDF("k", "t")
+    val rn = Seq((Some(1), 3, 100), (None, 3, 999)).toDF("k", "rt", "v")
+    // inner: the null-key left row has no legal match and drops
+    val inner = Temporal.asofJoin(ln, rn, Seq("k"), "t", "rt")
+      .select("k", "v").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(inner == Set((1, 100)))
+    // left: it survives null-filled, never paired with the null-key right
+    val lj = Temporal.asofJoin(ln, rn, Seq("k"), "t", "rt", joinType = "left")
+      .select("k", "v").collect()
+      .map(x => (if (x.isNullAt(0)) None else Some(x.getInt(0)),
+        if (x.isNullAt(1)) None else Some(x.getInt(1)))).toSet
+    assert(lj == Set((Some(1), Some(100)), (None, None)))
+  }
+
   test("rangeJoin with key columns scopes matches to the key") {
     val points = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "p")
     val ranges = Seq(("a", 0.0, 10.0)).toDF("g", "lo", "hi")

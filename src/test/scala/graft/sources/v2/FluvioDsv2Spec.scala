@@ -184,6 +184,125 @@ class FluvioDsv2Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  // direct handle on the admission arithmetic, bound to a real tiny topic
+  private def streamFor(dir: java.io.File): FluvioMicroBatchStream = {
+    val opt = graft.sources.ConsumeOpt.parse("events -B")
+      .getOrElse(sys.error("parse failed"))
+    val view = graft.sources.TopicRegistry
+      .requireRecordView(dir.getAbsolutePath, "events")
+    new FluvioMicroBatchStream(opt, view, dir.getAbsolutePath)
+  }
+
+  test("admit: huge budget x deep backlog does not overflow into a regressed offset") {
+    val (dir, _) = mkTopic("dsv2_ovf", 10)
+    val s = streamFor(dir)
+    val start = Map(0 -> 0L, 1 -> 0L)
+    // budget * backlog ~ 1.5e19 > Long.MaxValue: the naive Long product
+    // went negative, admitting an end BELOW start (stalled stream)
+    val target = Map(0 -> 4000000000L, 1 -> 5000000000L)
+    val budget = 3000000000L
+    val end = s.admit(start, target, budget)
+    val admitted = end.map { case (p, e) => p -> (e - start(p)) }
+    assert(admitted.values.forall(_ >= 0L), s"negative admission: $end")
+    assert(admitted.values.sum == budget, admitted.toString)
+    assert(admitted(1) > admitted(0)) // still proportional to backlog
+  }
+
+  test("admitBytes: splits a byte budget by byte backlog; tiny budgets still progress") {
+    val (dir, _) = mkTopic("dsv2_bytes_u", 10)
+    val s = streamFor(dir)
+    val start = Map(0 -> 0L, 1 -> 0L)
+    val target = Map(0 -> 100L, 1 -> 100L)
+    val bpr = Map(0 -> 10.0, 1 -> 30.0) // partition 1 rows are 3x fatter
+    // 2000-byte budget over a 4000-byte backlog: p0 gets 500 B -> 50
+    // records, p1 gets 1500 B -> 50 records
+    assert(s.admitBytes(start, target, 2000L, bpr) == Map(0 -> 50L, 1 -> 50L))
+    // a budget below one record's size admits exactly ONE record, not zero
+    val tiny = s.admitBytes(start, target, 5L, bpr)
+    assert(tiny.map { case (p, e) => e - start(p) }.sum == 1L, tiny.toString)
+    // budget >= backlog bytes: everything is admitted
+    assert(s.admitBytes(start, target, 10000L, bpr) == target)
+  }
+
+  test("maxBytesPerTrigger: fat payloads split into multiple micro-batches where a record cap would not") {
+    // a topic whose 60 records carry ~2 KB incompressible payloads each —
+    // the shape where record-count admission under-controls memory
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_fat").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    spark.range(60).select(
+        col("id").as("event_id"),
+        lit(null).cast("timestamp").as("ts"),
+        concat_ws("", (0 until 64).map(i =>
+          md5(concat(col("id").cast("string"), lit(i)))): _*).as("props"))
+      .coalesce(1).write.mode("append").parquet(topicDir.getAbsolutePath)
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      var reader = spark.readStream.format(fmt)
+        .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      opts.foreach { case (k, v) => reader = reader.option(k, v) }
+      val q = reader.load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          sizes.add(df.count()); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      assert(q.awaitTermination(60000), "AvailableNow query did not stop")
+      import scala.jdk.CollectionConverters._
+      sizes.asScala.toSeq.filter(_ > 0)
+    }
+    // record cap alone: 1000 >> 60 records, one giant batch
+    val recordCapped = run(Map("maxRecordsPerTrigger" -> "1000"))
+    assert(recordCapped == Seq(60L), recordCapped.toString)
+    // byte cap: ~2 KB/record estimated from segment metadata; a 40 KB
+    // budget admits ~20 records per batch -> several batches, same total
+    val byteCapped = run(Map("maxBytesPerTrigger" -> "40000"))
+    assert(byteCapped.sum == 60L, byteCapped.toString)
+    assert(byteCapped.length > 1, s"byte cap produced one batch: $byteCapped")
+    // both caps compose: the tighter (records) wins
+    val both = run(Map("maxBytesPerTrigger" -> "40000",
+      "maxRecordsPerTrigger" -> "10"))
+    assert(both.sum == 60L && both.forall(_ <= 10L), both.toString)
+  }
+
+  test("a vanished topic partition fails the query loudly (failOnDataLoss contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_vanish").toFile
+    val topicDir = new java.io.File(dir, "events_mp.parquet")
+    val src = Tables.load(spark, sf, "events").filter(col("event_id") < 50)
+      .select(col("event_id").as("offset"), col("ts"), col("props").as("value"))
+    for (p <- 0 to 1)
+      src.write.mode("append")
+        .parquet(new java.io.File(topicDir, s"partition=$p").getAbsolutePath)
+    val (name, q) = startQuery("events_mp -A -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 100)
+      // the producer drops partition 1 while the query is live
+      val p1 = new java.io.File(topicDir, "partition=1")
+      p1.listFiles().foreach(_.delete()); p1.delete()
+      src.write.mode("append")
+        .parquet(new java.io.File(topicDir, "partition=0").getAbsolutePath)
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.toString.contains("vanished") ||
+        Option(e.getCause).exists(_.getMessage.contains("vanished")), e.toString)
+    } finally q.stop()
+  }
+
+  test("a truncated log (segments deleted below the committed offset) fails loudly") {
+    val (dir, topicDir) = mkTopic("dsv2_trunc", 100)
+    val (_, q) = startQuery("events -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      // compaction rewrites the topic to 10 rows: LEO 10 < committed 100
+      topicDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+      Tables.load(spark, sf, "events").filter(col("event_id") < 10)
+        .write.mode("append").parquet(topicDir.getAbsolutePath)
+      val e = intercept[Exception](q.processAllAvailable())
+      assert(e.toString.contains("truncated") ||
+        Option(e.getCause).exists(_.getMessage.contains("truncated")), e.toString)
+    } finally q.stop()
+  }
+
   test("a topic partition added mid-stream is read from 0, not silently committed away") {
     val dir = java.nio.file.Files.createTempDirectory("dsv2_newpart").toFile
     val topicDir = new java.io.File(dir, "events_mp.parquet")
