@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus per-partition batch feature extraction.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic stand-in ([[FakeDecoder]]) — but the Spark
-  * side is real: the schema, the partition-parallel `mapPartitions`
-  * execution (records never leave executors, batches amortize per-task
-  * setup the way a Pandas-UDF/Arrow batch would), and the feature output
-  * contract are exactly what a real decoder would plug into: swap
-  * [[FakeDecoder]] for a JNI/FFI codec and nothing else changes.
+  * The IMAGE path is a real codec: [[ImageCodec]] encodes/decodes PNG via
+  * the JDK's `javax.imageio` (no native libraries needed), executor-side in
+  * `mapPartitions`, and its decoded width/height/mean-channel values are
+  * oracle-checked end-to-end against planted parameters
+  * (multimodal_decode / multimodal_features). Audio/video stay behind the
+  * clearly-marked byte-stat stand-in ([[FakeDecoder]]) — the container has
+  * no audio/video codecs — but the Spark side is identical either way:
+  * schema, partition-parallel execution (records never leave executors,
+  * batches amortize per-task setup the way a Pandas-UDF/Arrow batch
+  * would), and the feature output contract. Swap [[FakeDecoder]] for an
+  * ffmpeg binding and nothing else changes.
   */
 object Multimodal {
 
@@ -44,10 +48,78 @@ object Multimodal {
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** STUB DECODER — deterministic stand-in for the codec library that is
-    * not available in this container. Computes a 16-bin byte histogram and
-    * a mean-byte "brightness". A real build would replace only this
-    * object's internals with e.g. libjpeg/ffmpeg bindings. */
+  /** Decoded pixel statistics of one image — every field is REAL decode
+    * output (javax.imageio), pinned by the DuckDB oracle against the
+    * planted encode parameters. */
+  final case class DecodedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      mean_r: Double,   // mean red channel value over all pixels, 0-255
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image codec — the JDK ships `javax.imageio` (pure-Java PNG), so
+    * no native libraries are assumed. `encodePng` plants an image whose
+    * dimensions and solid RGB color derive from the id alone; `decode`
+    * reads REAL pixels back. Because a solid color's per-channel mean is
+    * exactly the planted channel value, every decoded statistic is
+    * SQL-reconstructable from the id — which is what lets the DuckDB
+    * oracle hash-check the real decode end-to-end. */
+  object ImageCodec {
+    def plantedWidth(id: Long): Int = (id % 8).toInt + 2
+    def plantedHeight(id: Long): Int = (id % 5).toInt + 2
+    /** (r, g, b), each 0-255, all derived from the id. */
+    def plantedColor(id: Long): (Int, Int, Int) =
+      ((id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+
+    def encodePng(id: Long): Array[Byte] = {
+      val (w, h) = (plantedWidth(id), plantedHeight(id))
+      val (r, g, b) = plantedColor(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: pixels come from the PNG bytes, nothing is assumed
+      * from the id. Per-channel sums are exact in Long; `sum / n` is an
+      * exact double whenever the image is a solid color (sum = n * v), so
+      * the oracle comparison is bit-exact, no rounding tolerance needed. */
+    def decode(mediaId: Long, png: Array[Byte]): DecodedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      require(img != null, s"media_id=$mediaId: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      DecodedImage(mediaId, w, h,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+
+  /** STUB DECODER — now the AUDIO/VIDEO-only stand-in (images decode for
+    * real through [[ImageCodec]]): the container has no audio/video
+    * codecs, so this computes byte-level statistics (16-bin histogram,
+    * mean byte value) plus codec-free frame-sampling math. A real build
+    * would replace only this object's internals with ffmpeg bindings. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Array[Double], Double) = {
       val hist = new Array[Double](16)
@@ -103,6 +175,83 @@ object Multimodal {
           histogram = hist,
           brightness = brightness,
           frames_sampled = FakeDecoder.framesToSample(m.kind, m.duration_ms, fps))
+      }
+    }
+  }
+
+  /** Real-content features: one row per media record, decode-backed. */
+  final case class MediaContentFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Option[Long],    // encoded size for audio/video; None for
+                                // images (a codec's encoding size is not a
+                                // content feature and not oracle-derivable)
+      mean_level: Double,       // images: mean pixel channel value (REAL
+                                // decode); audio/video: mean byte value
+      frames_sampled: Int)
+
+  /** Media fixture with REAL image payloads: every `image`-kind row
+    * carries an actual PNG (planted dims + solid color from the id,
+    * encoded executor-side by [[ImageCodec]]); audio/video rows carry a
+    * 256-byte ramp `(id + i) % 256` — one full byte cycle, so their byte
+    * statistics are exact constants (mean 127.5). Both payload families
+    * keep every downstream feature SQL-reconstructable while the operators
+    * compute them from the REAL bytes. */
+  def realMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory, no temp files
+        it.map { id =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val payload =
+            if (kind == "image") ImageCodec.encodePng(id)
+            else Array.tabulate[Byte](256)(i => ((id + i) % 256).toByte)
+          MediaRecord(
+            media_id = id, kind = kind, payload = payload,
+            width = if (kind == "image") ImageCodec.plantedWidth(id) else 0,
+            height = if (kind == "image") ImageCodec.plantedHeight(id) else 0,
+            sample_rate = if (kind == "audio") 16000 else 0,
+            duration_ms = (id % 30) * 1000L)
+        }
+      }
+  }
+
+  /** Real image decode over the image-kind rows: executor-side
+    * `mapPartitions`, `javax.imageio` — the decoded values are pinned by
+    * the multimodal_decode oracle against the planted parameters. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => ImageCodec.decode(m.media_id, m.payload))
+    }
+  }
+
+  /** Content-feature extraction over [[realMedia]]: images decode for REAL
+    * (mean pixel level from actual pixels); audio/video take byte-level
+    * stats from the actual payload bytes. `(mean_r+mean_g+mean_b)/3.0` is
+    * a single double division of exact integers, bit-identical to the
+    * oracle's `(r+g+b)/3.0`. */
+  def extractContentFeatures(media: Dataset[MediaRecord], fps: Double = 1.0): Dataset[MediaContentFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val (nBytes, level) =
+          if (m.kind == "image") {
+            val d = ImageCodec.decode(m.media_id, m.payload)
+            (None, (d.mean_r + d.mean_g + d.mean_b) / 3.0)
+          } else {
+            var sum = 0L
+            var i = 0
+            while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
+            (Some(m.payload.length.toLong), sum.toDouble / m.payload.length)
+          }
+        MediaContentFeatures(m.media_id, m.kind, nBytes, level,
+          FakeDecoder.framesToSample(m.kind, m.duration_ms, fps))
       }
     }
   }

@@ -343,14 +343,25 @@ object Pipeline {
       Multimodal.resizePlan(
         Multimodal.syntheticMedia(s, docs(s, dir)), maxDim = 256)
         .orderBy("media_id")),
-    // mapPartitions feature extraction (stub decoder; rows-only check)
+    // mapPartitions feature extraction over REAL payloads: images decode
+    // through javax.imageio (actual pixels), audio/video take byte stats —
+    // every output value is SQL-reconstructable from the planted
+    // parameters, so this is hash-checked, not rows-only
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(
-        Multimodal.syntheticMedia(s, docs(s, dir)))
+      Multimodal.extractContentFeatures(
+        Multimodal.realMedia(s, docs(s, dir)))
         .toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
-          round(col("brightness"), 6).as("brightness"),
-          col("frames_sampled"))
+          col("mean_level"), col("frames_sampled"))
+        .orderBy("media_id")),
+    // REAL image decode end-to-end: planted PNGs (dims + solid color from
+    // doc_id) encoded and decoded executor-side; width/height/mean-channel
+    // come from the decoded pixels and hash-match the oracle's planted
+    // formulas exactly (solid color => per-channel mean is an exact int)
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeImages(
+        Multimodal.realMedia(s, docs(s, dir)))
+        .toDF()
         .orderBy("media_id")),
     // frame sampling is metadata math (1 fps over the clip duration), so
     // unlike the decode features it IS oracle-checkable
@@ -643,6 +654,27 @@ object Pipeline {
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin
     },
+    // the planted-parameter reconstruction of the REAL decode: kind by
+    // doc_id % 3; images carry a (doc_id%8+2) x (doc_id%5+2) solid-color
+    // PNG with channels (doc_id%256, doc_id*7%256, doc_id*13%256);
+    // audio/video carry one full 256-byte cycle (mean exactly 127.5)
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 256 END AS BIGINT) AS n_bytes,
+        |CASE WHEN doc_id % 3 = 0
+        |  THEN (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 13 % 256 AS DOUBLE)) / 3.0
+        |  ELSE 127.5 END AS mean_level,
+        |CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST(doc_id % 30 AS INTEGER)) ELSE 1 END AS INTEGER) AS frames_sampled
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        |CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+        |CAST(doc_id % 5 + 2 AS INTEGER) AS height,
+        |CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
+        |CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     "multimodal_framesample" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

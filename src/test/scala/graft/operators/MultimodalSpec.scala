@@ -37,6 +37,50 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("video").exists(_.frames_sampled > 1))
   }
 
+  test("ImageCodec: a planted PNG decodes back to its exact dims and colors") {
+    for (id <- Seq(0L, 1L, 7L, 255L, 256L, 4999L)) {
+      val d = Multimodal.ImageCodec.decode(id, Multimodal.ImageCodec.encodePng(id))
+      val (r, g, b) = Multimodal.ImageCodec.plantedColor(id)
+      assert(d.width == Multimodal.ImageCodec.plantedWidth(id))
+      assert(d.height == Multimodal.ImageCodec.plantedHeight(id))
+      // solid color: per-channel mean is EXACTLY the planted channel value
+      assert(d.mean_r == r.toDouble && d.mean_g == g.toDouble &&
+        d.mean_b == b.toDouble, s"id=$id: $d vs ($r,$g,$b)")
+    }
+  }
+
+  test("ImageCodec.decode fails loudly on a non-image payload") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.ImageCodec.decode(42L, "not a png".getBytes))
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("decodeImages: distributed real decode matches the planted parameters") {
+    val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
+    val decoded = Multimodal.decodeImages(real.repartition(7)).collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall { d =>
+      val (r, g, b) = Multimodal.ImageCodec.plantedColor(d.media_id)
+      d.width == Multimodal.ImageCodec.plantedWidth(d.media_id) &&
+        d.height == Multimodal.ImageCodec.plantedHeight(d.media_id) &&
+        d.mean_r == r && d.mean_g == g && d.mean_b == b
+    })
+  }
+
+  test("extractContentFeatures: images via real decode, audio/video via byte stats") {
+    val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
+    val feats = Multimodal.extractContentFeatures(real).collect()
+    assert(feats.length == 500)
+    val byKind = feats.groupBy(_.kind)
+    // one full 256-byte cycle: mean byte value is exactly 127.5
+    assert((byKind("audio") ++ byKind("video"))
+      .forall(f => f.mean_level == 127.5 && f.n_bytes.contains(256L)))
+    assert(byKind("image").forall { f =>
+      val (r, g, b) = Multimodal.ImageCodec.plantedColor(f.media_id)
+      f.n_bytes.isEmpty && f.mean_level == (r + g + b) / 3.0
+    })
+  }
+
   test("resizePlan: output dims bounded by maxDim, aspect preserved-ish") {
     val plan = Multimodal.resizePlan(media, 256).collect()
     assert(plan.forall(r => r.getInt(4) <= 256 && r.getInt(5) <= 256))
