@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked-run output goes to stdout VERBATIM — no "[info] " logger prefix.
+// The bench/verify drivers parse the emitted one-line JSON from captured
+// output; sbt's default logger prefix made every line unparseable
+// (BENCH_r04.json: parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
