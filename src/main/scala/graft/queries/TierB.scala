@@ -81,6 +81,53 @@ object TierB {
     "sql_tvf_partitions" -> ((s, dir) => {
       graft.sql.GraftSql.register(s)
       s.sql(s"SELECT * FROM fluvio_partitions('$dir') ORDER BY topic")
+    }),
+
+    // ---- the table OPERATORS as TVFs (graft_asof_join / graft_range_join
+    // / graft_sessionize): same inputs and oracles as the Scala-API
+    // entries join_asof / join_range / sessionize — the TVF must
+    // hash-match the operator it wraps. Table inputs ride in as temp-view
+    // names (registry TVFs take constant args only).
+    "sql_tvf_asof" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      val ev = graft.sources.Tables.load(s, dir, "events")
+      ev.select(col("event_id"), (col("event_id") % 4).as("k"),
+          col("event_id").as("t"))
+        .createOrReplaceTempView("graft_asof_l")
+      ev.filter(col("event_id") % 7 === 0)
+        .select((col("event_id") % 4).as("k"), col("event_id").as("mark_id"))
+        .withColumn("mt", col("mark_id"))
+        .createOrReplaceTempView("graft_asof_r")
+      s.sql("""SELECT event_id, k, mark_id
+              |FROM graft_asof_join('graft_asof_l', 'graft_asof_r', 'k', 't', 'mt')
+              |ORDER BY event_id""".stripMargin)
+    }),
+    "sql_tvf_range" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      graft.sources.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .createOrReplaceTempView("graft_range_l")
+      graft.sources.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("band_id"),
+          (col("n_nationkey").cast("double") * 2).as("lo"),
+          (col("n_nationkey").cast("double") * 2 + 3).as("hi"))
+        .createOrReplaceTempView("graft_range_r")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_quantity, band_id
+              |FROM graft_range_join('graft_range_l', 'l_quantity',
+              |                      'graft_range_r', 'lo', 'hi', 4.0)
+              |ORDER BY l_orderkey, l_linenumber, l_quantity, band_id""".stripMargin)
+    }),
+    "sql_tvf_sessionize" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      graft.sources.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"))
+        .createOrReplaceTempView("graft_sess_ev")
+      s.sql("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+              |       CAST(COUNT(*) AS BIGINT) AS n_events,
+              |       MIN(event_id) AS session_start, MAX(event_id) AS session_end
+              |FROM graft_sessionize('graft_sess_ev', 'user_id', 'event_id', 100)
+              |GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin)
     })
   )
 
@@ -119,6 +166,11 @@ object TierB {
       .mkString("", " UNION ALL ", " ORDER BY name"),
     "sql_tvf_partitions" -> fixtureTopics
       .map(t => s"SELECT '$t' AS topic, '0' AS partition, CAST((SELECT COUNT(*) FROM $t) AS BIGINT) AS \"LEO\"")
-      .mkString("", " UNION ALL ", " ORDER BY topic")
+      .mkString("", " UNION ALL ", " ORDER BY topic"),
+    // the TVFs wrap the same operators with the same inputs — the oracle
+    // is literally the operator entries' oracle
+    "sql_tvf_asof" -> Relational.oracleSql("join_asof"),
+    "sql_tvf_range" -> Relational.oracleSql("join_range"),
+    "sql_tvf_sessionize" -> Relational.oracleSql("sessionize")
   )
 }

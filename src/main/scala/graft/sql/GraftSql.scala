@@ -86,7 +86,91 @@ object GraftSql {
           throw new IllegalArgumentException("fluvio_partitions([<baseDir>])")
         val spark = SparkSession.active
         shim.logicalPlan(FluvioDuck.partitions(spark, baseDir("fluvio_partitions", args, 0)))
+      }),
+
+    // ---- table operators as TVFs: the reference's UX is SQL-first, so
+    // the joins Spark SQL lacks are reachable from pure SQL too. Table
+    // inputs are passed as VIEW NAMES (registry table functions take only
+    // constant expressions — the same constraint the reference's
+    // fluvio_consume('...') string contract lives under); each builder
+    // plans the SAME DataFrame the Scala API returns.
+    (FunctionIdentifier("graft_asof_join"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_asof_join"),
+      (args: Seq[Expression]) => {
+        if (args.length < 5 || args.length > 7)
+          throw new IllegalArgumentException(
+            "graft_asof_join('<leftView>', '<rightView>', '<k1,k2,...>', " +
+              "'<leftTs>', '<rightTs>' [, '<inner|left>' [, <toleranceLong>]])")
+        val spark = SparkSession.active
+        val fn = "graft_asof_join"
+        // validate scalar args BEFORE view resolution: a bad constant gets
+        // its own clear error, not TABLE_OR_VIEW_NOT_FOUND
+        val keys = strArg(fn, args(2)).split(",").map(_.trim).toSeq
+        val (lts, rts) = (strArg(fn, args(3)), strArg(fn, args(4)))
+        val jt = if (args.length > 5) strArg(fn, args(5)) else "inner"
+        val tol = if (args.length > 6) Some(longArg(fn, args(6))) else None
+        shim.logicalPlan(graft.operators.Temporal.asofJoin(
+          spark.table(strArg(fn, args(0))), spark.table(strArg(fn, args(1))),
+          keys, lts, rts, joinType = jt, tolerance = tol))
+      }),
+    (FunctionIdentifier("graft_range_join"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_range_join"),
+      (args: Seq[Expression]) => {
+        if (args.length < 6 || args.length > 7)
+          throw new IllegalArgumentException(
+            "graft_range_join('<leftView>', '<pointCol>', '<rightView>', " +
+              "'<loCol>', '<hiCol>', <binWidth> [, '<k1,k2,...>'])")
+        val spark = SparkSession.active
+        val fn = "graft_range_join"
+        val point = strArg(fn, args(1))
+        val (lo, hi) = (strArg(fn, args(3)), strArg(fn, args(4)))
+        val bw = doubleArg(fn, args(5))
+        val keys = if (args.length > 6)
+          strArg(fn, args(6)).split(",").map(_.trim).toSeq else Nil
+        shim.logicalPlan(graft.operators.Temporal.rangeJoin(
+          spark.table(strArg(fn, args(0))), point,
+          spark.table(strArg(fn, args(2))), lo, hi,
+          binWidth = bw, keyCols = keys))
+      }),
+    (FunctionIdentifier("graft_sessionize"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_sessionize"),
+      (args: Seq[Expression]) => {
+        if (args.length != 4)
+          throw new IllegalArgumentException(
+            "graft_sessionize('<view>', '<keyCol>', '<tsCol>', <gapLong>)")
+        val spark = SparkSession.active
+        val fn = "graft_sessionize"
+        val (key, ts) = (strArg(fn, args(1)), strArg(fn, args(2)))
+        val gap = longArg(fn, args(3))
+        shim.logicalPlan(graft.operators.Sessions.sessionize(
+          spark.table(strArg(fn, args(0))), key, ts, gap))
       }))
+
+  private def longArg(fn: String, e: Expression): Long = e match {
+    case other if other.foldable &&
+      (other.dataType == org.apache.spark.sql.types.IntegerType ||
+        other.dataType == org.apache.spark.sql.types.LongType) =>
+      other.eval(null) match {
+        case i: Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case null => throw new IllegalArgumentException(s"$fn: argument must not be NULL")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a constant integer argument, got: ${e.sql}")
+  }
+
+  private def doubleArg(fn: String, e: Expression): Double = e match {
+    // SQL decimal literals parse as DecimalType (4.0 -> DECIMAL(2,1)), so
+    // accept any foldable numeric and convert through its string form
+    case other if other.foldable &&
+      other.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      other.eval(null) match {
+        case null => throw new IllegalArgumentException(s"$fn: argument must not be NULL")
+        case v    => v.toString.toDouble
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects a constant numeric argument, got: ${e.sql}")
+  }
 
   type ScalarFunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)

@@ -42,6 +42,52 @@ class GraftSqlSpec extends SparkSpec {
     assert(parts.filter(col("topic") === "events").head().getLong(2) == 1000L)
   }
 
+  test("graft_asof_join TVF matches the Scala operator") {
+    val s = registered()
+    import s.implicits._
+    Seq((1, 5), (1, 10), (2, 7), (1, 2)).toDF("k", "t")
+      .createOrReplaceTempView("tvf_asof_l")
+    Seq((1, 3, 100), (1, 8, 200), (2, 1, 300)).toDF("k", "rt", "v")
+      .createOrReplaceTempView("tvf_asof_r")
+    val got = s.sql(
+      "SELECT k, t, rt, v FROM graft_asof_join('tvf_asof_l', 'tvf_asof_r', 'k', 't', 'rt')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == Set((1, 5, 3, 100), (1, 10, 8, 200), (2, 7, 1, 300)))
+    // optional args: joinType + tolerance
+    val lj = s.sql("""SELECT count(*) AS n FROM
+      graft_asof_join('tvf_asof_l', 'tvf_asof_r', 'k', 't', 'rt', 'left', 2)""")
+      .head().getLong(0)
+    assert(lj == 4L) // all left rows survive under 'left'
+  }
+
+  test("graft_range_join and graft_sessionize TVFs match the Scala operators") {
+    val s = registered()
+    import s.implicits._
+    Seq((1, 2.5), (2, 9.0)).toDF("id", "p").createOrReplaceTempView("tvf_rj_l")
+    Seq((10, 0.0, 4.0), (11, 8.0, 12.0)).toDF("rid", "lo", "hi")
+      .createOrReplaceTempView("tvf_rj_r")
+    val pairs = s.sql(
+      "SELECT id, rid FROM graft_range_join('tvf_rj_l', 'p', 'tvf_rj_r', 'lo', 'hi', 4.0)")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((1, 10), (2, 11)))
+    Seq((1, 1L), (1, 2L), (1, 50L)).toDF("k", "ts")
+      .createOrReplaceTempView("tvf_sess")
+    val sess = s.sql(
+      "SELECT k, ts, session_id FROM graft_sessionize('tvf_sess', 'k', 'ts', 5)")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sess == Set((1, 1L, 1L), (1, 2L, 1L), (1, 50L, 2L)))
+  }
+
+  test("operator TVFs reject wrong arity with the usage string") {
+    val s = registered()
+    val e = intercept[Exception](
+      s.sql("SELECT * FROM graft_asof_join('a', 'b')").collect())
+    assert(e.getMessage.contains("graft_asof_join("))
+    val e2 = intercept[Exception](
+      s.sql("SELECT * FROM graft_sessionize('a', 'k', 'ts', 'oops')").collect())
+    assert(e2.getMessage.contains("constant integer"))
+  }
+
   test("consume errors surface through SQL (unknown topic, bad flags)") {
     val s = registered()
     val e1 = intercept[Exception](
