@@ -101,6 +101,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** S-curve banding parameters from the target jaccard threshold: with
+    * `b` bands of `r = numHashes/b` rows, a pair of jaccard s collides in
+    * some band with probability 1 - (1 - s^r)^b, an S-curve whose
+    * midpoint sits near t = (1/b)^(1/r). Pick the divisor-of-numHashes
+    * band count whose midpoint is closest to the threshold FROM BELOW —
+    * t <= threshold keeps candidate recall high AT the threshold (pairs
+    * right at the cut sit on the high side of the curve), spending
+    * candidate waste on sub-threshold pairs that exact verification
+    * rejects anyway. Falls back to the closest midpoint overall when no
+    * divisor lands below (thresholds under (1/numHashes): every banding
+    * is above the ask).
+    *
+    * Returns (bands, rowsPerBand). Examples at numHashes=64:
+    * threshold 0.2 -> (32, 2) [t=0.18]; 0.5 -> (16, 4) [t=0.5];
+    * 0.8 -> (8, 8) [t=0.77]. The legacy explicit default bands=16
+    * (t=0.5) under-recalls thresholds below ~0.4 — exactly what the
+    * auto path fixes. */
+  def paramsFor(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map { b => (b, math.pow(1.0 / b, b.toDouble / numHashes)) }
+    val below = options.filter(_._2 <= threshold)
+    val (bands, _) =
+      if (below.nonEmpty) below.maxBy(_._2)
+      else options.minBy { case (_, t) => math.abs(t - threshold) }
+    (bands, numHashes / bands)
+  }
+
+  /** [[minhashNearDups]] with the banding DERIVED from the threshold via
+    * [[paramsFor]] — the caller states intent (the jaccard cut) and the
+    * operator picks its own operating point. The explicit-knob form stays
+    * for callers tuning candidate volume by hand. */
+  def minhashNearDupsAuto(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 64,
+                          shingleLen: Int = 3): DataFrame = {
+    val (bands, _) = paramsFor(threshold, numHashes)
+    minhashNearDups(df, idCol, textCol, threshold, numHashes, bands, shingleLen)
+  }
+
   /** Banded LSH candidate pairs from minhash signatures: docs sharing any
     * (band, bucket) are candidates. Returns distinct (id_a, id_b), a < b.
     * Never forms the n² pair space: the join is on (band, bucket). */

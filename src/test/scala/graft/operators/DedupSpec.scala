@@ -60,6 +60,33 @@ class DedupSpec extends SparkSpec {
     assert(!nd.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("paramsFor derives S-curve banding from the threshold") {
+    // midpoints at numHashes=64: b=64->0.016, 32->0.18, 16->0.5, 8->0.77
+    assert(Dedup.paramsFor(0.2, 64) == (32, 2))
+    assert(Dedup.paramsFor(0.5, 64) == (16, 4))
+    assert(Dedup.paramsFor(0.8, 64) == (8, 8))
+    // below every midpoint: fall back to the closest (most bands)
+    assert(Dedup.paramsFor(0.01, 64) == (64, 1))
+    intercept[IllegalArgumentException](Dedup.paramsFor(0.0, 64))
+    intercept[IllegalArgumentException](Dedup.paramsFor(1.0, 64))
+  }
+
+  test("auto banding: recall at the threshold >= the explicit-knob default, equal cost") {
+    // documents fixture at a LOW threshold (0.2): the explicit default
+    // bands=16 has its S-curve midpoint at 0.5 and under-recalls;
+    // paramsFor(0.2) picks bands=32 (midpoint 0.18)
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val explicit = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.minhashNearDupsAuto(docs, "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every verified pair the explicit knobs found survives, at the same
+    // numHashes budget (64 hashes either way; banding is just a regroup)
+    assert(explicit.subsetOf(auto),
+      s"auto lost pairs: ${explicit -- auto}")
+    info(s"pairs: explicit(bands=16)=${explicit.size} auto(bands=32)=${auto.size}")
+  }
+
   test("simhash: identical texts share signature; near-dups within hamming 3") {
     val sigs = Dedup.simhash(corpus, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
