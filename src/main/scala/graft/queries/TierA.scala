@@ -44,6 +44,14 @@ object TierA {
 
     // ---- JSON column projection + type grammar
     "jql_project" -> consume("events -B --rows 300 -c k:i=k"),
+    // the jql ERROR surface, pinned per declared type: a missing path
+    // writes the jql error text into a VARCHAR column (the reference's
+    // error-as-value quirk, consume.rs:329-336) but NULL into typed
+    // columns — the documented divergence (the reference's behavior there
+    // is writing a string into a numeric vector, i.e. undefined), now
+    // encoded in the oracle instead of only in a comment.
+    "jql_error_typed" -> consume(
+      "events -B --rows 200 -c k:i=k -c miss_s=nope -c miss_i:i=nope -c miss_d:d=nope -c miss_t:t=nope"),
     "col_type_decl" -> consume(
       "events -B --rows 200 -c ki:i=k -c kl:l=k -c kf:f=k -c kd:d=k -c ks=k"),
     // :t parse of an RFC3339 string synthesized from ts, through the same
@@ -188,6 +196,12 @@ object TierA {
       "SELECT CAST(event_id AS BIGINT) AS \"offset\", props AS \"value\" FROM events ORDER BY event_id LIMIT 250",
     "jql_project" ->
       s"SELECT CAST($jk AS INTEGER) AS k FROM events ORDER BY event_id LIMIT 300",
+    "jql_error_typed" ->
+      (s"SELECT CAST($jk AS INTEGER) AS k, " +
+        "'Node \"nope\" not found' AS miss_s, " +
+        "CAST(NULL AS INTEGER) AS miss_i, CAST(NULL AS DOUBLE) AS miss_d, " +
+        "CAST(NULL AS TIMESTAMP) AS miss_t " +
+        "FROM events ORDER BY event_id LIMIT 200"),
     "col_type_decl" ->
       (s"SELECT CAST($jk AS INTEGER) AS ki, CAST($jk AS BIGINT) AS kl, " +
         s"CAST($jk AS FLOAT) AS kf, CAST($jk AS DOUBLE) AS kd, " +
