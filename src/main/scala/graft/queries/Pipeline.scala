@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -143,6 +143,13 @@ object Pipeline {
     "dedup_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(docs(s, dir), "doc_id", "text", threshold = 0.2)
         .orderBy("id_a", "id_b")),
+    // the threshold-derived banding (paramsFor S-curve picks bands=32 at
+    // 0.2) driven end-to-end: must produce the same exact-jaccard-verified
+    // pair set as the explicit-knob entry — one oracle, two operating
+    // points, both hash-checked
+    "dedup_minhash_auto" -> ((s, dir) =>
+      Dedup.minhashNearDupsAuto(docs(s, dir), "doc_id", "text", threshold = 0.2)
+        .orderBy("id_a", "id_b")),
     // Candidate-recall oracle for the banded LSH: ground-truth pairs
     // (word-3-gram jaccard >= 0.5, SQL-expressible) SEMI-joined with the
     // LSH candidate set. Hash-matching the plain jaccard oracle proves
@@ -244,6 +251,15 @@ object Pipeline {
     // ---- similarity search over embeddings
     "emb_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20)
+        .withColumn("score", round(col("score"), 6))),
+    // product-quantization ANN with exact rerank: the scan scores 8-byte
+    // PQ codes via ADC lookup tables, shortlists 100, reranks EXACTLY —
+    // with the shortlist covering the true top-20 (PqSpec pins the margin)
+    // the result is IDENTICAL to brute force, so the compressed-scan
+    // machinery hash-checks against the same exact oracle
+    "emb_pq_topk" -> ((s, dir) =>
+      Pq.pqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
+        m = 16, codeBits = 8, shortlist = 100)
         .withColumn("score", round(col("score"), 6))),
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
@@ -595,9 +611,16 @@ object Pipeline {
          |ORDER BY drop_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
+    "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
     "dedup_winnow_pairs" -> jaccardPairsSql("0.5", cols = "id_a, id_b"),
     "emb_cosine_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "emb_pq_topk" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
          |FROM embeddings

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN: codebook training, codegen'd encoding, ADC
+  * scoring, and the exact-rerank contract that makes emb_pq_topk
+  * hash-checkable against the brute-force oracle. */
+class PqSpec extends SparkSpec {
+
+  private lazy val embs = Tables.load(spark, sf, "embeddings")
+  private val ones = Array.fill(64)(1.0)
+
+  test("codebooks: shape, determinism, divisibility guard") {
+    val cbs = Pq.codebooks(embs, "vec_id", "embedding", m = 8, codeBits = 4)
+    assert(cbs.length == 8)
+    assert(cbs.forall(_.length == 16))
+    assert(cbs.forall(_.forall(_.length == 8)))
+    val again = Pq.codebooks(embs, "vec_id", "embedding", m = 8, codeBits = 4)
+    assert(cbs.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val e = intercept[IllegalArgumentException](
+      Pq.codebooks(embs, "vec_id", "embedding", m = 7))
+    assert(e.getMessage.contains("divisible"))
+  }
+
+  test("encode emits m in-range codeword ids per row, inside codegen") {
+    val cbs = Pq.codebooks(embs, "vec_id", "embedding", m = 8, codeBits = 4)
+    val codes = embs.select(Pq.encode(col("embedding"), cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("encodedTable carries pq_code + vec_norm alongside the input columns") {
+    val t = Pq.encodedTable(embs, "vec_id", "embedding")
+    assert(t.columns.contains("pq_code") && t.columns.contains("vec_norm"))
+    assert(t.count() == embs.count())
+    val r = t.select("vec_norm").head().getDouble(0)
+    assert(r > 0.0)
+  }
+
+  test("pqTopK with exact rerank EQUALS brute force (the CORRECTNESS contract)") {
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val pq = Pq.pqTopK(embs, "vec_id", "embedding", ones, 20,
+      m = 16, codeBits = 8, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq == exact)
+  }
+
+  test("shortlist margin: the shipped operating point has 2x headroom") {
+    // PqTune: (m=16, codeBits=8) reaches recall 1.0 at shortlist=50 on
+    // sf0.001 AND sf0.01; the shipped entry uses shortlist=100. Pin the
+    // half-size shortlist here so quantization-quality regressions
+    // surface as a failed margin, not a flaky oracle.
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(_.getLong(0)).toSet
+    def recallAt(s: Int): Double = {
+      val got = Pq.pqTopK(embs, "vec_id", "embedding", ones, 20,
+        m = 16, codeBits = 8, shortlist = s)
+        .collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r50 = recallAt(50)
+    info(s"rerank recall@shortlist: 50=$r50")
+    assert(r50 == 1.0, s"shortlist=50 under-covers: recall $r50")
+  }
+
+  test("pq queries panel: exact-equality holds across real corpus query vectors") {
+    val queries = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(xxhash64(col("vec_id"), lit(11L))).limit(4)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (q <- queries) {
+      val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSeq
+      val pq = Pq.pqTopK(embs, "vec_id", "embedding", q, 10,
+        m = 16, codeBits = 8, shortlist = 100)
+        .collect().map(_.getLong(0)).toSeq
+      assert(pq == exact)
+    }
+  }
+}
