@@ -203,6 +203,28 @@ object Dedup {
       shingles(right, idCol, textCol, shingleLen), threshold)
   }
 
+  /** EXACT n-gram overlap decontamination — the GPT-3/PaLM-style
+    * contamination check that complements the jaccard form
+    * ([[minhashNearDupsAcross]]): a corpus document sharing ANY single
+    * word n-gram (n=13 is the literature's standard) with ANY eval
+    * document is contaminated. No threshold, no sketch, no similarity
+    * score — one shared n-gram flags the doc, which catches verbatim
+    * QUOTES of an eval item inside an otherwise-unrelated document that
+    * jaccard (normalized by doc size) can never reach.
+    *
+    * Plan: distinct n-gram sets both sides, LEFT SEMI equi-join corpus
+    * grams against eval grams, distinct ids. One shuffle on the gram (or
+    * a broadcast: at 100 TB the eval side is the tiny one — its distinct
+    * gram set broadcasts and the corpus pass is map-only). Returns
+    * `drop_id` rows, sorted use left to the caller. */
+  def ngramContaminated(corpus: DataFrame, evalSet: DataFrame,
+                        idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val cGrams = shingles(corpus, idCol, textCol, n)
+    val eGrams = shingles(evalSet, idCol, textCol, n).select("shingle")
+    cGrams.join(eGrams, Seq("shingle"), "left_semi")
+      .select(col("id").as("drop_id")).distinct()
+  }
+
   /** 64-bit SimHash per document over word tokens: bit i of the signature
     * is the sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1), via the
     * one-pass [[graft.functions.SimHashAgg]] TypedImperativeAggregate. */

@@ -34,6 +34,21 @@ object Pipeline {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // corpus mix report — the per-language training-mix summary every
+    // pipeline publishes before sampling weights are chosen: doc counts,
+    // token totals, mean quality. Quality sums ride DECIMAL so the mean
+    // is order-independent (exact sum, ONE double division) and
+    // hash-comparable across engines.
+    "corpus_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.tokenCount(col("text")).as("toks"),
+          TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").as("q"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("total_tokens"),
+          (sum(col("q")).cast("double") / count(lit(1))).as("mean_quality"))
+        .orderBy("lang")),
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -191,6 +206,17 @@ object Pipeline {
       Dedup.minhashNearDupsAcross(corpus, test, "doc_id", "text",
         threshold = 0.5)
         .orderBy("id_l", "id_r")
+    }),
+    // the GPT-3-style EXACT n-gram contamination check beside the jaccard
+    // form: one shared 13-gram with any eval doc flags the corpus doc
+    // (catches verbatim quotes jaccard can't); planted eval set = exact
+    // copies of docs 0-99, so every flagged id is ground truth
+    "dedup_contam_ngram" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val test = corpus.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.ngramContaminated(corpus, test, "doc_id", "text", n = 13)
+        .orderBy("drop_id")
     }),
     // the actionable output of decontamination: the DISTINCT corpus ids
     // to drop before training (a doc leaking into ANY test doc goes)
@@ -548,6 +574,11 @@ object Pipeline {
     "dedup_exact" ->
       (s"SELECT md5($norm) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id, " +
         "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1 ORDER BY fp"),
+    "corpus_stats" ->
+      s"""SELECT $langIdSql AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM($tokenCountSql) AS BIGINT) AS total_tokens,
+         |CAST(SUM(CAST($qualitySql AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*) AS mean_quality
+         |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "sample_hash" ->
       ("SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') " +
@@ -604,6 +635,26 @@ object Pipeline {
          |SELECT id_l, id_r, jaccard FROM crossScored
          |WHERE jaccard >= 0.5
          |ORDER BY id_l, id_r""".stripMargin,
+    // 13-gram grammar mirrors the Scala WordShingles contract exactly,
+    // incl. the short-doc whole-text fallback (greatest(len-12, 1))
+    "dedup_contam_ngram" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |grams AS (SELECT doc_id,
+         |          unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
+         |                 i -> array_to_string(arr[i:i+12], ' '))) AS shingle
+         |          FROM toks),
+         |sh13 AS (SELECT DISTINCT doc_id, shingle FROM grams),
+         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |         WHERE doc_id < 100),
+         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+         |gramsT AS (SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
+         |                  i -> array_to_string(arr[i:i+12], ' '))) AS shingle
+         |           FROM toksT),
+         |shT13 AS (SELECT DISTINCT shingle FROM gramsT)
+         |SELECT DISTINCT c.doc_id AS drop_id
+         |FROM sh13 c JOIN shT13 t ON c.shingle = t.shingle
+         |ORDER BY drop_id""".stripMargin,
     "dedup_decontaminate_drops" ->
       s"""$crossJaccardCte
          |SELECT DISTINCT id_l AS drop_id FROM crossScored

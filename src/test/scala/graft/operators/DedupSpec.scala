@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     assert(hits.forall { case (l, r) => l < 100 && r >= 100 }, hits)
   }
 
+  test("ngramContaminated flags verbatim quotes, exact copies; never clean docs") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val evalSet = Seq((900L, evalDoc)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, evalDoc), // exact copy
+      // 13-word verbatim quote embedded in unrelated text: jaccard vs the
+      // eval doc is low, but the exact n-gram check must flag it
+      (2L, "unrelated preamble goes here then " + evalDoc + " and then a very long unrelated tail continues onwards"),
+      (3L, "completely different content with no overlap whatsoever in any window"),
+      // shares only a 5-word fragment — below the 13-gram bar
+      (4L, "alpha beta gamma delta epsilon but then it diverges entirely from the rest here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContaminated(corpus, evalSet, "doc_id", "text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
