@@ -80,6 +80,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the two windows must share one (key, ts) sort, got $windowSorts\n$plan")
   }
 
+  test("PQ top-k: ADC shortlist and rerank are both TakeOrderedAndProject, no global sort") {
+    val plan = finalPlan(q("emb_pq_topk"))
+    val topk = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(topk == 2, s"expected shortlist + rerank TakeOrdered, got $topk\n$plan")
+    // the candidate scan must not shuffle or re-sort the corpus
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"PQ shortlist planned a global sort\n$plan")
+  }
+
+  test("n-gram contamination never plans a nested-loop join; one scan per side") {
+    val plan = finalPlan(q("dedup_contam_ngram"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    // LEFT SEMI on the gram: either broadcast (AQE, small eval side) or
+    // shuffled hash/SMJ — any equi-join form is fine, nested-loop is not
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("banded-LSH self-join reuses the signature exchange (one signature compute)") {
     val plan = finalPlan(q("dedup_minhash_lsh"))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
