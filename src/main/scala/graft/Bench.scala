@@ -35,6 +35,13 @@ object Bench {
       // ObjectHashAggregate; the default 128-group threshold degrades any
       // real corpus to per-partition sort-based aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // the generated-class cache holds 100 entries by default; a
+      // 114-query suite interleaved twice evicts essentially everything
+      // between passes, re-paying janino compilation per query per pass
+      // (measured: common-105 subtotal 52.8 -> 62.1 s when the suite grew
+      // past the cache). A long-lived service JVM would size this the
+      // same way.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // fixture tables are single small parquet files; without a lower
       // split size every scan is one input partition and per-row-expensive
       // operators (JSON transforms) run on one core

@@ -22,6 +22,9 @@ object Verify {
       // ObjectHashAggregate; the default 128-group threshold degrades any
       // real corpus to per-partition sort-based aggregation
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // see Bench: the 100-entry generated-class cache thrashes on a
+      // 114-query suite; size it to the suite
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // fixture tables are single small parquet files; without a lower
       // split size every scan is one input partition and per-row-expensive
       // operators (JSON transforms) run on one core

@@ -154,9 +154,9 @@ object Pq {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String,
              query: Array[Double], k: Int,
              m: Int = 8, codeBits: Int = 4, shortlist: Int = 100,
-             seed: Long = 42L): DataFrame = {
+             seed: Long = 42L, iters: Int = 5, maxSample: Int = 2048): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed)
+    val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
     val short = df
       .withColumn("__approx",
         adcCosine(encode(col(vecCol), cbs), l2Norm(col(vecCol)), cbs, query))

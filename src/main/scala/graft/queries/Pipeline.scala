@@ -285,7 +285,7 @@ object Pipeline {
     // machinery hash-checks against the same exact oracle
     "emb_pq_topk" -> ((s, dir) =>
       Pq.pqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
-        m = 16, codeBits = 8, shortlist = 100)
+        m = 16, codeBits = 8, shortlist = 100, iters = 3, maxSample = 1024)
         .withColumn("score", round(col("score"), 6))),
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)

@@ -29,12 +29,14 @@ object PqTune {
       .orderBy(xxhash64(col("vec_id"), lit(11L))).limit(6)
       .collect().map(_.getSeq[Double](1).toArray) :+ Array.fill(64)(1.0)
 
-    def meanRecall(m: Int, bits: Int, shortlist: Int): Double = {
+    def meanRecall(m: Int, bits: Int, shortlist: Int,
+                   iters: Int = 5, maxSample: Int = 2048): Double = {
       val rs = queries.map { q =>
         val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", q, k)
           .collect().map(_.getLong(0)).toSet
         val got = Pq.pqTopK(embs, "vec_id", "embedding", q, k,
-          m = m, codeBits = bits, shortlist = shortlist)
+          m = m, codeBits = bits, shortlist = shortlist,
+          iters = iters, maxSample = maxSample)
           .collect().map(_.getLong(0)).toSet
         (exact & got).size.toDouble / exact.size
       }
@@ -45,6 +47,13 @@ object PqTune {
     for ((m, bits) <- Seq((8, 4), (16, 4), (8, 8), (16, 8), (32, 4));
          s <- Seq(50, 100, 200))
       println(f"[pqtune] m=$m%2d bits=$bits shortlist=$s%3d meanRecall=${meanRecall(m, bits, s)}%.4f")
+    // training-budget sweep at the shipped operating point
+    for ((it, ms) <- Seq((5, 2048), (3, 1024), (2, 1024), (1, 512));
+         s <- Seq(50, 100)) {
+      val t0 = System.nanoTime()
+      val r = meanRecall(16, 8, s, it, ms)
+      println(f"[pqtune] m=16 bits=8 iters=$it sample=$ms shortlist=$s%3d meanRecall=$r%.4f panelSec=${(System.nanoTime()-t0)/1e9}%.1f")
+    }
     spark.stop()
   }
 }

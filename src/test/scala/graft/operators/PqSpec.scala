@@ -57,8 +57,10 @@ class PqSpec extends SparkSpec {
     val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
       .collect().map(_.getLong(0)).toSet
     def recallAt(s: Int): Double = {
+      // the SHIPPED entry config (iters=3, sample=1024 — PqTune: recall
+      // 1.0 at shortlist 50 and 100 on both SFs at this training budget)
       val got = Pq.pqTopK(embs, "vec_id", "embedding", ones, 20,
-        m = 16, codeBits = 8, shortlist = s)
+        m = 16, codeBits = 8, shortlist = s, iters = 3, maxSample = 1024)
         .collect().map(_.getLong(0)).toSet
       (exact & got).size.toDouble / exact.size
     }
