@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
+
+/** Product-quantization encoder as ONE native expression: the full
+  * `m`-subspace codeword assignment (argmin ‖c‖² − 2·v_sub·c per
+  * subspace) in a single monomorphic kernel returning `array<int>`.
+  *
+  * The composed form — `array(NearestCell(slice(v, ...)), ...)` × m —
+  * is semantically identical but materializes m slice arrays per row and
+  * carries m case-class expressions whose DEEP structural equality
+  * (256×sub matrices each) Catalyst re-evaluates throughout
+  * optimization; measured ~2 s of driver-side plan work per query at
+  * m=16. One expression, one reference matrix, no per-row slice
+  * allocation.
+  */
+case class PqEncodeExpr(child: Expression,
+                        cbs: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+    extends UnaryExpression {
+  // IndexedSeq, not Array: case-class equality must be structural, or
+  // CSE/canonicalization silently breaks (same rule as NearestCell)
+  require(cbs.nonEmpty && cbs.head.nonEmpty, "need at least one codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode requires array<float|double> input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // [m][k][sub] primitive matrices + per-codeword squared norms
+  @transient private lazy val cMat: Array[Array[Array[Double]]] =
+    cbs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val cNorm2: Array[Array[Double]] =
+    cMat.map(_.map(c => c.map(x => x * x).sum))
+  @transient private lazy val sub = cMat(0)(0).length
+
+  /** One pass over the vector: for each subspace, argmin over its
+    * codewords; first index wins ties. Called from interpreted AND
+    * generated code. */
+  def encode(v: ArrayData): ArrayData = {
+    val m = cMat.length
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val base = mi * sub
+      val cws = cMat(mi)
+      var best = 0
+      var bestScore = Double.MaxValue
+      var cw = 0
+      while (cw < cws.length) {
+        val c = cws(cw)
+        var dot = 0.0
+        var i = 0
+        while (i < sub && base + i < n) {
+          if (!v.isNullAt(base + i))
+            dot += (if (isFloat) v.getFloat(base + i) else v.getDouble(base + i)) * c(i)
+          i += 1
+        }
+        val score = cNorm2(mi)(cw) - 2.0 * dot
+        if (score < bestScore) { bestScore = score; best = cw }
+        cw += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  def apply(vec: Column, cbs: Array[Array[Array[Double]]]): Column =
+    shim.column(PqEncodeExpr(shim.expression(vec),
+      cbs.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+}
+
+/** ADC lookup-sum as ONE native expression: Σ_m LUT[m][code_m] over a
+  * PQ code column — the whole approximate-dot computation is `m` array
+  * indexings against one reference matrix. (The composed
+  * `element_at(typedLit(...)) + ...` form carries m 2^codeBits-element
+  * array LITERALS whose deep equality/hashing Catalyst re-walks through
+  * every optimizer pass — the same plan-work cliff PqEncodeExpr closes
+  * on the encode side.) */
+case class PqAdcExpr(child: Expression, luts: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+  require(luts.nonEmpty, "need at least one lookup table")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc requires array<int> codes, got ${other.simpleString}")
+    }
+
+  @transient private lazy val lMat: Array[Array[Double]] =
+    luts.map(_.toArray).toArray
+
+  def adc(codes: ArrayData): Double = {
+    val m = math.min(lMat.length, codes.numElements())
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      s += lMat(mi)(codes.getInt(mi))
+      mi += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    adc(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.adc($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcExpr =
+    copy(child = newChild)
+}
+
+object PqAdcExpr {
+  def apply(codes: Column, luts: Array[Array[Double]]): Column =
+    shim.column(PqAdcExpr(shim.expression(codes),
+      luts.map(_.toIndexedSeq).toIndexedSeq))
+}

@@ -99,17 +99,15 @@ object Pq {
     }
   }
 
-  /** PQ code column: array<int> of `m` codeword ids, one NearestCell per
-    * subvector slice — all codegen'd, no UDF. */
-  def encode(vecCol: Column, cbs: Array[Array[Array[Double]]]): Column = {
-    val m = cbs.length
-    val sub = cbs.head.head.length
-    val codes = (0 until m).map { mi =>
-      graft.functions.NearestCell(
-        slice(vecCol.cast("array<double>"), mi * sub + 1, sub), cbs(mi))
-    }
-    array(codes: _*)
-  }
+  /** PQ code column: array<int> of `m` codeword ids, computed by the ONE
+    * fused [[graft.functions.PqEncodeExpr]] kernel — codegen'd, no UDF,
+    * no per-row subvector slicing. (The composed per-subspace
+    * NearestCell-over-slice form carried m big case-class expressions
+    * whose deep structural equality Catalyst re-walks all through
+    * optimization — ~2 s of driver-side plan work per query at m=16,
+    * measured with tools/ProfilePq.) */
+  def encode(vecCol: Column, cbs: Array[Array[Array[Double]]]): Column =
+    graft.functions.PqEncodeExpr(vecCol, cbs)
 
   /** The materialized compressed index: input columns + `pq_code`
     * (array<int>, `m` bytes of information per row) + `vec_norm` — what a
@@ -123,8 +121,11 @@ object Pq {
   }
 
   /** Approximate cosine via ADC over an encoded row: Σ_m LUT_m[code_m]
-    * divided by the stored row norm and the query norm. The LUTs are plan
-    * literals — the per-row work is `m` array lookups and one divide. */
+    * divided by the stored row norm and the query norm. The whole lookup
+    * sum is ONE fused [[graft.functions.PqAdcExpr]] kernel against a
+    * reference LUT matrix — the per-row work is `m` array indexings and
+    * one divide, and the plan carries one small expression instead of m
+    * 2^codeBits-element literals. */
   private def adcCosine(codeCol: Column, normCol: Column,
                         cbs: Array[Array[Array[Double]]],
                         query: Array[Double]): Column = {
@@ -133,15 +134,14 @@ object Pq {
     require(query.length == m * sub,
       s"query dim ${query.length} != codebook dim ${m * sub}")
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val luts: Seq[Column] = (0 until m).map { mi =>
-      val lut = cbs(mi).map { cw =>
+    val luts: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      cbs(mi).map { cw =>
         var d = 0.0; var i = 0
         while (i < sub) { d += cw(i) * query(mi * sub + i); i += 1 }
         d
       }
-      element_at(typedLit(lut.toSeq), element_at(codeCol, mi + 1) + 1)
     }
-    val approxDot = luts.reduce(_ + _)
+    val approxDot = graft.functions.PqAdcExpr(codeCol, luts)
     when(normCol === 0.0, lit(null).cast("double"))
       .otherwise(approxDot / (normCol * lit(qNorm)))
   }
