@@ -126,9 +126,9 @@ object Pq {
     * reference LUT matrix — the per-row work is `m` array indexings and
     * one divide, and the plan carries one small expression instead of m
     * 2^codeBits-element literals. */
-  private def adcCosine(codeCol: Column, normCol: Column,
-                        cbs: Array[Array[Array[Double]]],
-                        query: Array[Double]): Column = {
+  private[operators] def adcCosine(codeCol: Column, normCol: Column,
+                                   cbs: Array[Array[Array[Double]]],
+                                   query: Array[Double]): Column = {
     val m = cbs.length
     val sub = cbs.head.head.length
     require(query.length == m * sub,
@@ -156,8 +156,49 @@ object Pq {
              m: Int = 8, codeBits: Int = 4, shortlist: Int = 100,
              seed: Long = 42L, iters: Int = 5, maxSample: Int = 2048): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(!df.columns.contains("__approx"), "pqTopK: `__approx` is reserved")
     val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
     val short = df
+      .withColumn("__approx",
+        adcCosine(encode(col(vecCol), cbs), l2Norm(col(vecCol)), cbs, query))
+      .orderBy(desc("__approx"), col(idCol))
+      .limit(shortlist)
+    short
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF + PQ — the standard large-scale ANN composition (a FAISS
+    * IVFADC-with-rerank shape, flat codes rather than residual codes):
+    * coarse cells prune the candidate set to the `nProbe` closest cells
+    * (at corpus scale the index table is partitioned by `cell`, so this
+    * prunes STORAGE — see [[Ivf.indexTable]]), ADC scores the survivors
+    * from their `m`-byte codes, and a shortlist is reranked exactly. The
+    * two pruning axes compose multiplicatively: a 16-cell/4-probe,
+    * m=16-byte configuration scans ~1/4 of the files at ~1/16 of the
+    * bytes-per-row of the fp32 column.
+    *
+    * Recall is the product of cell-probe recall (tune nProbe — see
+    * [[Ivf]]) and shortlist coverage (tune shortlist — see [[pqTopK]]);
+    * nProbe = nCells degenerates to [[pqTopK]]. The emb_ivfpq_topk entry
+    * ships a measured recall-1 operating point on the fixtures (pinned in
+    * PqSpec), so it hash-checks against the exact oracle. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Double], k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, codeBits: Int = 4, shortlist: Int = 100,
+                seed: Long = 42L, refineIters: Int = 3,
+                iters: Int = 5, maxSample: Int = 2048): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cents = Ivf.centroidsRefined(df, idCol, vecCol, nCells, seed, refineIters)
+    val probes = Ivf.probeCells(cents, query, nProbe)
+    val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
+    require(!df.columns.contains("__cell") && !df.columns.contains("__approx"),
+      "ivfPqTopK: `__cell`/`__approx` are reserved")
+    val short = df
+      .withColumn("__cell", Ivf.assignCell(col(vecCol), cents))
+      .filter(col("__cell").isin(probes: _*))
       .withColumn("__approx",
         adcCosine(encode(col(vecCol), cbs), l2Norm(col(vecCol)), cbs, query))
       .orderBy(desc("__approx"), col(idCol))

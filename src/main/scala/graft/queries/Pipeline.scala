@@ -287,6 +287,17 @@ object Pipeline {
       Pq.pqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
         m = 16, codeBits = 8, shortlist = 100, iters = 3, maxSample = 1024)
         .withColumn("score", round(col("score"), 6))),
+    // the composed IVF+PQ path (cell pruning -> ADC codes -> exact
+    // rerank), hash-checked end-to-end with the cell axis degenerate
+    // (nProbe=nCells — every stage still executes; same proof pattern as
+    // emb_ivf_topk). On the isotropic fixture cell recall is ~nProbe/
+    // nCells by construction (no cluster structure to exploit); the
+    // practical-point recall curve is pinned in PqSpec instead.
+    "emb_ivfpq_topk" -> ((s, dir) =>
+      Pq.ivfPqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
+        nCells = 16, nProbe = 16, m = 16, codeBits = 8, shortlist = 100,
+        iters = 3, maxSample = 1024)
+        .withColumn("score", round(col("score"), 6))),
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .withColumn("score", round(col("score"), 6))
@@ -672,6 +683,12 @@ object Pipeline {
          |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
          |LIMIT 20""".stripMargin,
     "emb_pq_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "emb_ivfpq_topk" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
          |FROM embeddings

@@ -47,6 +47,21 @@ object PqTune {
     for ((m, bits) <- Seq((8, 4), (16, 4), (8, 8), (16, 8), (32, 4));
          s <- Seq(50, 100, 200))
       println(f"[pqtune] m=$m%2d bits=$bits shortlist=$s%3d meanRecall=${meanRecall(m, bits, s)}%.4f")
+    // IVF+PQ composition: recall vs nProbe at the shipped PQ point
+    def ivfpqRecall(nProbe: Int, shortlist: Int): Double = {
+      val rs = queries.map { q =>
+        val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", q, k)
+          .collect().map(_.getLong(0)).toSet
+        val got = Pq.ivfPqTopK(embs, "vec_id", "embedding", q, k,
+          nCells = 16, nProbe = nProbe, m = 16, codeBits = 8,
+          shortlist = shortlist, iters = 3, maxSample = 1024)
+          .collect().map(_.getLong(0)).toSet
+        (exact & got).size.toDouble / exact.size
+      }
+      rs.sum / rs.length
+    }
+    for (p <- Seq(2, 4, 8, 12, 16))
+      println(f"[pqtune] ivfpq nProbe=$p%2d shortlist=100 meanRecall=${ivfpqRecall(p, 100)}%.4f")
     // training-budget sweep at the shipped operating point
     for ((it, ms) <- Seq((5, 2048), (3, 1024), (2, 1024), (1, 512));
          s <- Seq(50, 100)) {

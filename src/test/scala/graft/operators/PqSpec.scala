@@ -69,6 +69,32 @@ class PqSpec extends SparkSpec {
     assert(r50 == 1.0, s"shortlist=50 under-covers: recall $r50")
   }
 
+  test("ivfPqTopK: degenerate cell axis equals brute force; practical points pinned") {
+    // nProbe=nCells: every stage (assignment, probe filter, ADC,
+    // shortlist, rerank) executes and the result must be exact
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Pq.ivfPqTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 16, nProbe = 16, m = 16, codeBits = 8, shortlist = 100,
+      iters = 3, maxSample = 1024)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+    // practical pruning point: the isotropic fixture caps cell recall
+    // near nProbe/nCells (no cluster structure), measured panel recall
+    // 0.91-0.94 at nProbe=12 (tools/PqTune) — pin a conservative floor
+    val got12 = Pq.ivfPqTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 16, nProbe = 12, m = 16, codeBits = 8, shortlist = 100,
+      iters = 3, maxSample = 1024).collect().map(_.getLong(0)).toSet
+    val recall12 = (exact.map(_._1).toSet & got12).size.toDouble / 20
+    info(s"ivfpq recall@nProbe=12: $recall12")
+    assert(recall12 >= 0.8, s"nProbe=12 recall $recall12 below floor")
+    // fewer probed cells can only shrink the candidate set
+    val got4 = Pq.ivfPqTopK(embs, "vec_id", "embedding", ones, 20,
+      nCells = 16, nProbe = 4, m = 16, codeBits = 8, shortlist = 100,
+      iters = 3, maxSample = 1024).collect().map(_.getLong(0)).toSet
+    assert(got4.size <= 20)
+  }
+
   test("pq queries panel: exact-equality holds across real corpus query vectors") {
     val queries = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(xxhash64(col("vec_id"), lit(11L))).limit(4)
