@@ -56,6 +56,13 @@ case class PqEncodeExpr(child: Expression,
   def encode(v: ArrayData): ArrayData = {
     val m = cMat.length
     val n = v.numElements()
+    // a ragged vector silently zero-extended/truncated would produce
+    // garbage codes biased toward near-zero codewords — recall loss with
+    // no diagnostic. Fail loudly per row instead (one comparison).
+    if (n != m * sub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has $n elements, codebooks expect ${m * sub} " +
+          s"($m subspaces x $sub dims)")
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -68,7 +75,7 @@ case class PqEncodeExpr(child: Expression,
         val c = cws(cw)
         var dot = 0.0
         var i = 0
-        while (i < sub && base + i < n) {
+        while (i < sub) {
           if (!v.isNullAt(base + i))
             dot += (if (isFloat) v.getFloat(base + i) else v.getDouble(base + i)) * c(i)
           i += 1
@@ -128,11 +135,24 @@ case class PqAdcExpr(child: Expression, luts: IndexedSeq[IndexedSeq[Double]])
     luts.map(_.toArray).toArray
 
   def adc(codes: ArrayData): Double = {
-    val m = math.min(lMat.length, codes.numElements())
+    val m = lMat.length
+    // silent truncation on an m mismatch (codes from a different PQ
+    // config) would return a wrong score with no diagnostic; an
+    // out-of-range code would surface as a bare AIOOBE deep in a task.
+    // Name the misconfiguration instead.
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${codes.numElements()} codes for $m lookup tables — " +
+          "codes and LUTs come from different PQ configurations")
     var s = 0.0
     var mi = 0
     while (mi < m) {
-      s += lMat(mi)(codes.getInt(mi))
+      val c = codes.getInt(mi)
+      if (c < 0 || c >= lMat(mi).length)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c out of range for a ${lMat(mi).length}-entry " +
+            "lookup table — codes were encoded with a different codeBits")
+      s += lMat(mi)(c)
       mi += 1
     }
     s

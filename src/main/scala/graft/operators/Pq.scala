@@ -191,6 +191,7 @@ object Pq {
                 seed: Long = 42L, refineIters: Int = 3,
                 iters: Int = 5, maxSample: Int = 2048): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
     val cents = Ivf.centroidsRefined(df, idCol, vecCol, nCells, seed, refineIters)
     val probes = Ivf.probeCells(cents, query, nProbe)
     val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)

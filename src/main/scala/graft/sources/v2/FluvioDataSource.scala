@@ -336,11 +336,22 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     val end = limit match {
       case composite: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
         // both caps hold: the admitted end per partition is the MIN of
-        // what each limiter admits
-        composite.getReadLimits.map(applyOne).reduce { (a, b) =>
+        // what each limiter admits. Each limiter's own minimum-progress
+        // guarantee does NOT survive the min (they may spend their one
+        // guaranteed record on DIFFERENT partitions), so re-apply it at
+        // the composition level or the stream can stall forever with
+        // backlog present.
+        val mins = composite.getReadLimits.map(applyOne).reduce { (a, b) =>
           target.keys.map(p =>
             p -> math.min(a.getOrElse(p, 0L), b.getOrElse(p, 0L))).toMap
         }
+        val admitted = mins.map { case (p, e) =>
+          math.max(0L, e - s.getOrElse(p, 0L)) }.sum
+        val backlogged = target.filter { case (p, t) => t > s.getOrElse(p, 0L) }
+        if (admitted == 0L && backlogged.nonEmpty) {
+          val p = backlogged.keys.min
+          mins.updated(p, s.getOrElse(p, 0L) + 1L)
+        } else mins
       case l => applyOne(l)
     }
     FluvioOffset(end)

@@ -224,6 +224,38 @@ class FluvioDsv2Spec extends SparkSpec {
     assert(s.admitBytes(start, target, 10000L, bpr) == target)
   }
 
+  test("composite record+byte caps cannot stall: progress survives the min-composition") {
+    // the stall shape: the record limiter spends its one guaranteed
+    // record on p0 (lowest id), the byte limiter gives p0 zero records
+    // (its byte share is below one fat record) and spends its budget on
+    // p1 — the per-partition MIN then admits zero everywhere, forever
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_comp").toFile
+    val topicDir = new java.io.File(dir, "events_mp.parquet")
+    import spark.implicits._
+    val fat = (0 until 30000).map(i => (i * 2654435761L).toHexString).mkString
+    Seq((0L, fat)).toDF("offset", "value")
+      .withColumn("ts", lit(null).cast("timestamp"))
+      .coalesce(1).write.mode("append")
+      .parquet(new java.io.File(topicDir, "partition=0").getAbsolutePath)
+    spark.range(100).select(col("id").as("offset"),
+        lit(null).cast("timestamp").as("ts"), md5(col("id").cast("string")).as("value"))
+      .coalesce(1).write.mode("append")
+      .parquet(new java.io.File(topicDir, "partition=1").getAbsolutePath)
+    val opt = graft.sources.ConsumeOpt.parse("events_mp -A -B")
+      .getOrElse(sys.error("parse failed"))
+    val view = graft.sources.TopicRegistry
+      .requireRecordView(dir.getAbsolutePath, "events_mp")
+    val stream = new FluvioMicroBatchStream(opt, view, dir.getAbsolutePath)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val start = FluvioOffset(Map(0 -> 0L, 1 -> 0L))
+    val limit = ReadLimit.compositeLimit(
+      Array(ReadLimit.maxRows(1L), ReadLimit.maxBytes(20000L)))
+    val end = stream.latestOffset(start, limit)
+      .asInstanceOf[FluvioOffset].positions
+    val admitted = end.map { case (p, e) => e - start.positions(p) }.sum
+    assert(admitted >= 1L, s"composite limit admitted nothing: $end")
+  }
+
   test("maxBytesPerTrigger: fat payloads split into multiple micro-batches where a record cap would not") {
     // a topic whose 60 records carry ~2 KB incompressible payloads each —
     // the shape where record-count admission under-controls memory
