@@ -11,9 +11,13 @@ import org.apache.spark.sql.types._
   * the JDK's `javax.imageio` (no native libraries needed), executor-side in
   * `mapPartitions`, and its decoded width/height/mean-channel values are
   * oracle-checked end-to-end against planted parameters
-  * (multimodal_decode / multimodal_features). Audio/video stay behind the
+  * (multimodal_decode / multimodal_features). The AUDIO path is likewise a
+  * real codec: [[AudioCodec]] writes/reads WAV (16-bit mono signed PCM)
+  * through `javax.sound.sampled` — also pure JDK — and the decoded sample
+  * rate / sample count / mean-|amplitude| / peak are oracle-checked against
+  * the planted waveform (multimodal_audio). Only VIDEO stays behind the
   * clearly-marked byte-stat stand-in ([[FakeDecoder]]) — the container has
-  * no audio/video codecs — but the Spark side is identical either way:
+  * no video codecs — but the Spark side is identical either way:
   * schema, partition-parallel execution (records never leave executors,
   * batches amortize per-task setup the way a Pandas-UDF/Arrow batch
   * would), and the feature output contract. Swap [[FakeDecoder]] for an
@@ -115,11 +119,96 @@ object Multimodal {
     }
   }
 
-  /** STUB DECODER — now the AUDIO/VIDEO-only stand-in (images decode for
-    * real through [[ImageCodec]]): the container has no audio/video
-    * codecs, so this computes byte-level statistics (16-bin histogram,
-    * mean byte value) plus codec-free frame-sampling math. A real build
-    * would replace only this object's internals with ffmpeg bindings. */
+  /** Decoded waveform statistics of one audio clip — every field is REAL
+    * decode output (`javax.sound.sampled` WAV→PCM), pinned by the DuckDB
+    * oracle against the planted waveform parameters. */
+  final case class DecodedAudio(
+      media_id: Long,
+      sample_rate: Int,   // from the decoded AudioFormat, not metadata
+      n_samples: Long,    // PCM frames actually read back
+      mean_abs: Double,   // mean |amplitude| over all samples (PCM16 units)
+      peak_abs: Int)      // max |amplitude|
+
+  /** REAL audio codec — the JDK ships `javax.sound.sampled` (WAV/PCM needs
+    * no native codecs and no audio device). `encodeWav` plants a square
+    * wave (+A, -A alternating) whose sample rate, length, and amplitude
+    * derive from the id alone; `decode` reads REAL PCM frames back through
+    * `AudioSystem.getAudioInputStream`. A square wave's mean |amplitude|
+    * and peak are both exactly A and the frame count is exact, so every
+    * decoded statistic is SQL-reconstructable from the id — the same trick
+    * that lets the DuckDB oracle hash-check the image decode. */
+  object AudioCodec {
+    def plantedRate(id: Long): Int = (8000 * (id % 2 + 1)).toInt   // 8k | 16k Hz
+    def plantedSamples(id: Long): Int = ((id % 50 + 1) * 80).toInt // 80..4000
+    /** PCM16 amplitude in [500, 30499]. */
+    def plantedAmplitude(id: Long): Int = (id * 37 % 30000 + 500).toInt
+    /** duration in ms — exact because samples are a multiple of rate/1000. */
+    def plantedDurationMs(id: Long): Long =
+      plantedSamples(id) * 1000L / plantedRate(id)
+
+    def encodeWav(id: Long): Array[Byte] = {
+      val (rate, n, a) = (plantedRate(id), plantedSamples(id), plantedAmplitude(id))
+      val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+      var i = 0
+      while (i < n) {
+        val s = if (i % 2 == 0) a else -a
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: format and frames come from the WAV bytes, nothing is
+      * assumed from the id. |amplitude| sums are exact in Long; `sum / n`
+      * is an exact double for the planted square wave (sum = n * A), so
+      * the oracle comparison is bit-exact. */
+    def decode(mediaId: Long, wav: Array[Byte]): DecodedAudio = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=$mediaId: payload is not a decodable audio stream", e)
+        }
+      val fmt = ais.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media_id=$mediaId: expected 16-bit mono signed PCM, got $fmt")
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      require(n > 0, s"media_id=$mediaId: empty audio stream")
+      val big = fmt.isBigEndian
+      var (sumAbs, peak, i) = (0L, 0, 0)
+      while (i < n) {
+        val s =
+          if (big) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+          else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+        val abs = math.abs(s)
+        sumAbs += abs
+        if (abs > peak) peak = abs
+        i += 1
+      }
+      DecodedAudio(mediaId, fmt.getSampleRate.round, n.toLong,
+        sumAbs.toDouble / n, peak)
+    }
+  }
+
+  /** STUB DECODER — now the VIDEO-only stand-in (images decode for real
+    * through [[ImageCodec]], audio through [[AudioCodec]]): the container
+    * has no video codecs, so this computes byte-level statistics (16-bin
+    * histogram, mean byte value) plus codec-free frame-sampling math. A
+    * real build would replace only this object's internals with ffmpeg
+    * bindings. */
   object FakeDecoder {
     def decode(payload: Array[Byte]): (Array[Double], Double) = {
       val hist = new Array[Double](16)
@@ -183,20 +272,24 @@ object Multimodal {
   final case class MediaContentFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Option[Long],    // encoded size for audio/video; None for
-                                // images (a codec's encoding size is not a
-                                // content feature and not oracle-derivable)
+      n_bytes: Option[Long],    // payload size for video (byte-stat path);
+                                // None for images/audio (a codec's encoding
+                                // size is not a content feature and not
+                                // oracle-derivable)
       mean_level: Double,       // images: mean pixel channel value (REAL
-                                // decode); audio/video: mean byte value
+                                // decode); audio: mean |amplitude| (REAL
+                                // decode); video: mean byte value
       frames_sampled: Int)
 
-  /** Media fixture with REAL image payloads: every `image`-kind row
-    * carries an actual PNG (planted dims + solid color from the id,
-    * encoded executor-side by [[ImageCodec]]); audio/video rows carry a
-    * 256-byte ramp `(id + i) % 256` — one full byte cycle, so their byte
-    * statistics are exact constants (mean 127.5). Both payload families
-    * keep every downstream feature SQL-reconstructable while the operators
-    * compute them from the REAL bytes. */
+  /** Media fixture with REAL image and audio payloads: every `image`-kind
+    * row carries an actual PNG (planted dims + solid color from the id,
+    * encoded executor-side by [[ImageCodec]]); every `audio`-kind row
+    * carries an actual WAV (planted rate/length/amplitude square wave from
+    * [[AudioCodec]]); video rows carry a 256-byte ramp `(id + i) % 256` —
+    * one full byte cycle, so their byte statistics are exact constants
+    * (mean 127.5). All payload families keep every downstream feature
+    * SQL-reconstructable while the operators compute them from the REAL
+    * bytes. */
   def realMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     documents.select(col("doc_id").cast("long")).as[Long]
@@ -206,15 +299,19 @@ object Multimodal {
           val kind = (id % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
-          val payload =
-            if (kind == "image") ImageCodec.encodePng(id)
-            else Array.tabulate[Byte](256)(i => ((id + i) % 256).toByte)
+          val payload = kind match {
+            case "image" => ImageCodec.encodePng(id)
+            case "audio" => AudioCodec.encodeWav(id)
+            case _ => Array.tabulate[Byte](256)(i => ((id + i) % 256).toByte)
+          }
           MediaRecord(
             media_id = id, kind = kind, payload = payload,
             width = if (kind == "image") ImageCodec.plantedWidth(id) else 0,
             height = if (kind == "image") ImageCodec.plantedHeight(id) else 0,
-            sample_rate = if (kind == "audio") 16000 else 0,
-            duration_ms = (id % 30) * 1000L)
+            sample_rate = if (kind == "audio") AudioCodec.plantedRate(id) else 0,
+            duration_ms =
+              if (kind == "audio") AudioCodec.plantedDurationMs(id)
+              else (id % 30) * 1000L)
         }
       }
   }
@@ -230,26 +327,42 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode over the audio-kind rows: executor-side
+    * `mapPartitions`, `javax.sound.sampled` — the decoded values are
+    * pinned by the multimodal_audio oracle against the planted waveform. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { it =>
+      it.map(m => AudioCodec.decode(m.media_id, m.payload))
+    }
+  }
+
   /** Content-feature extraction over [[realMedia]]: images decode for REAL
-    * (mean pixel level from actual pixels); audio/video take byte-level
-    * stats from the actual payload bytes. `(mean_r+mean_g+mean_b)/3.0` is
-    * a single double division of exact integers, bit-identical to the
-    * oracle's `(r+g+b)/3.0`. */
+    * (mean pixel level from actual pixels), audio decodes for REAL (mean
+    * |amplitude| from actual PCM frames); video takes byte-level stats
+    * from the actual payload bytes. `(mean_r+mean_g+mean_b)/3.0` is a
+    * single double division of exact integers, bit-identical to the
+    * oracle's `(r+g+b)/3.0`; the audio mean is exact because the planted
+    * square wave's |amplitude| sum is `n * A`. `n_bytes` is only reported
+    * for the byte-stat (video) path — a codec's encoded size is not a
+    * content feature and not oracle-derivable. */
   def extractContentFeatures(media: Dataset[MediaRecord], fps: Double = 1.0): Dataset[MediaContentFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val (nBytes, level) =
-          if (m.kind == "image") {
+        val (nBytes, level) = m.kind match {
+          case "image" =>
             val d = ImageCodec.decode(m.media_id, m.payload)
             (None, (d.mean_r + d.mean_g + d.mean_b) / 3.0)
-          } else {
+          case "audio" =>
+            (None, AudioCodec.decode(m.media_id, m.payload).mean_abs)
+          case _ =>
             var sum = 0L
             var i = 0
             while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
             (Some(m.payload.length.toLong), sum.toDouble / m.payload.length)
-          }
+        }
         MediaContentFeatures(m.media_id, m.kind, nBytes, level,
           FakeDecoder.framesToSample(m.kind, m.duration_ms, fps))
       }

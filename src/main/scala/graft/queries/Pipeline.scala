@@ -416,6 +416,16 @@ object Pipeline {
         Multimodal.realMedia(s, docs(s, dir)))
         .toDF()
         .orderBy("media_id")),
+    // REAL audio decode end-to-end: planted WAVs (16-bit mono PCM square
+    // wave; rate/length/amplitude from doc_id) written and read back
+    // executor-side via javax.sound.sampled; rate/frames/mean-|amp|/peak
+    // come from the decoded PCM and hash-match the planted formulas
+    // exactly (square wave => mean |amplitude| is exactly A)
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.realMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy("media_id")),
     // frame sampling is metadata math (1 fps over the clip duration), so
     // unlike the decode features it IS oracle-checkable
     "multimodal_framesample" -> ((s, dir) =>
@@ -745,19 +755,31 @@ object Pipeline {
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin
     },
-    // the planted-parameter reconstruction of the REAL decode: kind by
+    // the planted-parameter reconstruction of the REAL decodes: kind by
     // doc_id % 3; images carry a (doc_id%8+2) x (doc_id%5+2) solid-color
-    // PNG with channels (doc_id%256, doc_id*7%256, doc_id*13%256);
-    // audio/video carry one full 256-byte cycle (mean exactly 127.5)
+    // PNG with channels (doc_id%256, doc_id*7%256, doc_id*13%256); audio
+    // carries a WAV square wave of amplitude doc_id*37%30000+500 (mean
+    // |amplitude| exactly A); video carries one full 256-byte cycle (mean
+    // exactly 127.5)
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |CAST(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 256 END AS BIGINT) AS n_bytes,
+        |CAST(CASE WHEN doc_id % 3 = 2 THEN 256 ELSE NULL END AS BIGINT) AS n_bytes,
         |CASE WHEN doc_id % 3 = 0
         |  THEN (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 13 % 256 AS DOUBLE)) / 3.0
+        |  WHEN doc_id % 3 = 1 THEN CAST(doc_id * 37 % 30000 + 500 AS DOUBLE)
         |  ELSE 127.5 END AS mean_level,
         |CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST(doc_id % 30 AS INTEGER)) ELSE 1 END AS INTEGER) AS frames_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    // rate 8000*(doc_id%2+1); frames (doc_id%50+1)*80; square-wave
+    // amplitude doc_id*37%30000+500 => mean_abs and peak_abs are both A
+    "multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+        |CAST(8000 * (doc_id % 2 + 1) AS INTEGER) AS sample_rate,
+        |CAST((doc_id % 50 + 1) * 80 AS BIGINT) AS n_samples,
+        |CAST(doc_id * 37 % 30000 + 500 AS DOUBLE) AS mean_abs,
+        |CAST(doc_id * 37 % 30000 + 500 AS INTEGER) AS peak_abs
+        |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |CAST(doc_id % 8 + 2 AS INTEGER) AS width,

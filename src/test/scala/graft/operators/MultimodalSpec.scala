@@ -67,17 +67,51 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
-  test("extractContentFeatures: images via real decode, audio/video via byte stats") {
+  test("extractContentFeatures: image/audio via real decode, video via byte stats") {
     val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
     val feats = Multimodal.extractContentFeatures(real).collect()
     assert(feats.length == 500)
     val byKind = feats.groupBy(_.kind)
     // one full 256-byte cycle: mean byte value is exactly 127.5
-    assert((byKind("audio") ++ byKind("video"))
+    assert(byKind("video")
       .forall(f => f.mean_level == 127.5 && f.n_bytes.contains(256L)))
+    assert(byKind("audio").forall { f =>
+      f.n_bytes.isEmpty &&
+        f.mean_level == Multimodal.AudioCodec.plantedAmplitude(f.media_id).toDouble
+    })
     assert(byKind("image").forall { f =>
       val (r, g, b) = Multimodal.ImageCodec.plantedColor(f.media_id)
       f.n_bytes.isEmpty && f.mean_level == (r + g + b) / 3.0
+    })
+  }
+
+  test("AudioCodec: a planted WAV decodes back to its exact planted waveform") {
+    for (id <- Seq(1L, 4L, 7L, 100L, 255L, 4999L)) {
+      val d = Multimodal.AudioCodec.decode(id, Multimodal.AudioCodec.encodeWav(id))
+      val a = Multimodal.AudioCodec.plantedAmplitude(id)
+      assert(d.sample_rate == Multimodal.AudioCodec.plantedRate(id))
+      assert(d.n_samples == Multimodal.AudioCodec.plantedSamples(id).toLong)
+      // square wave: mean |amplitude| and peak are EXACTLY the amplitude
+      assert(d.mean_abs == a.toDouble && d.peak_abs == a, s"id=$id: $d vs A=$a")
+    }
+  }
+
+  test("AudioCodec.decode fails loudly on a non-audio payload") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.AudioCodec.decode(42L, "not a wav".getBytes))
+    assert(e.getMessage.contains("not a decodable audio"))
+  }
+
+  test("decodeAudio: distributed real decode matches the planted waveform") {
+    val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
+    val decoded = Multimodal.decodeAudio(real.repartition(7)).collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall { d =>
+      d.media_id % 3 == 1 &&
+        d.sample_rate == Multimodal.AudioCodec.plantedRate(d.media_id) &&
+        d.n_samples == Multimodal.AudioCodec.plantedSamples(d.media_id).toLong &&
+        d.mean_abs == Multimodal.AudioCodec.plantedAmplitude(d.media_id).toDouble &&
+        d.peak_abs == Multimodal.AudioCodec.plantedAmplitude(d.media_id)
     })
   }
 
