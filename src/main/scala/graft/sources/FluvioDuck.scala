@@ -15,15 +15,42 @@ import graft.transforms.{TransformChain, TransformRegistry}
 final case class RecordView(offsetCol: String, timestampCol: String, valueCol: String)
 
 object TopicRegistry {
-  /** Topics with a record-shaped view; other parquet tables in the base dir
-    * are visible to the admin scans (topics/partitions) but cannot be
-    * consumed — mirroring that only stream topics are consumable. */
+  /** Built-in record views for the standard fixtures; other parquet tables
+    * in the base dir are visible to the admin scans (topics/partitions) but
+    * cannot be consumed — mirroring that only stream topics are consumable. */
   val recordViews: Map[String, RecordView] = Map(
     "events"    -> RecordView("event_id", "ts", "props"),
     // 4-partition derived fixture (see [[MpFixture]]): per-partition dense
     // offsets, hive `partition=N` subdirs.
     "events_mp" -> RecordView("offset", "ts", "value")
   )
+
+  /** Conf key registering topic `name` without a source edit. */
+  def confKey(topic: String): String = s"spark.graft.topic.$topic.columns"
+
+  /** Runtime topic registration: `spark.graft.topic.<name>.columns =
+    * "offsetCol,timestampCol,valueCol"` makes a NEW parquet topic
+    * consumable by configuration alone — the Spark analog of the
+    * reference discovering topics from the live cluster at scan time
+    * (`/root/reference/src/topic.rs:109`) instead of a hard-coded list.
+    * Conf wins over the built-in map so a deployment can re-map a fixture.
+    * Resolution happens driver-side at plan/bind time (batch consume, `-d`
+    * stream bind, DSv2 table creation), so the session conf is always in
+    * scope; the resolved [[RecordView]] is what ships to executors. */
+  def confView(topic: String): Option[RecordView] =
+    SparkSession.getActiveSession.flatMap { s =>
+      s.conf.getOption(confKey(topic)).map { v =>
+        val parts = v.split(",", -1).map(_.trim)
+        if (parts.length != 3 || parts.exists(_.isEmpty))
+          throw new IllegalArgumentException(
+            s"${confKey(topic)} must be `offsetCol,timestampCol,valueCol`, got `$v`")
+        RecordView(parts(0), parts(1), parts(2))
+      }
+    }
+
+  /** Conf-registered view, else built-in. */
+  def recordView(topic: String): Option[RecordView] =
+    confView(topic).orElse(recordViews.get(topic))
 
   def topicPath(baseDir: String, topic: String): String = s"$baseDir/$topic.parquet"
 
@@ -44,10 +71,11 @@ object TopicRegistry {
     * has no record view is "not a stream topic"; anything else is
     * "Topic not found". */
   def requireRecordView(baseDir: String, topic: String): RecordView =
-    recordViews.getOrElse(topic,
+    recordView(topic).getOrElse(
       if (exists(baseDir, topic))
         throw new IllegalArgumentException(
-          s"topic `$topic` is not a stream topic (no record view registered)")
+          s"topic `$topic` is not a stream topic (no record view registered; " +
+            s"set ${confKey(topic)}=offsetCol,timestampCol,valueCol)")
       else
         throw new IllegalArgumentException(s"Topic not found: $topic"))
 
