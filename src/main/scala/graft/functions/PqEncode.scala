@@ -76,8 +76,15 @@ case class PqEncodeExpr(child: Expression,
         var dot = 0.0
         var i = 0
         while (i < sub) {
-          if (!v.isNullAt(base + i))
-            dot += (if (isFloat) v.getFloat(base + i) else v.getDouble(base + i)) * c(i)
+          // null elements fail as loudly as a length mismatch: treating
+          // them as 0.0 would bias codes toward near-zero codewords with
+          // no diagnostic (exact rerank masks it only while the shortlist
+          // still happens to cover the true top-k)
+          if (v.isNullAt(base + i))
+            throw new IllegalArgumentException(
+              s"pq_encode: null element at index ${base + i} — scrub or " +
+                "impute null-contaminated embeddings upstream")
+          dot += (if (isFloat) v.getFloat(base + i) else v.getDouble(base + i)) * c(i)
           i += 1
         }
         val score = cNorm2(mi)(cw) - 2.0 * dot

@@ -153,7 +153,34 @@ object Ivf {
   def indexTable(df: DataFrame, idCol: String, vecCol: String,
                  nCells: Int = 16, seed: Long = 42L,
                  refineIters: Int = 3): DataFrame =
-    df.withColumn("cell",
-      assignCell(col(vecCol),
-        centroidsRefined(df, idCol, vecCol, nCells, seed, refineIters)))
+    indexTable(df, vecCol,
+      centroidsRefined(df, idCol, vecCol, nCells, seed, refineIters))
+
+  /** [[indexTable]] with PRECOMPUTED centroids — assign without a
+    * training collect (train once, index many tables/increments). */
+  def indexTable(df: DataFrame, vecCol: String,
+                 cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("cell", assignCell(col(vecCol), cents))
+
+  /** IVF top-k against a MATERIALIZED [[indexTable]] written
+    * `partitionBy("cell")` (or bucketed by cell) — the deployment query
+    * path, and the form whose EXECUTED plan proves the storage-pruning
+    * claim: the probe filter is a predicate on the PARTITION column, so
+    * the scan's `PartitionFilters` prunes non-probed cells at file-listing
+    * time — at corpus scale a 16-cell/4-probe query lists and reads ~1/4
+    * of the files. The centroids that wrote the index must be passed back
+    * in (they are the model; persist them with it). Output: (id, score)
+    * highest first; nProbe = nCells is exact. */
+  def ivfTopKFromIndex(index: DataFrame, idCol: String, vecCol: String,
+                       cents: Array[Array[Double]], query: Array[Double],
+                       k: Int, nProbe: Int,
+                       cellCol: String = "cell"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"need 1 <= nProbe ($nProbe) <= nCells (${cents.length})")
+    val probes = probeCells(cents, query, nProbe)
+    index.filter(col(cellCol).isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

@@ -116,9 +116,16 @@ object Pq {
   def encodedTable(df: DataFrame, idCol: String, vecCol: String,
                    m: Int = 8, codeBits: Int = 4, seed: Long = 42L): DataFrame = {
     val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed)
+    encodedTable(df, vecCol, cbs)
+  }
+
+  /** [[encodedTable]] with PRECOMPUTED codebooks — encode without a
+    * training collect, so one trained model amortizes across many
+    * tables/partitions (train once, encode everywhere). */
+  def encodedTable(df: DataFrame, vecCol: String,
+                   cbs: Array[Array[Array[Double]]]): DataFrame =
     df.withColumn("pq_code", encode(col(vecCol), cbs))
       .withColumn("vec_norm", l2Norm(col(vecCol)))
-  }
 
   /** Approximate cosine via ADC over an encoded row: Σ_m LUT_m[code_m]
     * divided by the stored row norm and the query norm. The whole lookup
@@ -155,15 +162,62 @@ object Pq {
              query: Array[Double], k: Int,
              m: Int = 8, codeBits: Int = 4, shortlist: Int = 100,
              seed: Long = 42L, iters: Int = 5, maxSample: Int = 2048): DataFrame = {
+    val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
+    pqTopK(df, idCol, vecCol, query, k, cbs, shortlist)
+  }
+
+  /** [[pqTopK]] with PRECOMPUTED codebooks — the amortized query form:
+    * train once (or load a persisted model), then per query the cost is
+    * one LUT build plus the scan; no training collect. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+             query: Array[Double], k: Int,
+             cbs: Array[Array[Array[Double]]], shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     require(!df.columns.contains("__approx"), "pqTopK: `__approx` is reserved")
-    val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
     val short = df
       .withColumn("__approx",
         adcCosine(encode(col(vecCol), cbs), l2Norm(col(vecCol)), cbs, query))
       .orderBy(desc("__approx"), col(idCol))
       .limit(shortlist)
     short
+      .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** PQ top-k against a MATERIALIZED [[encodedTable]] — the deployment
+    * query path, and the form whose EXECUTED plan proves the 16×-smaller
+    * scan: the candidate stage reads `codeCol`+`normCol`+`idCol` only
+    * (the encoded table need not even carry the fp32 column), and the
+    * exact rerank fetches just the shortlist rows from `vectors` with the
+    * ids PUSHED INTO the parquet scan (`PushedFilters: In(id, ...)`), so
+    * at 100 TB the rerank reads a few row groups, not the corpus. The
+    * shortlist-id collect is bounded by `shortlist` (same driver budget
+    * class as codebook training).
+    *
+    * `encoded` must carry `idCol`, `codeCol` (array<int> from [[encode]]
+    * with these `cbs`) and `normCol` (the exact L2 norm). Output:
+    * (id, score) highest first — identical to brute force whenever the
+    * shortlist covers the true top k. */
+  def pqTopKFromEncoded(encoded: DataFrame, vectors: DataFrame,
+                        idCol: String, vecCol: String,
+                        cbs: Array[Array[Array[Double]]],
+                        query: Array[Double], k: Int, shortlist: Int = 100,
+                        codeCol: String = "pq_code",
+                        normCol: String = "vec_norm"): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(shortlist <= 65536,
+      s"shortlist ($shortlist) is driver-collected for the id-pushdown rerank; cap it")
+    require(!encoded.columns.contains("__approx"),
+      "pqTopKFromEncoded: `__approx` is reserved")
+    val shortIds = encoded
+      .withColumn("__approx", adcCosine(col(codeCol), col(normCol), cbs, query))
+      .orderBy(desc("__approx"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+      .collect().map(_.get(0))
+    vectors
+      .filter(col(idCol).isInCollection(shortIds))
       .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
@@ -190,11 +244,23 @@ object Pq {
                 m: Int = 8, codeBits: Int = 4, shortlist: Int = 100,
                 seed: Long = 42L, refineIters: Int = 3,
                 iters: Int = 5, maxSample: Int = 2048): DataFrame = {
-    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
     val cents = Ivf.centroidsRefined(df, idCol, vecCol, nCells, seed, refineIters)
-    val probes = Ivf.probeCells(cents, query, nProbe)
     val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed, iters, maxSample)
+    ivfPqTopK(df, idCol, vecCol, query, k, cents, cbs, nProbe, shortlist)
+  }
+
+  /** [[ivfPqTopK]] with PRECOMPUTED coarse centroids and codebooks — the
+    * amortized query form: both models train once (two collects total,
+    * ever), each query is cell-probe + ADC scan + rerank only. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Double], k: Int,
+                cents: Array[Array[Double]],
+                cbs: Array[Array[Array[Double]]],
+                nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"need 1 <= nProbe ($nProbe) <= nCells (${cents.length})")
+    val probes = Ivf.probeCells(cents, query, nProbe)
     require(!df.columns.contains("__cell") && !df.columns.contains("__approx"),
       "ivfPqTopK: `__cell`/`__approx` are reserved")
     val short = df

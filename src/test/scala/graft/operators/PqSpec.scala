@@ -95,6 +95,52 @@ class PqSpec extends SparkSpec {
     assert(got4.size <= 20)
   }
 
+  test("pqTopKFromEncoded: compressed scan reads codes+norm only; id-pushdown rerank equals brute force") {
+    val cbs = Pq.codebooks(embs, "vec_id", "embedding", m = 16, codeBits = 8,
+      iters = 3, maxSample = 1024)
+    val dir = java.nio.file.Files.createTempDirectory("pq_encoded").toFile
+    Pq.encodedTable(embs, "embedding", cbs).drop("embedding")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val encoded = spark.read.parquet(dir.getAbsolutePath)
+    // the fp32 column is GONE from the compressed table entirely
+    assert(!encoded.columns.contains("embedding"))
+
+    // the ADC candidate stage's executed plan scans codes+norm — no
+    // vector column anywhere in the scan (the 16x-smaller-scan claim,
+    // proven on the EXECUTED plan of the materialized table)
+    val shortlist = encoded
+      .withColumn("__approx",
+        Pq.adcCosine(col("pq_code"), col("vec_norm"), cbs, ones))
+      .orderBy(desc("__approx"), col("vec_id")).limit(100)
+    shortlist.collect()
+    val adcPlan = shortlist.queryExecution.executedPlan.toString
+    val scans = adcPlan.split('\n').filter(_.contains("FileScan parquet"))
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("embedding")), adcPlan)
+
+    val exact = Similarity.cosineTopK(embs, "vec_id", "embedding", ones, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Pq.pqTopKFromEncoded(encoded, embs, "vec_id", "embedding",
+      cbs, ones, k = 20, shortlist = 100)
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotRows == exact)
+    // the exact rerank fetches the shortlist by PUSHED id filter — at
+    // scale it reads matching row groups, not the corpus
+    val rerankPlan = got.queryExecution.executedPlan.toString
+    assert(rerankPlan.contains("PushedFilters: [In(vec_id"), rerankPlan)
+  }
+
+  test("pq_encode rejects null vector elements as loudly as a length mismatch") {
+    val cbs = Pq.codebooks(embs, "vec_id", "embedding", m = 8, codeBits = 4)
+    val arrSql = (0 until 64)
+      .map(i => if (i == 3) "CAST(NULL AS DOUBLE)" else "1.0")
+      .mkString("array(", ", ", ")")
+    val df = spark.range(1).select(Pq.encode(expr(arrSql), cbs).as("c"))
+    val ex = intercept[Exception](df.collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("null element"), msgs(ex))
+  }
+
   test("pq queries panel: exact-equality holds across real corpus query vectors") {
     val queries = embs.select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(xxhash64(col("vec_id"), lit(11L))).limit(4)

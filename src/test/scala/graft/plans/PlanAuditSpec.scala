@@ -89,6 +89,20 @@ class PlanAuditSpec extends SparkSpec {
       s"PQ shortlist planned a global sort\n$plan")
   }
 
+  test("PQ materialized-index entry: rerank fetch pushes shortlist ids into the vector scan") {
+    // the entry's ADC stage runs eagerly on the encoded parquet (its
+    // no-fp32-column scan is pinned in PqSpec); the RETURNED plan is the
+    // exact rerank, which must fetch by pushed id filter, not a corpus scan
+    val plan = finalPlan(q("emb_pq_scan_topk"))
+    assert(plan.contains("In(vec_id"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("IVF materialized-index entry: probe filter is a PARTITION filter on the index scan") {
+    val plan = finalPlan(q("emb_ivf_part_topk"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("n-gram contamination never plans a nested-loop join; one scan per side") {
     val plan = finalPlan(q("dedup_contam_ngram"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
