@@ -32,8 +32,9 @@ object Temporal {
     * `last(right_payload, ignoreNulls)` over (key, ORDER BY ts with right
     * rows sorting before left rows at equal ts) — and keep the left rows.
     * One shuffle on the key, one per-partition sort, zero row
-    * multiplication; skew = a hot KEY's window (salt upstream if one key
-    * dominates, as with any per-key window).
+    * multiplication; skew = a hot KEY's window — if one key dominates,
+    * use [[asofJoinBucketed]], which bounds every partition by time
+    * bucket instead.
     *
     * Left and right non-key column names must be disjoint (checked) —
     * right's timestamp column rides along in the output like DuckDB's.
@@ -50,6 +51,87 @@ object Temporal {
                leftTs: String, rightTs: String,
                joinType: String = "inner",
                tolerance: Option[Long] = None): DataFrame = {
+    val a = alignAsof(left, right, keyCols, leftTs, rightTs, joinType, Nil)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++ a.tieCol.map(_.asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = a.tagged
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    finishAsof(matched0, a, rightTs, joinType, tolerance)
+  }
+
+  /** Skew-safe [[asofJoin]]: identical semantics, but no per-KEY window —
+    * a hot key is one window partition in the one-pass form, so a key
+    * holding 10% of a 100 TB input funnels through one task. Here the
+    * heavy window partitions by (key, floor(ts / bucketWidth)), so a hot
+    * key's rows spread across its time buckets, and the only per-key pass
+    * runs over ONE ROW PER BUCKET (the carry of each bucket's last right
+    * row) — bounded by time span / bucketWidth, never by row count.
+    *
+    *   1. in-bucket as-of: the [[asofJoin]] window, partitioned by
+    *      (key, bucket);
+    *   2. per (key, bucket), the bucket's LAST right row (row_number=1 on
+    *      the reversed order — same tie rule);
+    *   3. carry-in: for every (key, bucket) on either side, the last
+    *      right row of the nearest earlier non-empty bucket — a per-key
+    *      window over the tiny bucket table;
+    *   4. match = in-bucket result, else the bucket's carry-in.
+    *
+    * Pick `bucketWidth` so one bucket of the hottest key fits a task
+    * comfortably (e.g. hot key at ~1M rows/hour → bucketWidth of minutes).
+    * TemporalSpec pins output equality with [[asofJoin]] on a
+    * one-key-dominant fixture across inner/left/tolerance. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTs: String, rightTs: String,
+                       bucketWidth: Double,
+                       joinType: String = "inner",
+                       tolerance: Option[Long] = None): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val a = alignAsof(left, right, keyCols, leftTs, rightTs, joinType,
+      Seq("__b", "__rn", "__blast", "__carry"))
+    // numeric ts buckets in natural units; TimestampType in epoch seconds
+    // (same double-cast convention as tolerance)
+    val tagged = a.tagged.withColumn("__b",
+      floor(col("__t").cast("double") / bucketWidth).cast("long"))
+    val keyB = keyCols.map(col) :+ col("__b")
+    val wInBucket = Window.partitionBy(keyB: _*)
+      .orderBy((Seq(col("__t").asc, col("__side").asc) ++ a.tieCol.map(_.asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = tagged
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(wInBucket))
+      .filter(col("__side") === 1)
+    // each bucket's last right row: first row of the REVERSED in-bucket
+    // order (desc ties resolve to the same winner the asc last() picks)
+    val wLast = Window.partitionBy(keyB: _*)
+      .orderBy((Seq(col("__t").desc) ++ a.tieCol.map(_.desc)): _*)
+    val bucketLast = tagged.filter(col("__side") === 0)
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(keyB :+ col("__r").as("__blast"): _*)
+    // carry-in over one-row-per-(key,bucket): strictly earlier buckets
+    // only — an in-bucket right row must NOT leak to earlier left rows
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = tagged.select(keyB: _*).distinct()
+      .join(bucketLast, keyCols :+ "__b", "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
+      .select(keyCols.map(col) :+ col("__b") :+ col("__carry"): _*)
+    val matched0 = inBucket.join(carry, keyCols :+ "__b", "left")
+      .withColumn("__m", coalesce(col("__m"), col("__carry")))
+    finishAsof(matched0, a, rightTs, joinType, tolerance)
+  }
+
+  /** Validated, union-tagged asof inputs shared by [[asofJoin]] and
+    * [[asofJoinBucketed]]. */
+  private case class AsofAligned(tagged: DataFrame, tieCol: Option[Column],
+                                 leftCols: Seq[String], rightCols: Seq[String],
+                                 keyCols: Seq[String])
+
+  private def alignAsof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                        leftTs: String, rightTs: String, joinType: String,
+                        extraReserved: Seq[String]): AsofAligned = {
     require(Seq("inner", "left").contains(joinType),
       s"asofJoin supports inner|left, got $joinType")
     // a key-less as-of would plan ONE global window partition (all rows
@@ -64,7 +146,7 @@ object Temporal {
     val overlap = leftCols.intersect(rightCols)
     require(overlap.isEmpty,
       s"asofJoin: non-key columns must be disjoint, overlap: $overlap")
-    val reserved = Seq("__t", "__side", "__l", "__r", "__m")
+    val reserved = Seq("__t", "__side", "__l", "__r", "__m") ++ extraReserved
     val clash = (left.columns ++ right.columns).distinct.filter(reserved.contains)
     require(clash.isEmpty, s"asofJoin: reserved column names in input: ${clash.toSeq}")
 
@@ -103,14 +185,13 @@ object Temporal {
       case _             => false
     }
     val hashable = rStruct.forall(f => !hasMap(f.dataType))
-    val tieBreak =
-      if (hashable) Seq(xxhash64(col("__r")).asc) else Seq.empty
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy((Seq(col("__t").asc, col("__side").asc) ++ tieBreak): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched0 = lAligned.unionByName(rAligned)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val tieCol = if (hashable) Some(xxhash64(col("__r"))) else None
+    AsofAligned(lAligned.unionByName(rAligned), tieCol, leftCols, rightCols, keyCols)
+  }
+
+  /** Tolerance + join-type + output projection shared by both asof forms. */
+  private def finishAsof(matched0: DataFrame, a: AsofAligned, rightTs: String,
+                         joinType: String, tolerance: Option[Long]): DataFrame = {
     // tolerance: a match staler than leftTs - tolerance is no match. The
     // double cast makes the same predicate work for numeric AND
     // TimestampType columns (timestamp → epoch seconds; Subtract on a raw
@@ -122,9 +203,9 @@ object Temporal {
     val kept = if (joinType == "inner") matched.filter(col("__m").isNotNull)
                else matched
     kept.select(
-      keyCols.map(col) ++
-        leftCols.map(c => col(s"__l.$c").as(c)) ++
-        rightCols.map(c => col(s"__m.$c").as(c)): _*)
+      a.keyCols.map(col) ++
+        a.leftCols.map(c => col(s"__l.$c").as(c)) ++
+        a.rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** Range join: (left, right) pairs where `pointCol` ∈ [loCol, hiCol]

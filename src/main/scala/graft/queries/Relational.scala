@@ -126,6 +126,23 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // The skew-safe two-pass as-of (per-(key, time-bucket) windows +
+    // bucket carry-in — no per-key partition ever holds more than a
+    // bucket's rows). Identical semantics to join_asof, so it shares its
+    // DuckDB ASOF JOIN oracle verbatim.
+    "join_asof_skew" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.select(col("event_id"), (col("event_id") % 4).as("k"),
+        col("event_id").as("t"))
+      val r = ev.filter(col("event_id") % 7 === 0)
+        .select((col("event_id") % 4).as("k"), col("event_id").as("mark_id"))
+        .withColumn("mt", col("mark_id"))
+      graft.operators.Temporal.asofJoinBucketed(l, r, Seq("k"), "t", "mt",
+        bucketWidth = 500.0)
+        .select("event_id", "k", "mark_id")
+        .orderBy("event_id")
+    }),
+
     // As-of with a lookback tolerance (pandas merge_asof semantics): a
     // mark older than 10 below the event is stale → no match (inner
     // drops the row). Oracle = the argmax formulation in plain SQL.
@@ -357,6 +374,13 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "join_asof" ->
+      """WITH l AS (SELECT event_id, event_id % 4 AS k FROM events),
+        |m AS (SELECT event_id % 4 AS k, event_id AS mark_id FROM events
+        |      WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.k, m.mark_id
+        |FROM l ASOF JOIN m ON l.k = m.k AND l.event_id >= m.mark_id
+        |ORDER BY event_id""".stripMargin,
+    "join_asof_skew" ->
       """WITH l AS (SELECT event_id, event_id % 4 AS k FROM events),
         |m AS (SELECT event_id % 4 AS k, event_id AS mark_id FROM events
         |      WHERE event_id % 7 = 0)

@@ -155,6 +155,57 @@ class TemporalSpec extends SparkSpec {
     assert(lj == Set((Some(1), Some(100)), (None, None)))
   }
 
+  test("asofJoinBucketed equals asofJoin on a one-key-dominant fixture (inner/left/tolerance)") {
+    // 9 of 10 rows carry ONE key — the shape that makes the one-pass
+    // form's per-key window a single hot partition. Left timestamps step
+    // by 13, right marks by 29, so buckets of width 50 exercise all the
+    // seams: empty buckets (carry-in skips them), buckets with right rows
+    // but no left rows, in-bucket matches AND cross-bucket carry.
+    val hotL = (0 until 900).map(i => (1, i * 13)) ++ (0 until 100).map(i => (2, i * 13))
+    val hotR = (0 until 100).map(i => (1, i * 29, i)) ++ (0 until 11).map(i => (2, i * 97, 1000 + i))
+    val lSkew = hotL.toDF("k", "t")
+    val rSkew = hotR.toDF("k", "rt", "v")
+    for ((jt, tol) <- Seq(("inner", None), ("left", None),
+                          ("inner", Some(40L)), ("left", Some(40L)))) {
+      val base = Temporal.asofJoin(lSkew, rSkew, Seq("k"), "t", "rt", jt, tol)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      val bucketed = Temporal.asofJoinBucketed(lSkew, rSkew, Seq("k"), "t", "rt",
+        bucketWidth = 50.0, joinType = jt, tolerance = tol)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(bucketed.toSeq == base.toSeq, s"divergence at joinType=$jt tol=$tol")
+    }
+  }
+
+  test("asofJoinBucketed: DuckDB reference example, ties, and null keys") {
+    // same reference fixture as the one-pass tests, tiny bucket width so
+    // nearly every match crosses a bucket boundary (carry-in path)
+    val got = Temporal.asofJoinBucketed(l, r, Seq("k"), "t", "rt", bucketWidth = 2.0)
+      .select("k", "t", "rt", "v").collect()
+      .map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3))).toSet
+    assert(got == Set((1, 5, 3, 100), (1, 10, 8, 200), (2, 7, 1, 300)))
+    // tie rule: a right row AT the left ts matches (same-bucket ordering)
+    val tie = Temporal.asofJoinBucketed(
+      Seq((1, 8)).toDF("k", "t"), r, Seq("k"), "t", "rt", bucketWidth = 3.0)
+      .select("v").head().getInt(0)
+    assert(tie == 200)
+    // null keys never match, in either bucket role
+    val ln = Seq((Some(1), 5), (None, 5)).toDF("k", "t")
+    val rn = Seq((Some(1), 3, 100), (None, 3, 999)).toDF("k", "rt", "v")
+    val inner = Temporal.asofJoinBucketed(ln, rn, Seq("k"), "t", "rt", bucketWidth = 2.0)
+      .select("k", "v").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    assert(inner == Set((1, 100)))
+    // duplicate right rows at one (key, ts) resolve to the same winner as
+    // the one-pass form (shared hash tiebreak), across partitionings
+    val dup = Seq((1, 5, 100), (1, 5, 200), (1, 5, 300)).toDF("k", "rt", "v")
+    val one = Temporal.asofJoin(
+      Seq((1, 7)).toDF("k", "t"), dup, Seq("k"), "t", "rt")
+      .select("v").head().getInt(0)
+    val bk = Temporal.asofJoinBucketed(
+      Seq((1, 7)).toDF("k", "t").repartition(4), dup.repartition(4),
+      Seq("k"), "t", "rt", bucketWidth = 2.0).select("v").head().getInt(0)
+    assert(bk == one)
+  }
+
   test("rangeJoin with key columns scopes matches to the key") {
     val points = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "p")
     val ranges = Seq(("a", 0.0, 10.0)).toDF("g", "lo", "hi")

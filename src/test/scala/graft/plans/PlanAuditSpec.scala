@@ -66,6 +66,12 @@ class PlanAuditSpec extends SparkSpec {
       !range.contains("CartesianProduct"), range)
     // the join is the binned equi-join
     assert(range.contains("__bin"), range)
+    // skew-safe asof: every event-sized window partitions by (key, bucket)
+    // — the only per-key sort runs over the one-row-per-bucket carry table
+    val skew = finalPlan(q("join_asof_skew"))
+    assert(!skew.contains("BroadcastNestedLoopJoin") &&
+      !skew.contains("CartesianProduct"), skew)
+    assert(skew.contains("__b"), skew)
   }
 
   test("sessionize: both windows share ONE key shuffle + sort") {
