@@ -90,7 +90,14 @@ case class JsonToMap(child: Expression) extends UnaryExpression {
 /** `struct<exists: boolean, raw: string>` for one dotted path of the
   * payload, in one parse: `raw` follows get_json_object semantics (null
   * for JSON null or missing), `exists` distinguishes the two (the
-  * json_object_keys probe it replaces). */
+  * json_object_keys probe it replaces).
+  *
+  * Path grammar: dot-separated segments; a purely NUMERIC segment indexes
+  * into an array (`a.0.b` — the jql crate's array access the reference
+  * routes `-c` paths through, /root/reference/src/consume.rs:311-443).
+  * Against an OBJECT a numeric segment is an ordinary key lookup (JSON
+  * keys can be "0"); an out-of-range index or an index into a non-array
+  * is a missing path, same as an absent key. */
 case class JsonField(child: Expression, path: String) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("exists", BooleanType, nullable = false),
@@ -98,6 +105,14 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
   override def nullable: Boolean = false
 
   @transient private lazy val segments: Array[String] = path.split('.')
+
+  private def isIndex(seg: String): Boolean =
+    seg.nonEmpty && seg.forall(c => c >= '0' && c <= '9')
+
+  /** The child at `seg`: array element for a numeric segment on an array
+    * node, else object field (Jackson returns null for either miss). */
+  private def step(node: JsonNode, seg: String): JsonNode =
+    if (node.isArray && isIndex(seg)) node.get(seg.toInt) else node.get(seg)
 
   def convert(u: UTF8String): InternalRow = {
     var exists = false
@@ -110,12 +125,20 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
         var node: JsonNode = root
         var i = 0
         while (node != null && i < segments.length - 1) {
-          node = node.get(segments(i)); i += 1
+          node = step(node, segments(i)); i += 1
         }
         val leaf = segments.last
-        if (node != null && node.isObject && node.has(leaf)) {
-          exists = true
-          raw = JsonPayload.valueText(node.get(leaf))
+        if (node != null) {
+          if (node.isArray && isIndex(leaf)) {
+            val idx = leaf.toInt
+            if (idx < node.size) {
+              exists = true
+              raw = JsonPayload.valueText(node.get(idx))
+            }
+          } else if (node.isObject && node.has(leaf)) {
+            exists = true
+            raw = JsonPayload.valueText(node.get(leaf))
+          }
         }
       }
     }

@@ -232,6 +232,26 @@ object Pipeline {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy("id_a", "id_b")),
+    // The PORTABLE simhash (dedup_minhash_portable pattern): the exact
+    // bit-vote algebra of the production SimHashAgg — per token
+    // occurrence, bit b votes +1/-1 by bit b of the token hash; signature
+    // bit b = (vote sum > 0) — but over md5-derived 32-bit hashes both
+    // engines can compute, so DuckDB verifies the tokenize → vote → sign
+    // pipeline end-to-end. Production keeps the one-pass native xxhash64
+    // aggregate; this proves the algebra it implements.
+    "dedup_simhash_portable" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id").as("id"),
+          explode(split(graft.operators.TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val votes = (0 until 32).map(b =>
+        sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1)).as(s"v$b"))
+      tok.groupBy("id").agg(votes.head, votes.tail: _*)
+        .select(col("id"),
+          (0 until 32).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash32"))
+        .orderBy("id")
+    }),
     // Ground-truth recall proof for the simhash pipeline (tokenize →
     // signature agg → segment blocking → pair): plant exact clones of the
     // first 50 docs under shifted ids — identical text ⇒ identical simhash
@@ -685,6 +705,20 @@ object Pipeline {
       (shinglesCte + "\n" +
         (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
           .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
+    "dedup_simhash_portable" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
+         |             FROM documents),
+         |bits AS (SELECT id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+         |votes AS (SELECT id,
+         |  ${(0 until 32).map(b =>
+              s"sum(CASE WHEN (h & ${1L << b}) != 0 THEN 1 ELSE -1 END) AS v$b")
+              .mkString(",\n  ")}
+         |  FROM bits GROUP BY id)
+         |SELECT id,
+         |  ${(0 until 32).map(b =>
+              s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+              .mkString(" + ")} AS simhash32
+         |FROM votes ORDER BY id""".stripMargin,
     "dedup_decontaminate" ->
       s"""$crossJaccardCte
          |SELECT id_l, id_r, jaccard FROM crossScored

@@ -54,6 +54,33 @@ object TierA {
       "events -B --rows 200 -c k:i=k -c miss_s=nope -c miss_i:i=nope -c miss_d:d=nope -c miss_t:t=nope"),
     "col_type_decl" -> consume(
       "events -B --rows 200 -c ki:i=k -c kl:l=k -c kf:f=k -c kd:d=k -c ks=k"),
+    // jql ARRAY-INDEX paths (-c x=a.0.b): a purely numeric segment
+    // indexes into an array, the jql-crate access the reference routes
+    // -c paths through (consume.rs:311-443). Payload synthesized from
+    // events (the ts_rfc3339_parse pattern) so every extracted value is
+    // SQL-reconstructable: int/long/double leaves, an object inside an
+    // array, a string element, out-of-range (error text for VARCHAR /
+    // NULL for typed — the jql_error_typed contract), and an index into
+    // a non-array (also a missing path).
+    "jql_array_path" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          concat(lit("{\"arr\": ["), col("event_id").cast("string"),
+            lit(", {\"x\": "), (col("event_id") * 2).cast("string"),
+            lit("}, \"s"), col("event_id").cast("string"),
+            lit("\"], \"k\": 7}")).as("value"))
+      def m(name: String, ty: MappedType, path: String) =
+        ColumnMapping(name, ty, path).toColumn(col("value"))
+      rec.select(col("__offset"),
+          m("a0", MappedType.I, "arr.0"),
+          m("bx", MappedType.L, "arr.1.x"),
+          m("bd", MappedType.D, "arr.1.x"),
+          m("s2", MappedType.S, "arr.2"),
+          m("oob", MappedType.S, "arr.5"),
+          m("oob_i", MappedType.I, "arr.5"),
+          m("nonarr", MappedType.S, "k.0"))
+        .orderBy("__offset").limit(300).drop("__offset")
+    }),
     // :t parse of an RFC3339 string synthesized from ts, through the same
     // ColumnMapping compiler the -c path uses.
     "ts_rfc3339_parse" -> ((s, dir) => {
@@ -206,6 +233,12 @@ object TierA {
       (s"SELECT CAST($jk AS INTEGER) AS ki, CAST($jk AS BIGINT) AS kl, " +
         s"CAST($jk AS FLOAT) AS kf, CAST($jk AS DOUBLE) AS kd, " +
         "CAST(NULL AS VARCHAR) AS ks FROM events ORDER BY event_id LIMIT 200"),
+    "jql_array_path" ->
+      ("SELECT CAST(event_id AS INTEGER) AS a0, CAST(event_id * 2 AS BIGINT) AS bx, " +
+        "CAST(event_id * 2 AS DOUBLE) AS bd, 's' || event_id AS s2, " +
+        "'Node \"arr.5\" not found' AS oob, CAST(NULL AS INTEGER) AS oob_i, " +
+        "'Node \"k.0\" not found' AS nonarr " +
+        "FROM events ORDER BY event_id LIMIT 300"),
     "ts_rfc3339_parse" ->
       ("SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), " +
         "'%Y-%m-%dT%H:%M:%S.%gZ') AS time FROM events ORDER BY event_id LIMIT 200"),

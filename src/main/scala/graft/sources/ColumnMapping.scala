@@ -84,9 +84,11 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
     * JSON parse per ROW instead of ~3 per mapped column: nested
     * values/arrays arrive as their JSON text, scalars as their bare text,
     * exactly like get_json_object. Falls back to [[toColumn]] for nested
-    * dotted paths. */
+    * dotted paths AND purely numeric ones (a top-level array payload
+    * indexes through JsonField; the object map can't represent it). */
   def toColumnFromParsed(parsed: Column, value: Column): Column =
-    if (path.contains('.')) toColumn(value)
+    if (path.contains('.') || path.forall(c => c >= '0' && c <= '9'))
+      toColumn(value)
     else buildTyped(element_at(parsed, path), map_contains_key(parsed, lit(path)))
 
   private def buildTyped(raw: Column, exists: Column): Column = {

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.{ColumnMapping, MappedType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shim
+
+/** JsonField path grammar: dotted object keys + numeric array indexes
+  * (jql semantics — /root/reference/src/consume.rs:311-443). The typed
+  * coercion matrix over array leaves is oracle-checked by the
+  * jql_array_path CORRECTNESS entry; this spec pins the traversal corner
+  * cases the fixture payload can't express. */
+class JsonFieldSpec extends SparkSpec {
+
+  private def field(json: String, path: String): (Boolean, String) = {
+    val df = spark.range(1).select(
+      shim.column(JsonField(shim.expression(lit(json)), path)).as("f"))
+    val r = df.select(col("f.exists"), col("f.raw")).head()
+    (r.getBoolean(0), if (r.isNullAt(1)) null else r.getString(1))
+  }
+
+  test("numeric segments index arrays; chains traverse array-of-object") {
+    assert(field("""{"a": [10, 20, 30]}""", "a.0") == (true, "10"))
+    assert(field("""{"a": [10, 20, 30]}""", "a.2") == (true, "30"))
+    assert(field("""{"a": [{"b": 1}, {"b": 2}]}""", "a.1.b") == (true, "2"))
+    // a container leaf serializes as JSON text (get_json_object behavior)
+    assert(field("""{"a": [[1, 2]]}""", "a.0") == (true, "[1,2]"))
+    assert(field("""{"a": [[1, 2]]}""", "a.0.1") == (true, "2"))
+    // top-level array payload: the whole path can start with an index
+    assert(field("""[5, {"x": 6}]""", "0") == (true, "5"))
+    assert(field("""[5, {"x": 6}]""", "1.x") == (true, "6"))
+  }
+
+  test("a numeric segment against an OBJECT is a key lookup, not an index") {
+    assert(field("""{"a": {"0": "zero"}}""", "a.0") == (true, "zero"))
+  }
+
+  test("misses: out-of-range, non-array index, array as object key") {
+    assert(field("""{"a": [10]}""", "a.1") == (false, null))
+    assert(field("""{"a": 7}""", "a.0") == (false, null))
+    assert(field("""{"a": [10]}""", "a.b") == (false, null))
+    // JSON null element EXISTS with null raw (distinct from missing)
+    assert(field("""{"a": [null]}""", "a.0") == (true, null))
+  }
+
+  test("toColumnFromParsed routes numeric top-level paths through JsonField") {
+    // the map<string,string> fast path can't represent a top-level array
+    // payload; a purely numeric path must fall back to the full parse
+    val m = ColumnMapping("x", MappedType.I, "0")
+    val df = spark.range(1).select(lit("""[42]""").as("value"))
+    val got = df.select(
+      m.toColumnFromParsed(ColumnMapping.parsed(col("value")), col("value")))
+      .head()
+    assert(got.getInt(0) == 42)
+  }
+}
