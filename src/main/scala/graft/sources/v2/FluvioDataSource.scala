@@ -220,14 +220,26 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     FluvioOffset(starts)
   }
 
+  /** ONE directory listing + stat pass over the selected partitions:
+    * per partition, (row count, on-disk bytes) across its segments. Row
+    * counts come from the (path, mtime, length)-keyed footer cache, so a
+    * steady-state trigger costs file stats only — footers are parsed once
+    * per segment ever. Every per-trigger metadata consumer (ends, byte
+    * sizing) derives from a single snapshot instead of re-listing. */
+  private def partitionMeta(): Map[Int, (Long, Long)] =
+    selectedDirs().map { case (p, d) =>
+      val fs = FluvioDsv2.segmentFiles(d)
+      p -> ((fs.map(FluvioDsv2.rowCount).sum, fs.map(_.length()).sum))
+    }
+
   /** Current deliverable end per partition: LEO capped by `--end N`
     * (inclusive ⇒ cap at N+1). Footer-metadata only — no data read. */
-  private def currentEnds(): Map[Int, Long] = {
+  private def currentEnds(meta: Map[Int, (Long, Long)]): Map[Int, Long] = {
     val cap = opt.end.map(_ + 1).getOrElse(Long.MaxValue)
-    selectedDirs().map { case (p, d) =>
-      p -> math.min(FluvioDsv2.segmentFiles(d).map(FluvioDsv2.rowCount).sum, cap)
-    }
+    meta.map { case (p, (rows, _)) => p -> math.min(rows, cap) }
   }
+
+  private def currentEnds(): Map[Int, Long] = currentEnds(partitionMeta())
 
   // Trigger.AvailableNow contract: latch the log ends ONCE at prepare
   // time; every subsequent micro-batch targets this fixed end (reached in
@@ -284,16 +296,14 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     }.toMap
   }
 
-  /** Estimated bytes per record per partition, from segment metadata:
-    * on-disk bytes / footer row count. The parquet-encoded size is the
-    * same stored size the reference's `--maxbytes` caps fetches by
+  /** Estimated bytes per record per partition, from a [[partitionMeta]]
+    * snapshot: on-disk bytes / footer row count. The parquet-encoded size
+    * is the same stored size the reference's `--maxbytes` caps fetches by
     * (consume.rs:507-509) — an estimate (segments mix compression ratios)
     * but metadata-only and conservative enough for admission control. */
-  private def avgBytesPerRecord(): Map[Int, Double] =
-    selectedDirs().map { case (p, d) =>
-      val fs = FluvioDsv2.segmentFiles(d)
-      val rows = fs.map(FluvioDsv2.rowCount).sum
-      p -> (if (rows == 0L) 0.0 else fs.map(_.length()).sum.toDouble / rows)
+  private def avgBytesPerRecord(meta: Map[Int, (Long, Long)]): Map[Int, Double] =
+    meta.map { case (p, (rows, bytes)) =>
+      p -> (if (rows == 0L) 0.0 else bytes.toDouble / rows)
     }
 
   /** Byte-budget analog of [[admit]]: the byte budget splits across
@@ -310,15 +320,26 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     val bytes = backlog.map { case (p, b) => p -> b * bpr.getOrElse(p, 0.0) }
     val totalBytes = bytes.values.sum
     if (totalBytes <= byteBudget) return target
-    val ends = backlog.map { case (p, b) =>
-      val recs =
+    val recs = scala.collection.mutable.Map.empty[Int, Long]
+    backlog.foreach { case (p, b) =>
+      recs(p) =
         if (bpr.getOrElse(p, 0.0) <= 0.0) b
         else math.min(b,
           (byteBudget * (bytes(p) / totalBytes) / bpr(p)).toLong)
-      p -> (start.getOrElse(p, 0L) + recs)
     }
-    val admitted = backlog.keys
-      .map(p => ends(p) - start.getOrElse(p, 0L)).sum
+    // redistribute the leftover byte budget (each partition's floor
+    // truncation strands up to one record's bytes) to backlogged
+    // partitions, lowest id first — the byte analog of admit()'s record
+    // remainder bump; without it a many-partition topic undershoots the
+    // budget by ~one record per partition every trigger
+    var leftover = byteBudget - recs.map { case (p, r) => r * bpr.getOrElse(p, 0.0) }.sum
+    for (p <- backlog.keys.toSeq.sorted if leftover > 0.0 && bpr.getOrElse(p, 0.0) > 0.0) {
+      val extra = math.min(backlog(p) - recs(p), (leftover / bpr(p)).toLong)
+      if (extra > 0L) { recs(p) += extra; leftover -= extra * bpr(p) }
+    }
+    val ends = backlog.map { case (p, b) =>
+      p -> (start.getOrElse(p, 0L) + recs(p)) }
+    val admitted = recs.values.sum
     if (admitted == 0L && backlog.values.sum > 0L) {
       val p = backlog.filter(_._2 > 0L).keys.min
       ends.updated(p, start.getOrElse(p, 0L) + 1L)
@@ -326,11 +347,14 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = availableNowEnds.getOrElse(currentEnds())
+    // one listing+stat snapshot serves BOTH the target ends and the byte
+    // sizing — a trigger never walks the segment metadata twice
+    val meta = partitionMeta()
+    val target = availableNowEnds.getOrElse(currentEnds(meta))
     val s = start.asInstanceOf[FluvioOffset].positions
     def applyOne(l: ReadLimit): Map[Int, Long] = l match {
       case r: ReadMaxRows  => admit(s, target, r.maxRows())
-      case b: ReadMaxBytes => admitBytes(s, target, b.maxBytes(), avgBytesPerRecord())
+      case b: ReadMaxBytes => admitBytes(s, target, b.maxBytes(), avgBytesPerRecord(meta))
       case _               => target // allAvailable/minRows/other hints
     }
     val end = limit match {
@@ -363,18 +387,22 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     val s = start.asInstanceOf[FluvioOffset].positions
     val e = end.asInstanceOf[FluvioOffset].positions
     val dirs = selectedDirs()
+    // one segment listing per partition serves the data-loss check AND
+    // the range→file mapping below (row counts hit the footer cache)
+    val filesByPart: Map[Int, Seq[File]] =
+      dirs.map { case (p, d) => p -> FluvioDsv2.segmentFiles(d) }
     // data-loss contract (Kafka's failOnDataLoss=true): a topic partition
     // that VANISHED, or whose log shrank below the committed offset
     // (segment deletion / compaction), cannot be streamed exactly-once —
     // fail loudly instead of silently planning zero rows over the hole
     for ((p, from) <- s.toSeq.sortBy(_._1)) {
-      val dir = dirs.getOrElse(p,
+      val files = filesByPart.getOrElse(p,
         throw new IllegalStateException(
           s"fluvio stream: partition $p of topic '${opt.topic}' vanished " +
             s"(committed offset $from); a removed partition cannot be " +
             "streamed exactly-once — restart from a fresh checkpoint to " +
             "accept the loss"))
-      val leoP = FluvioDsv2.segmentFiles(dir).map(FluvioDsv2.rowCount).sum
+      val leoP = files.map(FluvioDsv2.rowCount).sum
       if (leoP < from)
         throw new IllegalStateException(
           s"fluvio stream: partition $p of topic '${opt.topic}' truncated " +
@@ -394,7 +422,7 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
         // map the record range [from0, to) onto segment files by
         // cumulative row count — only overlapping segments are read
         var cum = 0L
-        for (f <- dirs.get(p).map(FluvioDsv2.segmentFiles).getOrElse(Seq.empty)) {
+        for (f <- filesByPart.getOrElse(p, Seq.empty)) {
           val n = FluvioDsv2.rowCount(f)
           val fileStart = cum
           val fileEnd = cum + n
