@@ -7,21 +7,25 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus per-partition batch feature extraction.
   *
-  * The IMAGE path is a real codec: [[ImageCodec]] encodes/decodes PNG via
-  * the JDK's `javax.imageio` (no native libraries needed), executor-side in
-  * `mapPartitions`, and its decoded width/height/mean-channel values are
-  * oracle-checked end-to-end against planted parameters
-  * (multimodal_decode / multimodal_features). The AUDIO path is likewise a
-  * real codec: [[AudioCodec]] writes/reads WAV (16-bit mono signed PCM)
-  * through `javax.sound.sampled` — also pure JDK — and the decoded sample
-  * rate / sample count / mean-|amplitude| / peak are oracle-checked against
-  * the planted waveform (multimodal_audio). Only VIDEO stays behind the
-  * clearly-marked byte-stat stand-in ([[FakeDecoder]]) — the container has
-  * no video codecs — but the Spark side is identical either way:
-  * schema, partition-parallel execution (records never leave executors,
-  * batches amortize per-task setup the way a Pandas-UDF/Arrow batch
-  * would), and the feature output contract. Swap [[FakeDecoder]] for an
-  * ffmpeg binding and nothing else changes.
+  * ALL THREE modalities decode for REAL through pure-JDK codecs,
+  * executor-side in `mapPartitions`, with every decoded statistic
+  * oracle-checked end-to-end against planted parameters:
+  *
+  *  - IMAGE: [[ImageCodec]] encodes/decodes PNG via `javax.imageio`
+  *    (multimodal_decode / multimodal_features).
+  *  - AUDIO: [[AudioCodec]] writes/reads WAV (16-bit mono signed PCM)
+  *    through `javax.sound.sampled` (multimodal_audio).
+  *  - VIDEO: [[VideoCodec]] writes/reads animated GIF (GIF89a — a real
+  *    multi-frame format with per-frame timing metadata) through
+  *    `javax.imageio`'s sequence API: frames are REAL decoded pixels,
+  *    frame delays are REAL GraphicControlExtension metadata
+  *    (multimodal_video). A production build would swap the GIF
+  *    container for an ffmpeg binding; the Spark side — schema,
+  *    partition-parallel flatMap, per-frame output contract — is the
+  *    part that carries over unchanged.
+  *
+  * Records never leave executors; batches amortize per-task setup the way
+  * a Pandas-UDF/Arrow batch would.
   */
 object Multimodal {
 
@@ -203,34 +207,149 @@ object Multimodal {
     }
   }
 
-  /** STUB DECODER — now the VIDEO-only stand-in (images decode for real
-    * through [[ImageCodec]], audio through [[AudioCodec]]): the container
-    * has no video codecs, so this computes byte-level statistics (16-bin
-    * histogram, mean byte value) plus codec-free frame-sampling math. A
-    * real build would replace only this object's internals with ffmpeg
-    * bindings. */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Array[Double], Double) = {
-      val hist = new Array[Double](16)
-      if (payload == null || payload.isEmpty) return (hist, 0.0)
-      var sum = 0L
-      var i = 0
-      while (i < payload.length) {
-        val b = payload(i) & 0xff
-        hist(b >> 4) += 1
-        sum += b
-        i += 1
+  /** One REAL decoded frame of a video clip — pixels and the frame delay
+    * both come from the GIF bytes (pixel data + GraphicControlExtension
+    * metadata), pinned by the multimodal_video oracle against the planted
+    * parameters. */
+  final case class DecodedVideoFrame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_r: Double,   // mean red channel over the frame's pixels, 0-255
+      mean_g: Double,
+      mean_b: Double,
+      delay_cs: Int)    // frame delay in centiseconds, from GCE metadata
+
+  /** REAL video codec — animated GIF (GIF89a) through `javax.imageio`'s
+    * sequence API, pure JDK. `encodeGif` plants a clip whose frame count,
+    * dimensions, per-frame solid colors, and per-frame delay all derive
+    * from the id alone; frames are TYPE_BYTE_INDEXED with an explicit
+    * 2-entry palette, so GIF encoding is lossless BY CONSTRUCTION (the
+    * writer emits the palette verbatim — no quantization). `decode` reads
+    * REAL frames back one by one and the REAL delay from each frame's
+    * GraphicControlExtension. Per-frame colors are `base + frame` with
+    * bases < 200 and ≤ 5 frames, so nothing wraps and every decoded
+    * statistic is SQL-reconstructable from the id — the same planted-
+    * parameter trick as the image and audio codecs. */
+  object VideoCodec {
+    def plantedFrames(id: Long): Int = (id % 4).toInt + 2          // 2..5
+    def plantedWidth(id: Long): Int = (id % 6).toInt + 2
+    def plantedHeight(id: Long): Int = (id % 3).toInt + 2
+    /** frame `f` is solid (bR+f, bG+f, bB+f), bases < 200 ⇒ no wrap. */
+    def plantedColor(id: Long, f: Int): (Int, Int, Int) =
+      (((id % 200) + f).toInt, ((id * 7 % 200) + f).toInt, ((id * 13 % 200) + f).toInt)
+    def plantedDelayCs(id: Long): Int = ((id % 10) + 1).toInt * 25 // 25..250 cs
+    def plantedDurationMs(id: Long): Long =
+      plantedFrames(id).toLong * plantedDelayCs(id) * 10L
+
+    private val GifMetaFormat = "javax_imageio_gif_image_1.0"
+
+    def encodeGif(id: Long): Array[Byte] = {
+      val (w, h) = (plantedWidth(id), plantedHeight(id))
+      val (n, delay) = (plantedFrames(id), plantedDelayCs(id))
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < n) {
+        val (r, g, b) = plantedColor(id, f)
+        // 2-entry indexed palette, every pixel = entry 0 = the frame color:
+        // the GIF writer emits this palette verbatim — lossless round-trip
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val root = meta.getAsTree(GifMetaFormat)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          var c = root.getFirstChild
+          while (c != null && c.getNodeName != "GraphicControlExtension")
+            c = c.getNextSibling
+          if (c != null) c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val node = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(node)
+            node
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delay.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(GifMetaFormat, root)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, meta), writer.getDefaultWriteParam)
+        f += 1
       }
-      var j = 0
-      while (j < 16) { hist(j) /= payload.length; j += 1 }
-      (hist, sum.toDouble / payload.length / 255.0)
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
     }
 
-    /** "Frame sampling": how many frames a sampler would pull at `fps`
-      * from the clip — pure metadata math, no codec needed. */
-    def framesToSample(kind: String, durationMs: Long, fps: Double = 1.0): Int =
-      if (kind == "video") math.max(1, (durationMs / 1000.0 * fps).toInt) else 1
+    /** Real decode: frame pixels, dimensions, and delays all come from the
+      * GIF bytes, nothing is assumed from the id. Per-channel sums are
+      * exact in Long; solid frames make `sum / n` an exact double, so the
+      * oracle comparison is bit-exact. */
+    def decode(mediaId: Long, gif: Array[Byte]): Seq[DecodedVideoFrame] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"media_id=$mediaId: payload is not a decodable video stream")
+      val reader = readers.next()
+      require(reader.getFormatName.equalsIgnoreCase("gif"),
+        s"media_id=$mediaId: expected an animated GIF container, got " +
+          reader.getFormatName)
+      reader.setInput(iis)
+      try {
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media_id=$mediaId: video stream has no frames")
+        (0 until n).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val px = w.toLong * h
+          val meta = reader.getImageMetadata(f)
+          val root = meta.getAsTree(GifMetaFormat)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          var delay = 0
+          var c = root.getFirstChild
+          while (c != null) {
+            if (c.getNodeName == "GraphicControlExtension")
+              delay = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .getAttribute("delayTime").toInt
+            c = c.getNextSibling
+          }
+          DecodedVideoFrame(mediaId, f, w, h,
+            sr.toDouble / px, sg.toDouble / px, sb.toDouble / px, delay)
+        }
+      } finally reader.dispose()
+    }
   }
+
+  /** Frame sampling: how many frames a sampler would pull at `fps` from
+    * the clip — pure metadata math, no codec needed. */
+  def framesToSample(kind: String, durationMs: Long, fps: Double = 1.0): Int =
+    if (kind == "video") math.max(1, (durationMs / 1000.0 * fps).toInt) else 1
 
   /** Build a synthetic media table from the `documents` fixture: payload =
     * UTF-8 bytes of the text (an opaque byte stream as far as the pipeline
@@ -249,21 +368,43 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Partition-parallel feature extraction: the decode runs inside
-    * `mapPartitions` on executors, batch-at-a-time, exactly where a
-    * Pandas-UDF/Arrow batch would run. No shuffle; output is columnar. */
+  /** Byte-level statistics (16-bin histogram, mean byte value) — the
+    * honest feature set for OPAQUE payloads whose codec is unknown, used
+    * only by the synthetic-schema demo path [[extractFeatures]]. */
+  private def byteStats(payload: Array[Byte]): (Array[Double], Double) = {
+    val hist = new Array[Double](16)
+    if (payload == null || payload.isEmpty) return (hist, 0.0)
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b >> 4) += 1
+      sum += b
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { hist(j) /= payload.length; j += 1 }
+    (hist, sum.toDouble / payload.length / 255.0)
+  }
+
+  /** Partition-parallel feature extraction over the SYNTHETIC media table
+    * (opaque text-byte payloads — byte stats are the honest features
+    * there): the work runs inside `mapPartitions` on executors,
+    * batch-at-a-time, exactly where a Pandas-UDF/Arrow batch would run.
+    * No shuffle; output is columnar. Real codec-backed features live in
+    * [[extractContentFeatures]]. */
   def extractFeatures(media: Dataset[MediaRecord], fps: Double = 1.0): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (hist, brightness) = FakeDecoder.decode(m.payload)
+        val (hist, brightness) = byteStats(m.payload)
         MediaFeatures(
           media_id = m.media_id,
           kind = m.kind,
           n_bytes = if (m.payload == null) 0L else m.payload.length.toLong,
           histogram = hist,
           brightness = brightness,
-          frames_sampled = FakeDecoder.framesToSample(m.kind, m.duration_ms, fps))
+          frames_sampled = framesToSample(m.kind, m.duration_ms, fps))
       }
     }
   }
@@ -272,24 +413,25 @@ object Multimodal {
   final case class MediaContentFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Option[Long],    // payload size for video (byte-stat path);
-                                // None for images/audio (a codec's encoding
+      n_bytes: Option[Long],    // always None now that every modality
+                                // decodes for real — a codec's encoded
                                 // size is not a content feature and not
-                                // oracle-derivable)
-      mean_level: Double,       // images: mean pixel channel value (REAL
-                                // decode); audio: mean |amplitude| (REAL
-                                // decode); video: mean byte value
+                                // oracle-derivable; column kept for
+                                // schema stability
+      mean_level: Double,       // images: mean pixel channel value; audio:
+                                // mean |amplitude|; video: mean pixel
+                                // channel value across ALL frames — each
+                                // from the REAL decode
       frames_sampled: Int)
 
-  /** Media fixture with REAL image and audio payloads: every `image`-kind
-    * row carries an actual PNG (planted dims + solid color from the id,
-    * encoded executor-side by [[ImageCodec]]); every `audio`-kind row
-    * carries an actual WAV (planted rate/length/amplitude square wave from
-    * [[AudioCodec]]); video rows carry a 256-byte ramp `(id + i) % 256` —
-    * one full byte cycle, so their byte statistics are exact constants
-    * (mean 127.5). All payload families keep every downstream feature
-    * SQL-reconstructable while the operators compute them from the REAL
-    * bytes. */
+  /** Media fixture with REAL payloads for every modality: `image` rows
+    * carry an actual PNG (planted dims + solid color from the id, encoded
+    * executor-side by [[ImageCodec]]); `audio` rows carry an actual WAV
+    * (planted rate/length/amplitude square wave from [[AudioCodec]]);
+    * `video` rows carry an actual ANIMATED GIF (planted frame count, dims,
+    * per-frame solid colors, per-frame delay from [[VideoCodec]]). All
+    * payload families keep every downstream feature SQL-reconstructable
+    * while the operators compute them from the REAL bytes. */
   def realMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     documents.select(col("doc_id").cast("long")).as[Long]
@@ -302,16 +444,26 @@ object Multimodal {
           val payload = kind match {
             case "image" => ImageCodec.encodePng(id)
             case "audio" => AudioCodec.encodeWav(id)
-            case _ => Array.tabulate[Byte](256)(i => ((id + i) % 256).toByte)
+            case _ => VideoCodec.encodeGif(id)
           }
           MediaRecord(
             media_id = id, kind = kind, payload = payload,
-            width = if (kind == "image") ImageCodec.plantedWidth(id) else 0,
-            height = if (kind == "image") ImageCodec.plantedHeight(id) else 0,
+            width = kind match {
+              case "image" => ImageCodec.plantedWidth(id)
+              case "video" => VideoCodec.plantedWidth(id)
+              case _ => 0
+            },
+            height = kind match {
+              case "image" => ImageCodec.plantedHeight(id)
+              case "video" => VideoCodec.plantedHeight(id)
+              case _ => 0
+            },
             sample_rate = if (kind == "audio") AudioCodec.plantedRate(id) else 0,
-            duration_ms =
-              if (kind == "audio") AudioCodec.plantedDurationMs(id)
-              else (id % 30) * 1000L)
+            duration_ms = kind match {
+              case "audio" => AudioCodec.plantedDurationMs(id)
+              case "video" => VideoCodec.plantedDurationMs(id)
+              case _ => 0L
+            })
         }
       }
   }
@@ -337,41 +489,57 @@ object Multimodal {
     }
   }
 
-  /** Content-feature extraction over [[realMedia]]: images decode for REAL
-    * (mean pixel level from actual pixels), audio decodes for REAL (mean
-    * |amplitude| from actual PCM frames); video takes byte-level stats
-    * from the actual payload bytes. `(mean_r+mean_g+mean_b)/3.0` is a
-    * single double division of exact integers, bit-identical to the
-    * oracle's `(r+g+b)/3.0`; the audio mean is exact because the planted
-    * square wave's |amplitude| sum is `n * A`. `n_bytes` is only reported
-    * for the byte-stat (video) path — a codec's encoded size is not a
-    * content feature and not oracle-derivable. */
+  /** Content-feature extraction over [[realMedia]]: EVERY modality decodes
+    * for real. Images: `(mean_r+mean_g+mean_b)/3.0` from actual pixels —
+    * a single double division of exact integers, bit-identical to the
+    * oracle's `(r+g+b)/3.0`. Audio: mean |amplitude| from actual PCM
+    * frames (exact — the planted square wave's sum is `n * A`). Video:
+    * mean pixel channel value across ALL frames of the decoded GIF —
+    * `Σ channels / (3.0 * Σ pixels)`, exact for solid planted frames and
+    * bit-identical to the oracle's closed form (the w·h factor cancels in
+    * correctly-rounded IEEE division). */
   def extractContentFeatures(media: Dataset[MediaRecord], fps: Double = 1.0): Dataset[MediaContentFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val (nBytes, level) = m.kind match {
+        val level = m.kind match {
           case "image" =>
             val d = ImageCodec.decode(m.media_id, m.payload)
-            (None, (d.mean_r + d.mean_g + d.mean_b) / 3.0)
+            (d.mean_r + d.mean_g + d.mean_b) / 3.0
           case "audio" =>
-            (None, AudioCodec.decode(m.media_id, m.payload).mean_abs)
+            AudioCodec.decode(m.media_id, m.payload).mean_abs
           case _ =>
-            var sum = 0L
-            var i = 0
-            while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
-            (Some(m.payload.length.toLong), sum.toDouble / m.payload.length)
+            val frames = VideoCodec.decode(m.media_id, m.payload)
+            var (sum, px) = (0.0, 0L)
+            frames.foreach { f =>
+              val n = f.width.toLong * f.height
+              sum += (f.mean_r + f.mean_g + f.mean_b) * n
+              px += n
+            }
+            sum / (3.0 * px)
         }
-        MediaContentFeatures(m.media_id, m.kind, nBytes, level,
-          FakeDecoder.framesToSample(m.kind, m.duration_ms, fps))
+        MediaContentFeatures(m.media_id, m.kind, None, level,
+          framesToSample(m.kind, m.duration_ms, fps))
       }
+    }
+  }
+
+  /** Real video decode over the video-kind rows: executor-side
+    * `mapPartitions` flatMap — ONE OUTPUT ROW PER DECODED FRAME, pixels
+    * and frame delays from the GIF bytes, pinned by the multimodal_video
+    * oracle against the planted parameters. */
+  def decodeVideo(media: Dataset[MediaRecord]): Dataset[DecodedVideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(m => VideoCodec.decode(m.media_id, m.payload))
     }
   }
 
   /** "Resize" plan for images: pure metadata transform showing how typed
     * metadata rides along the binary column (payload untouched — a real
-    * resize would rewrite it in [[FakeDecoder]]'s slot). */
+    * resize would rewrite it in the codec's `mapPartitions` slot). */
   def resizePlan(media: Dataset[MediaRecord], maxDim: Int): DataFrame = {
     val scale = least(
       lit(maxDim) / greatest(col("width"), lit(1)),

@@ -451,9 +451,10 @@ object Pipeline {
         Multimodal.syntheticMedia(s, docs(s, dir)), maxDim = 256)
         .orderBy("media_id")),
     // mapPartitions feature extraction over REAL payloads: images decode
-    // through javax.imageio (actual pixels), audio/video take byte stats —
-    // every output value is SQL-reconstructable from the planted
-    // parameters, so this is hash-checked, not rows-only
+    // through javax.imageio (actual pixels), audio through
+    // javax.sound.sampled (actual PCM), video through the GIF sequence
+    // reader (actual frames) — every output value is SQL-reconstructable
+    // from the planted parameters, so this is hash-checked, not rows-only
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractContentFeatures(
         Multimodal.realMedia(s, docs(s, dir)))
@@ -480,6 +481,16 @@ object Pipeline {
         Multimodal.realMedia(s, docs(s, dir)))
         .toDF()
         .orderBy("media_id")),
+    // REAL video decode end-to-end: planted animated GIFs (frame count,
+    // dims, per-frame solid colors, per-frame delay from doc_id) written
+    // and read back executor-side via javax.imageio's sequence API; ONE
+    // ROW PER DECODED FRAME — pixels and GraphicControlExtension delays
+    // come from the GIF bytes and hash-match the planted formulas exactly
+    "multimodal_video" -> ((s, dir) =>
+      Multimodal.decodeVideo(
+        Multimodal.realMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
     // frame sampling is metadata math (1 fps over the clip duration), so
     // unlike the decode features it IS oracle-checkable
     "multimodal_framesample" -> ((s, dir) =>
@@ -841,17 +852,24 @@ object Pipeline {
     // doc_id % 3; images carry a (doc_id%8+2) x (doc_id%5+2) solid-color
     // PNG with channels (doc_id%256, doc_id*7%256, doc_id*13%256); audio
     // carries a WAV square wave of amplitude doc_id*37%30000+500 (mean
-    // |amplitude| exactly A); video carries one full 256-byte cycle (mean
-    // exactly 127.5)
+    // |amplitude| exactly A); video carries an animated GIF of
+    // n=doc_id%4+2 frames, frame f solid (b+f) per channel with bases
+    // (doc_id%200, doc_id*7%200, doc_id*13%200) and per-frame delay
+    // (doc_id%10+1)*25 cs — the all-frame channel mean has the closed
+    // form (n*(bR+bG+bB) + 3*n*(n-1)/2) / (3n)
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |CAST(CASE WHEN doc_id % 3 = 2 THEN 256 ELSE NULL END AS BIGINT) AS n_bytes,
+        |CAST(NULL AS BIGINT) AS n_bytes,
         |CASE WHEN doc_id % 3 = 0
         |  THEN (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 13 % 256 AS DOUBLE)) / 3.0
         |  WHEN doc_id % 3 = 1 THEN CAST(doc_id * 37 % 30000 + 500 AS DOUBLE)
-        |  ELSE 127.5 END AS mean_level,
-        |CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST(doc_id % 30 AS INTEGER)) ELSE 1 END AS INTEGER) AS frames_sampled
+        |  ELSE CAST((doc_id % 4 + 2) * (doc_id % 200 + doc_id * 7 % 200 + doc_id * 13 % 200)
+        |            + 3 * (((doc_id % 4 + 2) * (doc_id % 4 + 1)) // 2) AS DOUBLE)
+        |       / (3.0 * (doc_id % 4 + 2)) END AS mean_level,
+        |CAST(CASE WHEN doc_id % 3 = 2
+        |  THEN greatest(1, CAST(floor((doc_id % 4 + 2) * (doc_id % 10 + 1) * 25 * 10 / 1000.0) AS INTEGER))
+        |  ELSE 1 END AS INTEGER) AS frames_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
     // rate 8000*(doc_id%2+1); frames (doc_id%50+1)*80; square-wave
     // amplitude doc_id*37%30000+500 => mean_abs and peak_abs are both A
@@ -862,6 +880,23 @@ object Pipeline {
         |CAST(doc_id * 37 % 30000 + 500 AS DOUBLE) AS mean_abs,
         |CAST(doc_id * 37 % 30000 + 500 AS INTEGER) AS peak_abs
         |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
+    // one row per planted frame (unnest over 0..n-1): frame f of clip
+    // doc_id is solid (base + f) per channel; the decoded per-frame
+    // channel means are exactly those ints, the decoded delay is the
+    // planted GCE delayTime
+    "multimodal_video" ->
+      """WITH v AS (SELECT doc_id,
+        |                  unnest(range(0, CAST(doc_id % 4 + 2 AS BIGINT))) AS f
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id,
+        |CAST(f AS INTEGER) AS frame_idx,
+        |CAST(doc_id % 6 + 2 AS INTEGER) AS width,
+        |CAST(doc_id % 3 + 2 AS INTEGER) AS height,
+        |CAST(doc_id % 200 + f AS DOUBLE) AS mean_r,
+        |CAST(doc_id * 7 % 200 + f AS DOUBLE) AS mean_g,
+        |CAST(doc_id * 13 % 200 + f AS DOUBLE) AS mean_b,
+        |CAST((doc_id % 10 + 1) * 25 AS INTEGER) AS delay_cs
+        |FROM v ORDER BY media_id, frame_idx""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |CAST(doc_id % 8 + 2 AS INTEGER) AS width,

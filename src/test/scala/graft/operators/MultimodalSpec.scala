@@ -67,21 +67,75 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
-  test("extractContentFeatures: image/audio via real decode, video via byte stats") {
+  test("extractContentFeatures: all three modalities via real decode") {
     val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
     val feats = Multimodal.extractContentFeatures(real).collect()
     assert(feats.length == 500)
+    assert(feats.forall(_.n_bytes.isEmpty)) // encoded size is not a content feature
     val byKind = feats.groupBy(_.kind)
-    // one full 256-byte cycle: mean byte value is exactly 127.5
-    assert(byKind("video")
-      .forall(f => f.mean_level == 127.5 && f.n_bytes.contains(256L)))
+    // video: mean channel value across all decoded frames — closed form
+    // over the planted per-frame colors (base + f), exact
+    assert(byKind("video").forall { f =>
+      val id = f.media_id
+      val n = Multimodal.VideoCodec.plantedFrames(id)
+      val t = (0 until n).map { fr =>
+        val (r, g, b) = Multimodal.VideoCodec.plantedColor(id, fr)
+        r + g + b
+      }.sum
+      f.mean_level == t / (3.0 * n)
+    })
     assert(byKind("audio").forall { f =>
-      f.n_bytes.isEmpty &&
-        f.mean_level == Multimodal.AudioCodec.plantedAmplitude(f.media_id).toDouble
+      f.mean_level == Multimodal.AudioCodec.plantedAmplitude(f.media_id).toDouble
     })
     assert(byKind("image").forall { f =>
       val (r, g, b) = Multimodal.ImageCodec.plantedColor(f.media_id)
-      f.n_bytes.isEmpty && f.mean_level == (r + g + b) / 3.0
+      f.mean_level == (r + g + b) / 3.0
+    })
+  }
+
+  test("VideoCodec: a planted GIF decodes back to its exact frames and delays") {
+    for (id <- Seq(2L, 5L, 8L, 11L, 254L, 4999L)) {
+      val frames = Multimodal.VideoCodec.decode(id, Multimodal.VideoCodec.encodeGif(id))
+      assert(frames.length == Multimodal.VideoCodec.plantedFrames(id))
+      frames.zipWithIndex.foreach { case (d, i) =>
+        val (r, g, b) = Multimodal.VideoCodec.plantedColor(id, i)
+        assert(d.frame_idx == i)
+        assert(d.width == Multimodal.VideoCodec.plantedWidth(id))
+        assert(d.height == Multimodal.VideoCodec.plantedHeight(id))
+        // solid frame: per-channel mean is EXACTLY the planted value
+        assert(d.mean_r == r.toDouble && d.mean_g == g.toDouble &&
+          d.mean_b == b.toDouble, s"id=$id frame=$i: $d vs ($r,$g,$b)")
+        // the delay is REAL GraphicControlExtension metadata read back
+        assert(d.delay_cs == Multimodal.VideoCodec.plantedDelayCs(id))
+      }
+    }
+  }
+
+  test("VideoCodec.decode fails loudly on a non-video payload") {
+    val e = intercept[IllegalArgumentException](
+      Multimodal.VideoCodec.decode(42L, "not a gif".getBytes))
+    assert(e.getMessage.contains("not a decodable video"))
+    // a single PNG is a decodable IMAGE but not a video container
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.VideoCodec.decode(42L, Multimodal.ImageCodec.encodePng(42L)))
+    assert(e2.getMessage.contains("expected an animated GIF"))
+  }
+
+  test("decodeVideo: distributed real decode matches the planted parameters") {
+    val real = Multimodal.realMedia(spark, Tables.load(spark, sf, "documents"))
+    val decoded = Multimodal.decodeVideo(real.repartition(7)).collect()
+    assert(decoded.nonEmpty)
+    val byClip = decoded.groupBy(_.media_id)
+    assert(byClip.forall { case (id, frames) =>
+      frames.length == Multimodal.VideoCodec.plantedFrames(id)
+    })
+    assert(decoded.forall { d =>
+      val (r, g, b) = Multimodal.VideoCodec.plantedColor(d.media_id, d.frame_idx)
+      d.media_id % 3 == 2 &&
+        d.width == Multimodal.VideoCodec.plantedWidth(d.media_id) &&
+        d.height == Multimodal.VideoCodec.plantedHeight(d.media_id) &&
+        d.mean_r == r && d.mean_g == g && d.mean_b == b &&
+        d.delay_cs == Multimodal.VideoCodec.plantedDelayCs(d.media_id)
     })
   }
 
