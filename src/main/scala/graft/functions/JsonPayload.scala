@@ -106,8 +106,12 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
 
   @transient private lazy val segments: Array[String] = path.split('.')
 
+  // length cap keeps `toInt` from overflowing on a >=10-digit numeral:
+  // an index that large is out of range of any real array, so it falls
+  // through to the object-key/missing-path branch like any other miss
+  // (never an uncaught NumberFormatException crashing the task)
   private def isIndex(seg: String): Boolean =
-    seg.nonEmpty && seg.forall(c => c >= '0' && c <= '9')
+    seg.nonEmpty && seg.length <= 9 && seg.forall(c => c >= '0' && c <= '9')
 
   /** The child at `seg`: array element for a numeric segment on an array
     * node, else object field (Jackson returns null for either miss). */

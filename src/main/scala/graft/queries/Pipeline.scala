@@ -328,8 +328,10 @@ object Pipeline {
       val e = embs(s, dir)
       val cbs = Pq.codebooks(e, "vec_id", "embedding", m = 16, codeBits = 8,
         iters = 3, maxSample = 1024)
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_pq_encoded").getAbsolutePath
+      // per-invocation temp dir: a fixed shared path lets concurrent
+      // verify/bench runs overwrite each other's index mid-read
+      val out = java.nio.file.Files.createTempDirectory("graft_pq_encoded")
+        .toFile.getAbsolutePath
       Pq.encodedTable(e, "embedding", cbs).drop("embedding")
         .write.mode("overwrite").parquet(out)
       Pq.pqTopKFromEncoded(s.read.parquet(out), e, "vec_id", "embedding",
@@ -344,8 +346,8 @@ object Pipeline {
     "emb_ivf_part_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val cents = Ivf.centroidsRefined(e, "vec_id", "embedding", nCells = 16)
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_ivf_index").getAbsolutePath
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+        .toFile.getAbsolutePath
       Ivf.indexTable(e, "embedding", cents)
         .write.mode("overwrite").partitionBy("cell").parquet(out)
       Ivf.ivfTopKFromIndex(s.read.parquet(out), "vec_id", "embedding",

@@ -36,19 +36,30 @@ object TopicRegistry {
     * Conf wins over the built-in map so a deployment can re-map a fixture.
     * Resolution happens driver-side at plan/bind time (batch consume, `-d`
     * stream bind, DSv2 table creation), so the session conf is always in
-    * scope; the resolved [[RecordView]] is what ships to executors. */
-  def confView(topic: String): Option[RecordView] =
-    SparkSession.getActiveSession.flatMap { s =>
-      s.conf.getOption(confKey(topic)).map { v =>
-        val parts = v.split(",", -1).map(_.trim)
-        if (parts.length != 3 || parts.exists(_.isEmpty))
-          throw new IllegalArgumentException(
-            s"${confKey(topic)} must be `offsetCol,timestampCol,valueCol`, got `$v`")
-        RecordView(parts(0), parts(1), parts(2))
-      }
+    * scope; the resolved [[RecordView]] is what ships to executors.
+    *
+    * Prefer the explicit-session overload: the session is in hand at every
+    * consume entry point, and the thread-local lookup is thread-dependent
+    * (a pool thread created before the session existed sees no active
+    * session). The no-arg form falls back active → default session so the
+    * DSv2 planning path stays robust off the main thread. */
+  def confView(spark: SparkSession, topic: String): Option[RecordView] =
+    spark.conf.getOption(confKey(topic)).map { v =>
+      val parts = v.split(",", -1).map(_.trim)
+      if (parts.length != 3 || parts.exists(_.isEmpty))
+        throw new IllegalArgumentException(
+          s"${confKey(topic)} must be `offsetCol,timestampCol,valueCol`, got `$v`")
+      RecordView(parts(0), parts(1), parts(2))
     }
 
+  def confView(topic: String): Option[RecordView] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(confView(_, topic))
+
   /** Conf-registered view, else built-in. */
+  def recordView(spark: SparkSession, topic: String): Option[RecordView] =
+    confView(spark, topic).orElse(recordViews.get(topic))
+
   def recordView(topic: String): Option[RecordView] =
     confView(topic).orElse(recordViews.get(topic))
 
@@ -70,8 +81,15 @@ object TopicRegistry {
     * path (batch, `-d` streaming, DSv2): a parquet table that exists but
     * has no record view is "not a stream topic"; anything else is
     * "Topic not found". */
+  def requireRecordView(spark: SparkSession, baseDir: String, topic: String): RecordView =
+    require(recordView(spark, topic), baseDir, topic)
+
   def requireRecordView(baseDir: String, topic: String): RecordView =
-    recordView(topic).getOrElse(
+    require(recordView(topic), baseDir, topic)
+
+  private def require(view: Option[RecordView], baseDir: String,
+                      topic: String): RecordView =
+    view.getOrElse(
       if (exists(baseDir, topic))
         throw new IllegalArgumentException(
           s"topic `$topic` is not a stream topic (no record view registered; " +
@@ -185,7 +203,7 @@ object FluvioDuck {
     // bounded-batch fallback.
     if (opt.continuous)
       return graft.streaming.ConsumeStream.consume(spark, cmd, baseDir)
-    val view = TopicRegistry.requireRecordView(baseDir, opt.topic)
+    val view = TopicRegistry.requireRecordView(spark, baseDir, opt.topic)
 
     val raw = Tables.load(spark, baseDir, opt.topic)
 

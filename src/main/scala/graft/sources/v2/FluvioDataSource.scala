@@ -348,8 +348,10 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // one listing+stat snapshot serves BOTH the target ends and the byte
-    // sizing — a trigger never walks the segment metadata twice
-    val meta = partitionMeta()
+    // sizing — a trigger never walks the segment metadata twice. LAZY so
+    // an AvailableNow stream with latched ends and a row-only limit does
+    // ZERO metadata work per trigger (the pre-snapshot behavior)
+    lazy val meta = partitionMeta()
     val target = availableNowEnds.getOrElse(currentEnds(meta))
     val s = start.asInstanceOf[FluvioOffset].positions
     def applyOne(l: ReadLimit): Map[Int, Long] = l match {

@@ -29,7 +29,7 @@ object ConsumeStream {
       case Right(o)  => o
     }
     // the shared two-message error contract (TopicRegistry.requireRecordView)
-    val view = TopicRegistry.requireRecordView(baseDir, opt.topic)
+    val view = TopicRegistry.requireRecordView(spark, baseDir, opt.topic)
     // schema comes from the batch reader (streaming sources need one fixed)
     val schema = Tables.load(spark, baseDir, opt.topic).schema
     val raw = spark.readStream.schema(schema)

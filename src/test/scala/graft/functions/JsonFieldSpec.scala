@@ -41,6 +41,12 @@ class JsonFieldSpec extends SparkSpec {
     assert(field("""{"a": [10]}""", "a.b") == (false, null))
     // JSON null element EXISTS with null raw (distinct from missing)
     assert(field("""{"a": [null]}""", "a.0") == (true, null))
+    // a >=10-digit numeral would overflow toInt: it must behave like any
+    // other miss (no array that large exists), never crash the task
+    assert(field("""{"a": [10]}""", "a.9999999999") == (false, null))
+    assert(field("""{"a": [10]}""", "a.9999999999.b") == (false, null))
+    // ...but it still works as an OBJECT key, like any digit string
+    assert(field("""{"a": {"9999999999": "big"}}""", "a.9999999999") == (true, "big"))
   }
 
   test("toColumnFromParsed routes numeric top-level paths through JsonField") {
