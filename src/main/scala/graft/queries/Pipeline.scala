@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -303,6 +303,17 @@ object Pipeline {
     // with the shortlist covering the true top-20 (PqSpec pins the margin)
     // the result is IDENTICAL to brute force, so the compressed-scan
     // machinery hash-checks against the same exact oracle
+    // the int8 scalar-quantization rung of the ANN ladder (FAISS SQ8):
+    // a TRUE 4x byte-per-dimension BINARY scan; the query dot folds to
+    // bias + Σ code_i*w_i (one multiply-add per byte, fused kernel),
+    // exact rerank of the shortlist — per-dimension quantization error
+    // <= range/510, so the shortlist covers the true top-20 with a huge
+    // margin (Sq8Spec pins it) and the entry shares the brute-force
+    // oracle
+    "emb_sq8_topk" -> ((s, dir) =>
+      Sq.sqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
+        shortlist = 100)
+        .withColumn("score", round(col("score"), 6))),
     "emb_pq_topk" -> ((s, dir) =>
       Pq.pqTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20,
         m = 16, codeBits = 8, shortlist = 100, iters = 3, maxSample = 1024)
@@ -774,6 +785,14 @@ object Pipeline {
          |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
          |LIMIT 20""".stripMargin,
     "emb_pq_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    // SQ8 is exact at the shipped shortlist, so it too shares the
+    // brute-force top-k oracle
+    "emb_sq8_topk" ->
       s"""SELECT vec_id,
          |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
          |FROM embeddings
