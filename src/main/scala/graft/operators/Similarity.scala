@@ -64,6 +64,41 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023): cluster
+    * the embedding space (the k-means cells from [[Ivf]]), then within
+    * each cluster drop every row that has a near-identical neighbor
+    * (cosine ≥ `threshold`) with a smaller id — one representative
+    * survives per near-duplicate set, the same keep-min-id rule as
+    * [[Dedup.exact]]. Returns the DISTINCT dropped ids.
+    *
+    * Scale shape is the published recipe's: the pair join is WITHIN-CELL
+    * only (equi-join on the cell id), so the cost is Σ |cell|² — at
+    * corpus scale `nCells` grows with n to keep clusters small
+    * (SemDeDup uses k ≈ n/⟨cluster⟩; the paper runs 50k clusters over
+    * 100M+ embeddings), never a global n² join. Cell assignment is the
+    * deterministic codegen'd [[graft.functions.NearestCell]] kernel, so
+    * IDENTICAL vectors are guaranteed to share a cell — which is what
+    * lets a planted-clone CORRECTNESS oracle pin the whole pipeline
+    * (clone pairs have cosine exactly ~1 ≥ any practical threshold). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, threshold: Double = 0.999,
+                    seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val reserved = Seq("__cell", "__id_a", "__id_b", "__va", "__vb")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"semanticDedup: ${reserved.mkString("/")} are reserved")
+    val cents = Ivf.centroidsRefined(df, idCol, vecCol, nCells, seed)
+    val cells = df.withColumn("__cell", Ivf.assignCell(col(vecCol), cents))
+    val a = cells.select(col("__cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
+    val b = cells.select(col("__cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__id_b").as("dropped_id"))
+      .distinct()
+  }
+
   /** The bucket-pruned candidate rows an [[annTopK]] probe ranks: rows
     * within `probeRadius` Hamming distance of the query's signature in ANY
     * of `nBands` independent signature tables (classic multi-table LSH —

@@ -365,6 +365,23 @@ object Pipeline {
           cents, onesQuery, k = 20, nProbe = 16)
         .withColumn("score", round(col("score"), 6))
     }),
+    // SemDeDup (Abbas et al. 2023): k-means cells + within-cell
+    // cosine>=t drop with keep-min-id — SEMANTIC dedup over embeddings,
+    // the published recipe (cells keep the pair join Σ|cell|², never
+    // global n²). Planted proof: exact clones of the first 40 vectors
+    // under shifted ids — identical vectors share a cell BY CONSTRUCTION
+    // (deterministic NearestCell) and have cosine ~1, so the drop list
+    // is exactly the clone ids; at t=0.999 no natural pair crosses
+    // (random 64-dim cosines concentrate near 0) — the hash check
+    // enforces both directions
+    "semdedup_drops" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val clones = e.filter(col("vec_id") < 40)
+        .withColumn("vec_id", col("vec_id") + 10000L)
+      Similarity.semanticDedup(e.unionByName(clones), "vec_id", "embedding",
+        nCells = 16, threshold = 0.999)
+        .orderBy("dropped_id")
+    }),
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .withColumn("score", round(col("score"), 6))
@@ -830,6 +847,11 @@ object Pipeline {
          |FROM embeddings
          |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
          |LIMIT 20""".stripMargin,
+    // the planted-clone reconstruction: identical vectors always share a
+    // cell and clone ids are the larger of each pair, so drops = clones
+    "semdedup_drops" ->
+      """SELECT CAST(vec_id + 10000 AS BIGINT) AS dropped_id
+        |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score

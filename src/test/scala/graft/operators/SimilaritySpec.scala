@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.sources.Tables
+import org.apache.spark.sql.functions.{col, lit}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -103,5 +104,25 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.annNearDupPairs(df, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("semanticDedup: planted clones dropped, originals kept, nothing else at 0.999") {
+    val clones = embs.filter(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 10000L)
+    val dropped = Similarity.semanticDedup(
+        embs.unionByName(clones), "vec_id", "embedding",
+        nCells = 16, threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    // identical vectors ALWAYS share a cell (deterministic NearestCell),
+    // so every clone pairs with its original and the clone id (larger)
+    // drops; random 64-dim cosines never reach 0.999, so nothing else
+    assert(dropped == (0L until 40L).map(_ + 10000L).toSet, dropped.toString)
+  }
+
+  test("semanticDedup rejects reserved column names") {
+    val bad = embs.withColumn("__cell", lit(1))
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(bad, "vec_id", "embedding"))
+    assert(e.getMessage.contains("reserved"))
   }
 }
