@@ -293,6 +293,36 @@ object Pipeline {
         threshold = 0.5, w = 16, maxDocFreq = 1000L)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
+    // The PORTABLE winnow (the minhash/simhash_portable pattern): the
+    // exact VALUE-SET algebra of WinnowFingerprint — per char k-gram a
+    // hash, sliding-window MIN over w positions, DISTINCT selected
+    // values (the tie rule only picks WHICH position; the recorded
+    // VALUE set is identical either way, see WinnowFingerprint:84) —
+    // over md5-derived 32-bit hashes both engines compute, so DuckDB
+    // verifies normalize → gram → window-min → distinct end-to-end.
+    // Production keeps the one-pass native Rabin-Karp deque kernel;
+    // this proves the algebra it implements. k=8/w=4; docs shorter
+    // than k+w-1 chars (none in the fixture) drop on BOTH sides.
+    "dedup_winnow_portable" -> ((s, dir) => {
+      val k = 8; val w = 4
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("i").rowsBetween(0, w - 1)
+      docs(s, dir)
+        .select(col("doc_id").as("id"),
+          graft.operators.TextAnalysis.normalized(col("text")).as("s"))
+        .filter(length(col("s")) >= k + w - 1)
+        .withColumn("m", length(col("s")) - k + 1)
+        .select(col("id"), col("s"), col("m"),
+          explode(sequence(lit(1), col("m"))).as("i"))
+        .withColumn("h",
+          conv(substring(md5(expr(s"substring(s, i, $k)")), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("wmin", min(col("h")).over(win))
+        .filter(col("i") <= col("m") - (w - 1))
+        .select(col("id"), col("wmin").as("fp"))
+        .distinct()
+        .orderBy("id", "fp")
+    }),
 
     // ---- similarity search over embeddings
     "emb_cosine_topk" -> ((s, dir) =>
@@ -760,6 +790,20 @@ object Pipeline {
               s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
               .mkString(" + ")} AS simhash32
          |FROM votes ORDER BY id""".stripMargin,
+    "dedup_winnow_portable" ->
+      s"""WITH s AS (SELECT doc_id AS id, $norm AS s FROM documents),
+         |g AS (SELECT id, s, length(s) - 8 + 1 AS m,
+         |             unnest(range(1, length(s) - 8 + 2)) AS i
+         |      FROM s WHERE length(s) >= 11),
+         |h AS (SELECT id, i, m,
+         |             ('0x' || substring(md5(substring(s, CAST(i AS INT), 8)), 1, 8))::BIGINT AS h
+         |      FROM g),
+         |w AS (SELECT id, i, m,
+         |             min(h) OVER (PARTITION BY id ORDER BY i
+         |                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |      FROM h)
+         |SELECT DISTINCT id, wmin AS fp FROM w WHERE i <= m - 3
+         |ORDER BY id, fp""".stripMargin,
     "dedup_decontaminate" ->
       s"""$crossJaccardCte
          |SELECT id_l, id_r, jaccard FROM crossScored
