@@ -85,17 +85,24 @@ object Similarity {
                     seed: Long = 42L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val reserved = Seq("__cell", "__id_a", "__id_b", "__va", "__vb")
+    val reserved = Seq("__cell", "__id", "__vec", "__nrm")
     require(reserved.forall(!df.columns.contains(_)),
       s"semanticDedup: ${reserved.mkString("/")} are reserved")
     val cents = Ivf.centroidsRefined(df, idCol, vecCol, nCells, seed)
-    val cells = df.withColumn("__cell", Ivf.assignCell(col(vecCol), cents))
-    val a = cells.select(col("__cell"), col(idCol).as("__id_a"), col(vecCol).as("__va"))
-    val b = cells.select(col("__cell"), col(idCol).as("__id_b"), col(vecCol).as("__vb"))
-    a.join(b, Seq("__cell"))
-      .filter(col("__id_a") < col("__id_b"))
-      .filter(cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("__id_b").as("dropped_id"))
+    // norms materialize BEFORE the join (one dot per pair, not three —
+    // the nearDupPairs rule) and the SAME plan self-joins aliased twice,
+    // renaming only AFTER the join, so the two Exchange children
+    // canonicalize equal and the scan + cell-assignment + shuffle run
+    // ONCE per query (the annNearDupPairs exchange-reuse rule)
+    val cells = df.select(
+      Ivf.assignCell(col(vecCol), cents).as("__cell"),
+      col(idCol).as("__id"), col(vecCol).as("__vec"),
+      l2Norm(col(vecCol)).as("__nrm"))
+    cells.as("l").hint("shuffle_hash").join(cells.as("r"), Seq("__cell"))
+      .filter(col("l.__id") < col("r.__id"))
+      .filter(dot(col("l.__vec"), col("r.__vec")) /
+        (col("l.__nrm") * col("r.__nrm")) >= threshold)
+      .select(col("r.__id").as("dropped_id"))
       .distinct()
   }
 

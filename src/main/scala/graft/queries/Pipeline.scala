@@ -406,8 +406,12 @@ object Pipeline {
     // enforces both directions
     "semdedup_drops" -> ((s, dir) => {
       val e = embs(s, dir)
+      // clone-id offset derives from the corpus max, so planted ids can
+      // never collide with real vec_ids at any scale factor (the oracle
+      // computes the same max(vec_id)+1 in SQL)
+      val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
       val clones = e.filter(col("vec_id") < 40)
-        .withColumn("vec_id", col("vec_id") + 10000L)
+        .withColumn("vec_id", col("vec_id") + offset)
       Similarity.semanticDedup(e.unionByName(clones), "vec_id", "embedding",
         nCells = 16, threshold = 0.999)
         .orderBy("dropped_id")
@@ -565,6 +569,15 @@ object Pipeline {
 
   /** normalized text (lowercase, whitespace collapsed) in DuckDB. */
   private val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** The ONE brute-force top-20 cosine oracle shared by every ANN entry
+    * that is exact at its shipped operating point. */
+  private lazy val bruteForceTop20Sql =
+    s"""SELECT vec_id,
+       |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+       |FROM embeddings
+       |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+       |LIMIT 20""".stripMargin
   private def stopHits(words: Seq[String]) =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
 
@@ -839,62 +852,23 @@ object Pipeline {
     "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
     "dedup_winnow_pairs" -> jaccardPairsSql("0.5", cols = "id_a, id_b"),
-    "emb_cosine_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    "emb_pq_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    // SQ8 is exact at the shipped shortlist, so it too shares the
-    // brute-force top-k oracle
-    "emb_sq8_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    "emb_ivfpq_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    "emb_ann_topk_recall" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    "emb_ivf_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    // materialized-index variants are exact at their shipped operating
-    // points, so both share the brute-force top-k oracle
-    "emb_pq_scan_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
-    "emb_ivf_part_topk" ->
-      s"""SELECT vec_id,
-         |round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
-         |LIMIT 20""".stripMargin,
+    // every ANN variant that is EXACT at its shipped operating point
+    // shares ONE brute-force top-20 oracle (defined once — a silent
+    // divergence between copies was the review finding)
+    "emb_cosine_topk" -> bruteForceTop20Sql,
+    "emb_pq_topk" -> bruteForceTop20Sql,
+    "emb_sq8_topk" -> bruteForceTop20Sql,
+    "emb_ivfpq_topk" -> bruteForceTop20Sql,
+    "emb_ann_topk_recall" -> bruteForceTop20Sql,
+    "emb_ivf_topk" -> bruteForceTop20Sql,
+    "emb_pq_scan_topk" -> bruteForceTop20Sql,
+    "emb_ivf_part_topk" -> bruteForceTop20Sql,
     // the planted-clone reconstruction: identical vectors always share a
-    // cell and clone ids are the larger of each pair, so drops = clones
+    // cell and clone ids are the larger of each pair, so drops = clones;
+    // the offset derives from max(vec_id)+1 on BOTH sides, so planted
+    // ids can never collide with real ones at any scale factor
     "semdedup_drops" ->
-      """SELECT CAST(vec_id + 10000 AS BIGINT) AS dropped_id
+      """SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS dropped_id
         |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -107,8 +107,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("semanticDedup: planted clones dropped, originals kept, nothing else at 0.999") {
+    import org.apache.spark.sql.functions.max
+    val offset = embs.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val clones = embs.filter(col("vec_id") < 40)
-      .withColumn("vec_id", col("vec_id") + 10000L)
+      .withColumn("vec_id", col("vec_id") + offset)
     val dropped = Similarity.semanticDedup(
         embs.unionByName(clones), "vec_id", "embedding",
         nCells = 16, threshold = 0.999)
@@ -116,7 +118,7 @@ class SimilaritySpec extends SparkSpec {
     // identical vectors ALWAYS share a cell (deterministic NearestCell),
     // so every clone pairs with its original and the clone id (larger)
     // drops; random 64-dim cosines never reach 0.999, so nothing else
-    assert(dropped == (0L until 40L).map(_ + 10000L).toSet, dropped.toString)
+    assert(dropped == (0L until 40L).map(_ + offset).toSet, dropped.toString)
   }
 
   test("semanticDedup rejects reserved column names") {
