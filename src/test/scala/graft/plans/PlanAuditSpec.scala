@@ -56,6 +56,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 top-k: byte-scan shortlist and rerank are both TakeOrderedAndProject, no global sort") {
+    val plan = finalPlan(q("emb_sq8_topk"))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 1, plan)
+    assert(!plan.contains("Sort ["), s"SQ8 planned a global sort\n$plan")
+  }
+
+  test("semanticDedup: the cell-assignment self-join reuses the exchange (one scan, one shuffle)") {
+    // the exchange-reuse fix pinned: both join sides must come from ONE
+    // scan + cell-assignment + shuffle (renaming after the join keeps
+    // the Exchange children canonically equal)
+    val plan = finalPlan(q("semdedup_drops"))
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 2, // join sides 1 + distinct 1
+      s"semanticDedup re-computed the cell pipeline per join side\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).size <= 2, // corpus + clones read
+      s"expected at most 2 scans (corpus + clone filter)\n$plan")
+  }
+
   test("asof/range joins never plan a nested-loop join") {
     val asof = finalPlan(q("join_asof"))
     assert(!asof.contains("BroadcastNestedLoopJoin") &&
