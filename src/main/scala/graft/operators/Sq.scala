@@ -50,7 +50,13 @@ object Sq {
     val sample = df.select(col(vecCol).cast("array<double>"))
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(maxSample)
-      .collect().map(_.getSeq[Double](0).toArray)
+      .collect().map { r =>
+        // loud named error, matching Sq8EncodeExpr's null-element contract
+        // (getSeq returns null for a null array — .toArray would NPE)
+        require(!r.isNullAt(0),
+          s"SQ8 params: null `$vecCol` at a sampled row — scrub upstream")
+        r.getSeq[Double](0).toArray
+      }
     require(sample.nonEmpty, "SQ8 params: input has no rows")
     val dim = sample.head.length
     val mins = Array.fill(dim)(Double.MaxValue)
