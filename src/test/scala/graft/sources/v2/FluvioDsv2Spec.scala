@@ -138,6 +138,59 @@ class FluvioDsv2Spec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("crash recovery: a stream killed MID-LOG under admission control resumes " +
+      "from the committed offsets — two-phase run ≡ one batch read, no dupes/holes") {
+    // Phase 1 streams with a 30-record trigger cap and CRASHES inside
+    // batch 1 (after batch 0 committed 30 rows — mid-log, backlog
+    // remaining). The topic then GROWS while the query is down. Phase 2
+    // restarts from the SAME checkpoint: Spark replays batch 1 from the
+    // offset WAL with its ORIGINAL admitted range (not the grown end),
+    // then drains the rest. An exactly-once sink sees every record once:
+    // the crash threw BEFORE recording, so the replay is the only
+    // delivery. The concatenated two-phase output must be row-identical
+    // to a batch read of the final log.
+    val (dir, topicDir) = mkTopic("dsv2_crash", 80)
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_crash_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]() // (batchId, offset)
+    def start(crashAtBatch: Long) = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      .option("maxRecordsPerTrigger", "30").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId == crashAtBatch)
+          throw new RuntimeException("injected sink crash")
+        df.select("offset").collect().foreach(r => got.add((batchId, r.getLong(0))))
+        ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(crashAtBatch = 1L)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(err.getMessage.contains("injected sink crash"), err.getMessage)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.map(_._2).toSeq.sorted == (0L until 30L),
+      "phase 1 must have committed exactly batch 0 (offsets 0-29) before the crash")
+    // the log grows while the stream is down
+    Tables.load(spark, sf, "events")
+      .filter(col("event_id") >= 80 && col("event_id") < 120)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    val q2 = start(crashAtBatch = -1L)
+    try q2.processAllAvailable() finally q2.stop()
+    val all = got.asScala.toSeq
+    // exactly-once at the sink: every log record delivered exactly once
+    assert(all.map(_._2).sorted == (0L until 120L),
+      s"two-phase output is not the batch read: ${all.size} rows")
+    // the replayed batch is batch 1 with its ORIGINAL pre-growth range —
+    // the committed-offset resume, not a rescan and not the grown end
+    val replayed = all.filter { case (b, _) => b == 1L }.map(_._2).sorted
+    assert(replayed == (30L until 60L),
+      s"replayed batch 1 was not the WAL'd [30,60) range: $replayed")
+    // and no later batch exceeds the admission cap
+    val sizes = all.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.values.forall(_ <= 30), s"a batch exceeded the cap: $sizes")
+  }
+
   test("maxRecordsPerTrigger caps each micro-batch; AvailableNow drains and stops") {
     val (dir, _) = mkTopic("dsv2_limit", 100)
     val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
