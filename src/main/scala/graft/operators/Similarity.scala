@@ -83,6 +83,12 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, threshold: Double = 0.999,
                     seed: Long = 42L): DataFrame = {
+    // Zero-norm vectors are EXEMPT by contract: cosine is undefined with
+    // no direction (the guarded division yields null, which never crosses
+    // the threshold), so two all-zero vectors are NOT semantic duplicates
+    // here. Byte-identical rows — including all-zero ones — are exact
+    // duplicates and belong to Dedup.exact/drops upstream, which every
+    // published SemDeDup deployment runs before the semantic pass.
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val reserved = Seq("__cell", "__id", "__vec", "__nrm")
@@ -105,6 +111,35 @@ object Similarity {
       .select(col("r.__id").as("dropped_id"))
       .distinct()
   }
+
+  /** SemDeDup's cluster-count recipe, made executable: k ≈ n/⟨cluster⟩.
+    * The paper's operating points (50k clusters over 100M+ LAION
+    * embeddings ≈ 2k vectors per cluster; smaller corpora proportionally)
+    * all reduce to "hold the MEAN CELL SIZE constant as n grows", which is
+    * exactly what keeps the within-cell pair join Σ|cell|² ≈ n·⟨cluster⟩ —
+    * LINEAR in n — instead of quietly sliding toward n² when a fixed cell
+    * count meets a growing corpus. Capped at 65,536 cells: centroid
+    * assignment is one fused kernel over the centroid matrix per row, and
+    * the matrix itself is driver-trained reference data (the
+    * [[Ivf.centroidsRefined]] budget); past that, shard the corpus. */
+  def nCellsFor(n: Long, targetClusterSize: Long = 100L): Int = {
+    require(n > 0L, s"nCellsFor: corpus size must be positive, got $n")
+    require(targetClusterSize > 0L,
+      s"nCellsFor: target cluster size must be positive, got $targetClusterSize")
+    val k = (n + targetClusterSize - 1L) / targetClusterSize
+    math.max(1L, math.min(k, 65536L)).toInt
+  }
+
+  /** [[semanticDedup]] with the cell count DERIVED from the corpus size
+    * via [[nCellsFor]] — the scale knob self-tunes the way
+    * [[Dedup.paramsFor]] derives LSH banding from the jaccard threshold,
+    * instead of a caller-remembered constant. Costs one extra metadata-
+    * cheap count() action before the dedup itself. */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.999, seed: Long = 42L,
+                        targetClusterSize: Long = 100L): DataFrame =
+    semanticDedup(df, idCol, vecCol,
+      nCellsFor(df.count(), targetClusterSize), threshold, seed)
 
   /** The bucket-pruned candidate rows an [[annTopK]] probe ranks: rows
     * within `probeRadius` Hamming distance of the query's signature in ANY

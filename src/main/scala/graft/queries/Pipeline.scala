@@ -503,6 +503,20 @@ object Pipeline {
         nCells = 16, threshold = 0.999)
         .orderBy("dropped_id")
     }),
+    // the self-tuning form: the cell count derives from the corpus size
+    // (k ≈ n/⟨cluster⟩, SemDeDup's recipe via nCellsFor) instead of a
+    // caller-remembered constant — same planted-clone oracle, because
+    // identical vectors share a cell at ANY cell count (deterministic
+    // NearestCell) and no natural pair crosses t=0.999
+    "semdedup_auto_drops" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val clones = e.filter(col("vec_id") < 40)
+        .withColumn("vec_id", col("vec_id") + offset)
+      Similarity.semanticDedupAuto(e.unionByName(clones), "vec_id", "embedding",
+        threshold = 0.999)
+        .orderBy("dropped_id")
+    }),
     "emb_near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .withColumn("score", round(col("score"), 6))
@@ -969,6 +983,9 @@ object Pipeline {
     // the offset derives from max(vec_id)+1 on BOTH sides, so planted
     // ids can never collide with real ones at any scale factor
     "semdedup_drops" ->
+      """SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS dropped_id
+        |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
+    "semdedup_auto_drops" ->
       """SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS dropped_id
         |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
     "emb_near_dup_pairs" ->

@@ -121,6 +121,34 @@ class SimilaritySpec extends SparkSpec {
     assert(dropped == (0L until 40L).map(_ + offset).toSet, dropped.toString)
   }
 
+  test("nCellsFor holds mean cell size constant across scale factors") {
+    // the two fixture scales: ceil-division of the corpus size by the
+    // default 100-vector target cluster
+    assert(Similarity.nCellsFor(500L) == 5)    // sf0.001/sf0.01 embeddings
+    assert(Similarity.nCellsFor(2000L) == 20)  // sf0.1 embeddings
+    // recipe shape: k grows linearly with n (constant ⟨cluster⟩) ...
+    assert(Similarity.nCellsFor(100L * 1000L) == 1000)
+    // ... with the floor and the driver-budget cap at the ends
+    assert(Similarity.nCellsFor(1L) == 1)
+    assert(Similarity.nCellsFor(100L * 100000L) == 65536)
+    intercept[IllegalArgumentException](Similarity.nCellsFor(0L))
+    intercept[IllegalArgumentException](Similarity.nCellsFor(10L, 0L))
+  }
+
+  test("semanticDedupAuto: derived cell count, same planted-clone drop set") {
+    import org.apache.spark.sql.functions.max
+    val offset = embs.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val clones = embs.filter(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + offset)
+    val dropped = Similarity.semanticDedupAuto(
+        embs.unionByName(clones), "vec_id", "embedding", threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    // cell-count independence of the planted proof: identical vectors
+    // share a cell at ANY derived k, so auto-tuning changes the partition
+    // of the space but never the drop set
+    assert(dropped == (0L until 40L).map(_ + offset).toSet, dropped.toString)
+  }
+
   test("semanticDedup rejects reserved column names") {
     val bad = embs.withColumn("__cell", lit(1))
     val e = intercept[IllegalArgumentException](
