@@ -554,6 +554,31 @@ object Pipeline {
           Seq("vec_id"), "semi")
         .orderBy(desc("score"), col("vec_id"))
     }),
+    // Portable RHP-LSH oracle (the dedup_minhash_portable pattern applied
+    // to the hyperplane signatures): plane weights derive from
+    // md5("plane<p>_<d>") integers in [-1000, 1000] and vector components
+    // quantize to floor(v*1000) longs, so the dot products are EXACT
+    // integer sums both engines compute identically (order-free — no
+    // float-summation divergence). DuckDB recomputes quantize → weighted
+    // dot → sign bit → packed signature for every row, verifying the
+    // signature algebra rhpSignature implements end-to-end; production
+    // (emb_ann_topk/_neardups) keeps double-precision planes.
+    "emb_ann_portable" -> ((s, dir) => {
+      val nPlanes = 8
+      embs(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("d"),
+          floor(col("v").cast("double") * lit(1000.0)).cast("long").as("q"),
+          explode(sequence(lit(0), lit(nPlanes - 1))).as("p"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("plane"), col("p"), lit("_"), col("d"))),
+            1, 8), 16, 10).cast("long") % 2001 - 1000)
+        .groupBy("vec_id", "p").agg(sum(col("q") * col("h")).as("dot"))
+        .groupBy("vec_id").agg(
+          sum(when(col("dot") >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)"))
+            .otherwise(0L)).cast("long").as("sig"))
+        .orderBy("vec_id")
+    }),
     "emb_ann_neardups" -> ((s, dir) =>
       Similarity.annNearDupPairs(embs(s, dir), "vec_id", "embedding",
         threshold = 0.4, nPlanes = 8, nBands = 4)
@@ -997,6 +1022,17 @@ object Pipeline {
     "semdedup_auto_drops" ->
       """SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS dropped_id
         |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
+    "emb_ann_portable" ->
+      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |q AS (SELECT vec_id, d, CAST(floor(v * 1000.0) AS BIGINT) AS q FROM e),
+        |ph AS (SELECT p.p, dd.d,
+        |         (('0x' || substring(md5('plane' || p.p || '_' || dd.d), 1, 8))::BIGINT % 2001 - 1000) AS h
+        |       FROM range(0, 8) p(p), range(0, 64) dd(d)),
+        |dots AS (SELECT q.vec_id, ph.p, SUM(q.q * ph.h) AS dot
+        |         FROM q JOIN ph ON ph.d = q.d GROUP BY q.vec_id, ph.p)
+        |SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "emb_near_dup_pairs" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
