@@ -215,12 +215,27 @@ object Temporal {
     * (bin, keys) with the exact between-filter after — cartesian only
     * within a bin. `binWidth` trades range fan-out (small bins → more bin
     * rows per range) against candidate waste (large bins → more
-    * post-filtered pairs); set it near the typical range span. */
+    * post-filtered pairs); set it near the typical range span.
+    *
+    * `saltBuckets` is the hot-bin guard: binning is skew-safe in FAN-OUT
+    * (a range covers bounded bins), but a pathological POINT distribution
+    * — millions of points in one bin — still piles one (bin, key) hash
+    * bucket onto one task. With `saltBuckets = S > 1`, each point salts
+    * deterministically into one of S sub-buckets (xxhash64 of its point
+    * value) and each range-bin row replicates ×S, so the hot bin's
+    * candidate work spreads over S tasks at the cost of S× the (small)
+    * binned-range shuffle — the same replicate-the-small-side recipe as
+    * the salted skew aggregation (agg_salted_skew). Output is provably
+    * identical: every point still meets every range of its bin exactly
+    * once (its one salt meets the matching replica). Default 1 = no
+    * salting, plan unchanged. */
   def rangeJoin(left: DataFrame, pointCol: String,
                 right: DataFrame, loCol: String, hiCol: String,
                 binWidth: Double, keyCols: Seq[String] = Nil,
-                maxBinsPerRange: Long = 10000L): DataFrame = {
+                maxBinsPerRange: Long = 10000L,
+                saltBuckets: Int = 1): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     // same contract as asofJoin: non-key columns must be disjoint, or the
     // equi-join output has ambiguous duplicates that fail (or silently
     // mis-bind) on the first select-by-name
@@ -230,6 +245,9 @@ object Temporal {
       s"rangeJoin: non-key columns must be disjoint, overlap: ${overlap.toSeq}")
     require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
       "rangeJoin: `__bin` is reserved")
+    require(saltBuckets == 1 ||
+      (!left.columns.contains("__salt") && !right.columns.contains("__salt")),
+      "rangeJoin: `__salt` is reserved when saltBuckets > 1")
     // fan-out guard: ONE degenerate range (huge span ÷ small binWidth)
     // would explode into billions of bin rows and take the stage down
     // with an opaque array-size error at best. Checked per row on the
@@ -252,11 +270,19 @@ object Temporal {
           col(loCol), lit(", "), col(hiCol),
           lit("]); widen binWidth or raise maxBinsPerRange"))).cast("array<long>"))
       .otherwise(sequence(loBin, hiBin))
-    val binned = right.withColumn("__bin", explode(bins))
-    val points = left.withColumn("__bin",
+    val binned0 = right.withColumn("__bin", explode(bins))
+    val points0 = left.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    points.join(binned, Seq("__bin") ++ keyCols)
+    val (points, binned, joinCols) =
+      if (saltBuckets == 1) (points0, binned0, Seq("__bin") ++ keyCols)
+      else (
+        points0.withColumn("__salt",
+          pmod(xxhash64(col(pointCol)), lit(saltBuckets.toLong)).cast("int")),
+        binned0.withColumn("__salt",
+          explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        Seq("__bin", "__salt") ++ keyCols)
+    points.join(binned, joinCols)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("__bin")
+      .drop("__bin", "__salt")
   }
 }

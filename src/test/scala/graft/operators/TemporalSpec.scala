@@ -90,6 +90,30 @@ class TemporalSpec extends SparkSpec {
       (5, 12)))          // 12.0 at hi boundary, crosses 3 bins
   }
 
+  test("rangeJoin salted: identical output on a one-bin-dominant fixture") {
+    // hot-bin shape: 2,000 of 2,010 points land in bin 0 ([0,4)), ranges
+    // overlap it — the exact pathological distribution the salt spreads
+    val points = ((0 until 2000).map(i => (i, (i % 39) / 10.0)) ++
+      (2000 until 2010).map(i => (i, 10.0 + i % 7))).toDF("id", "p")
+    val ranges = Seq((10, 0.0, 1.5), (11, 1.0, 3.9), (12, 2.0, 16.0),
+      (13, 11.0, 12.0)).toDF("rid", "lo", "hi")
+    def run(s: Int) = Temporal.rangeJoin(points, "p", ranges, "lo", "hi",
+        binWidth = 4.0, saltBuckets = s)
+      .select("id", "rid").collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+    val unsalted = run(1)
+    assert(unsalted.nonEmpty && unsalted.size > 2000, s"fixture too thin: ${unsalted.size}")
+    assert(run(8) == unsalted, "saltBuckets=8 changed the pair set")
+    // salt column never leaks into the output
+    assert(!Temporal.rangeJoin(points, "p", ranges, "lo", "hi",
+      binWidth = 4.0, saltBuckets = 8).columns.contains("__salt"))
+    // reserved-name and bounds contracts
+    intercept[IllegalArgumentException](Temporal.rangeJoin(
+      points, "p", ranges, "lo", "hi", 4.0, saltBuckets = 0))
+    intercept[IllegalArgumentException](Temporal.rangeJoin(
+      points.withColumn("__salt", lit(1)), "p", ranges, "lo", "hi", 4.0,
+      saltBuckets = 2))
+  }
+
   test("asofJoin: duplicate right rows at the same (key, ts) resolve deterministically") {
     val dup = Seq((1, 5, 100), (1, 5, 200), (1, 5, 300)).toDF("k", "rt", "v")
     def run() = Temporal.asofJoin(
