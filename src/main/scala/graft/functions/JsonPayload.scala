@@ -87,36 +87,97 @@ case class JsonToMap(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object JsonField {
+  /** One parsed path segment. `quoted` segments are ALWAYS object-key
+    * lookups — quoting is how a caller forces a numeric KEY (`m."7"`)
+    * instead of an array index, mirroring the jql crate's quoted-selector
+    * semantics. */
+  final case class Segment(text: String, quoted: Boolean)
+
+  /** Split a jql-ish dotted path into segments. Grammar: `.` separates
+    * segments; a segment (or part of one) may be wrapped in double quotes
+    * to protect dots inside a KEY (`meta."a.b"` is two segments); inside
+    * quotes `\"` is a literal quote and `\\` a literal backslash. Malformed
+    * paths — unterminated quote, trailing/unknown escape, empty unquoted
+    * segment — throw IllegalArgumentException, surfaced at BIND time (the
+    * -c parse and the JsonField constructor both validate), never inside a
+    * running task. */
+  def splitPath(path: String): Array[Segment] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    val sb = new java.lang.StringBuilder
+    var quoted = false
+    var inQ = false
+    var i = 0
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"invalid jql path `$path`: $why")
+    def endSegment(): Unit = {
+      if (sb.length == 0 && !quoted) fail("empty segment")
+      out += Segment(sb.toString, quoted); sb.setLength(0); quoted = false
+    }
+    while (i < path.length) {
+      val c = path.charAt(i)
+      if (inQ) c match {
+        case '\\' =>
+          if (i + 1 >= path.length) fail("trailing escape")
+          val n = path.charAt(i + 1)
+          if (n != '"' && n != '\\') fail(s"unsupported escape \\$n")
+          sb.append(n); i += 1
+        case '"' => inQ = false
+        case o   => sb.append(o)
+      } else c match {
+        case '.' => endSegment()
+        case '"' => inQ = true; quoted = true
+        case o   => sb.append(o)
+      }
+      i += 1
+    }
+    if (inQ) fail("unterminated quote")
+    endSegment()
+    out.toArray
+  }
+}
+
 /** `struct<exists: boolean, raw: string>` for one dotted path of the
   * payload, in one parse: `raw` follows get_json_object semantics (null
   * for JSON null or missing), `exists` distinguishes the two (the
   * json_object_keys probe it replaces).
   *
-  * Path grammar: dot-separated segments; a purely NUMERIC segment indexes
-  * into an array (`a.0.b` — the jql crate's array access the reference
-  * routes `-c` paths through, /root/reference/src/consume.rs:311-443).
-  * Against an OBJECT a numeric segment is an ordinary key lookup (JSON
-  * keys can be "0"); an out-of-range index or an index into a non-array
-  * is a missing path, same as an absent key. */
+  * Path grammar ([[JsonField.splitPath]]): dot-separated segments; a
+  * purely NUMERIC unquoted segment indexes into an array (`a.0.b` — the
+  * jql crate's array access the reference routes `-c` paths through,
+  * /root/reference/src/consume.rs:311-443); a QUOTED segment is always a
+  * key lookup and may contain dots (`meta."a.b"`, the jql quoted
+  * selector). Against an OBJECT a numeric segment is an ordinary key
+  * lookup (JSON keys can be "0"); an out-of-range index or an index into
+  * a non-array is a missing path, same as an absent key. */
 case class JsonField(child: Expression, path: String) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("exists", BooleanType, nullable = false),
     StructField("raw", StringType, nullable = true)))
   override def nullable: Boolean = false
 
-  @transient private lazy val segments: Array[String] = path.split('.')
+  // bind-time grammar validation: a malformed path fails the query at
+  // construction with the named error, not mid-task on an executor
+  JsonField.splitPath(path)
+
+  @transient private lazy val segments: Array[JsonField.Segment] =
+    JsonField.splitPath(path)
 
   // length cap keeps `toInt` from overflowing on a >=10-digit numeral:
   // an index that large is out of range of any real array, so it falls
   // through to the object-key/missing-path branch like any other miss
   // (never an uncaught NumberFormatException crashing the task)
-  private def isIndex(seg: String): Boolean =
-    seg.nonEmpty && seg.length <= 9 && seg.forall(c => c >= '0' && c <= '9')
+  private def isIndex(seg: JsonField.Segment): Boolean =
+    !seg.quoted && seg.text.nonEmpty && seg.text.length <= 9 &&
+      seg.text.forall(c => c >= '0' && c <= '9')
 
-  /** The child at `seg`: array element for a numeric segment on an array
-    * node, else object field (Jackson returns null for either miss). */
-  private def step(node: JsonNode, seg: String): JsonNode =
-    if (node.isArray && isIndex(seg)) node.get(seg.toInt) else node.get(seg)
+  /** The child at `seg`: array element for an unquoted numeric segment on
+    * an array node, else object field (Jackson returns null for either
+    * miss — including a quoted segment against an array, which is a
+    * forced key lookup and arrays have no keys). */
+  private def step(node: JsonNode, seg: JsonField.Segment): JsonNode =
+    if (node.isArray && isIndex(seg)) node.get(seg.text.toInt)
+    else node.get(seg.text)
 
   def convert(u: UTF8String): InternalRow = {
     var exists = false
@@ -134,14 +195,14 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
         val leaf = segments.last
         if (node != null) {
           if (node.isArray && isIndex(leaf)) {
-            val idx = leaf.toInt
+            val idx = leaf.text.toInt
             if (idx < node.size) {
               exists = true
               raw = JsonPayload.valueText(node.get(idx))
             }
-          } else if (node.isObject && node.has(leaf)) {
+          } else if (node.isObject && node.has(leaf.text)) {
             exists = true
-            raw = JsonPayload.valueText(node.get(leaf))
+            raw = JsonPayload.valueText(node.get(leaf.text))
           }
         }
       }

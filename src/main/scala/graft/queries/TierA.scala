@@ -81,6 +81,35 @@ object TierA {
           m("nonarr", MappedType.S, "k.0"))
         .orderBy("__offset").limit(300).drop("__offset")
     }),
+    // Quoted-selector matrix (the jql quoted-key grammar,
+    // JsonField.splitPath): dotted TOP-LEVEL key ("a.b"), dotted NESTED
+    // key (m."x.y"), quoted numeric as a forced KEY lookup (m."7" on an
+    // object; arr."0" against an array is a key-miss while unquoted
+    // arr.0 still indexes), an escaped quote inside a key ("q\"k"), and
+    // a miss under a dotted key — each SQL-reconstructable with the
+    // jql_error_typed miss contract.
+    "jql_quoted_path" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          concat(lit("{\"a.b\": "), col("event_id").cast("string"),
+            lit(", \"m\": {\"x.y\": \"v"), col("event_id").cast("string"),
+            lit("\", \"7\": "), (col("event_id") * 3).cast("string"),
+            lit("}, \"arr\": ["), col("event_id").cast("string"),
+            lit("], \"q\\\"k\": "), (col("event_id") + 5).cast("string"),
+            lit("}")).as("value"))
+      def m(name: String, ty: MappedType, path: String) =
+        ColumnMapping(name, ty, path).toColumn(col("value"))
+      rec.select(col("__offset"),
+          m("ab", MappedType.L, "\"a.b\""),
+          m("xy", MappedType.S, "m.\"x.y\""),
+          m("k7", MappedType.I, "m.\"7\""),
+          m("akey", MappedType.S, "arr.\"0\""),
+          m("akey_i", MappedType.I, "arr.\"0\""),
+          m("a0", MappedType.L, "arr.0"),
+          m("qk", MappedType.I, "\"q\\\"k\""),
+          m("missz", MappedType.S, "\"a.b\".z"))
+        .orderBy("__offset").limit(300).drop("__offset")
+    }),
     // :t parse of an RFC3339 string synthesized from ts, through the same
     // ColumnMapping compiler the -c path uses.
     "ts_rfc3339_parse" -> ((s, dir) => {
@@ -238,6 +267,13 @@ object TierA {
         "CAST(event_id * 2 AS DOUBLE) AS bd, 's' || event_id AS s2, " +
         "'Node \"arr.5\" not found' AS oob, CAST(NULL AS INTEGER) AS oob_i, " +
         "'Node \"k.0\" not found' AS nonarr " +
+        "FROM events ORDER BY event_id LIMIT 300"),
+    "jql_quoted_path" ->
+      ("SELECT CAST(event_id AS BIGINT) AS ab, 'v' || event_id AS xy, " +
+        "CAST(event_id * 3 AS INTEGER) AS k7, " +
+        "'Node \"arr.\"0\"\" not found' AS akey, CAST(NULL AS INTEGER) AS akey_i, " +
+        "CAST(event_id AS BIGINT) AS a0, CAST(event_id + 5 AS INTEGER) AS qk, " +
+        "'Node \"\"a.b\".z\" not found' AS missz " +
         "FROM events ORDER BY event_id LIMIT 300"),
     "ts_rfc3339_parse" ->
       ("SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), " +

@@ -84,10 +84,13 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
     * JSON parse per ROW instead of ~3 per mapped column: nested
     * values/arrays arrive as their JSON text, scalars as their bare text,
     * exactly like get_json_object. Falls back to [[toColumn]] for nested
-    * dotted paths AND purely numeric ones (a top-level array payload
-    * indexes through JsonField; the object map can't represent it). */
+    * dotted paths, purely numeric ones (a top-level array payload indexes
+    * through JsonField; the object map can't represent it), AND quoted
+    * paths (the quote grammar lives in JsonField.splitPath — the raw path
+    * text is not the key). */
   def toColumnFromParsed(parsed: Column, value: Column): Column =
-    if (path.contains('.') || path.forall(c => c >= '0' && c <= '9'))
+    if (path.contains('.') || path.contains('"') ||
+      path.forall(c => c >= '0' && c <= '9'))
       toColumn(value)
     else buildTyped(element_at(parsed, path), map_contains_key(parsed, lit(path)))
 
@@ -134,9 +137,15 @@ object ColumnMapping {
   }
 
   /** Parse the `name[:ty]` left side and the (possibly quoted) path right
-    * side of a `-c` mapping. Quotes around the path are stripped (the README
-    * shows `-c time:t="tst"`, `/root/reference/README.md:152-167`).
-    */
+    * side of a `-c` mapping. Quotes around the WHOLE path are stripped
+    * (the README shows `-c time:t="tst"`,
+    * `/root/reference/README.md:152-167`) — so a top-level key that itself
+    * contains dots is written with an extra quote layer (`'"a.b"'`), and
+    * quoted SEGMENTS inside the remaining path (`meta."a.b"`, the jql
+    * quoted selector — see [[graft.functions.JsonField.splitPath]]) pass
+    * through to the path grammar. A malformed path (unterminated quote,
+    * bad escape, empty segment) is a parse error here, the same loud
+    * surface as a bad flag. */
   def parse(nameSpec: String, rawPath: String): Either[String, ColumnMapping] = {
     val (name, ty) = nameSpec.lastIndexOf(':') match {
       case -1 => (nameSpec, MappedType.S)
@@ -146,7 +155,14 @@ object ColumnMapping {
     else {
       val path = stripQuotes(rawPath)
       if (path.isEmpty) Left(s"invalid column mapping: empty path for `$name`")
-      else Right(ColumnMapping(name, ty, path))
+      else
+        try {
+          graft.functions.JsonField.splitPath(path)
+          Right(ColumnMapping(name, ty, path))
+        } catch {
+          case e: IllegalArgumentException =>
+            Left(s"invalid column mapping for `$name`: ${e.getMessage}")
+        }
     }
   }
 

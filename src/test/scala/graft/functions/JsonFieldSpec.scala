@@ -49,6 +49,48 @@ class JsonFieldSpec extends SparkSpec {
     assert(field("""{"a": {"9999999999": "big"}}""", "a.9999999999") == (true, "big"))
   }
 
+  test("quoted segments: dots protected, forced key semantics, escapes") {
+    // dotted keys at top level and nested
+    assert(field("""{"a.b": 1}""", "\"a.b\"") == (true, "1"))
+    assert(field("""{"m": {"x.y": "v"}}""", "m.\"x.y\"") == (true, "v"))
+    // a QUOTED numeric is a key lookup everywhere: on an object it finds
+    // the "7" key; against an array it is a miss (arrays have no keys)
+    assert(field("""{"m": {"7": 3}}""", "m.\"7\"") == (true, "3"))
+    assert(field("""{"a": [10]}""", "a.\"0\"") == (false, null))
+    assert(field("""{"a": [10]}""", "a.0") == (true, "10")) // unquoted still indexes
+    // escaped quote and backslash inside a quoted key
+    assert(field("""{"q\"k": 9}""", "\"q\\\"k\"") == (true, "9"))
+    assert(field("{\"b\\\\k\": 8}", "\"b\\\\k\"") == (true, "8"))
+    // partial quoting composes within one segment; empty quoted key is legal
+    assert(field("""{"ab.c": 5}""", "a\"b.c\"") == (true, "5"))
+    assert(field("""{"": 6}""", "\"\"") == (true, "6"))
+  }
+
+  test("malformed paths fail at bind time with the named error") {
+    def bad(path: String): String =
+      intercept[IllegalArgumentException](
+        JsonField(shim.expression(lit("{}")), path)).getMessage
+    assert(bad("a.\"b").contains("unterminated quote"))
+    assert(bad("\"a\\").contains("trailing escape"))
+    assert(bad("\"a\\n\"").contains("unsupported escape"))
+    assert(bad("a..b").contains("empty segment"))
+    assert(bad(".a").contains("empty segment"))
+    // ...and the -c parse surfaces the same error as a CLI-style Left
+    val e = ColumnMapping.parse("x:i", "a.\"b")
+    assert(e.isLeft && e.swap.toOption.get.contains("unterminated quote"))
+  }
+
+  test("toColumnFromParsed routes quoted paths through JsonField") {
+    // the map fast path would treat the raw text `"a.b"` (quotes included)
+    // as the key; quoted paths must take the full-parse route
+    val m = ColumnMapping("x", MappedType.I, "\"a.b\"")
+    val df = spark.range(1).select(lit("""{"a.b": 7}""").as("value"))
+    val got = df.select(
+      m.toColumnFromParsed(ColumnMapping.parsed(col("value")), col("value")))
+      .head()
+    assert(got.getInt(0) == 7)
+  }
+
   test("toColumnFromParsed routes numeric top-level paths through JsonField") {
     // the map<string,string> fast path can't represent a top-level array
     // payload; a purely numeric path must fall back to the full parse
