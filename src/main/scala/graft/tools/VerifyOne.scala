@@ -39,8 +39,17 @@ object VerifyOne {
     }
     val node = mapper.createObjectNode()
     merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    java.nio.file.Files.write(jsonPath,
+    // write-temp + ATOMIC_MOVE: a concurrent VerifyOne (or a reader mid-
+    // merge) never sees a partially-written file. Lost-update between two
+    // concurrent merges is still possible (read-modify-write), but each
+    // surviving file is always complete and parseable.
+    val tmp = java.nio.file.Files.createTempFile(
+      jsonPath.getParent, ".oracle_sql", ".tmp")
+    java.nio.file.Files.write(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    java.nio.file.Files.move(tmp, jsonPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     println(s"dumped $name; oracle=${
       graft.SparkEntry.oracleSql.get(name).map(_.replace("\n", " ")).getOrElse("<none>")}")
     spark.stop()
