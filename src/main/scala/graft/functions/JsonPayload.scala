@@ -90,9 +90,30 @@ case class JsonToMap(child: Expression) extends UnaryExpression {
 object JsonField {
   /** One parsed path segment. `quoted` segments are ALWAYS object-key
     * lookups — quoting is how a caller forces a numeric KEY (`m."7"`)
-    * instead of an array index, mirroring the jql crate's quoted-selector
-    * semantics. */
+    * instead of an array index or a slice, mirroring the jql crate's
+    * quoted-selector semantics. */
   final case class Segment(text: String, quoted: Boolean)
+
+  private val SliceRe = """^\[([0-9]*):([0-9]*)\]$""".r
+
+  /** Whether unquoted segment text is an array-slice selector
+    * (`[lo:hi]`, either bound optional) — the jql crate's slice, with
+    * jql's INCLUSIVE bounds: `a.[1:2]` keeps elements 1 and 2. Bounds
+    * are capped at 9 digits (the array-index overflow rule); anything
+    * not matching the exact shape is an ordinary object key. */
+  def isSlice(text: String): Boolean = text match {
+    case SliceRe(lo, hi) => lo.length <= 9 && hi.length <= 9
+    case _               => false
+  }
+
+  /** (lo, hiInclusive) of a slice segment; hi None = to the end. */
+  private[functions] def sliceBounds(text: String): (Int, Option[Int]) =
+    text match {
+      case SliceRe(lo, hi) =>
+        (if (lo.isEmpty) 0 else lo.toInt,
+          if (hi.isEmpty) None else Some(hi.toInt))
+      case _ => throw new IllegalArgumentException(s"not a slice: `$text`")
+    }
 
   /** Split a jql-ish dotted path into segments. Grammar: `.` separates
     * segments; a segment (or part of one) may be wrapped in double quotes
@@ -145,11 +166,14 @@ object JsonField {
   * Path grammar ([[JsonField.splitPath]]): dot-separated segments; a
   * purely NUMERIC unquoted segment indexes into an array (`a.0.b` — the
   * jql crate's array access the reference routes `-c` paths through,
-  * /root/reference/src/consume.rs:311-443); a QUOTED segment is always a
-  * key lookup and may contain dots (`meta."a.b"`, the jql quoted
+  * /root/reference/src/consume.rs:311-443); an unquoted `[lo:hi]` segment
+  * slices an array with jql's inclusive bounds (`a.[1:2]`, the serialized
+  * sub-array; traversal can continue into it); a QUOTED segment is always
+  * a key lookup and may contain dots (`meta."a.b"`, the jql quoted
   * selector). Against an OBJECT a numeric segment is an ordinary key
-  * lookup (JSON keys can be "0"); an out-of-range index or an index into
-  * a non-array is a missing path, same as an absent key. */
+  * lookup (JSON keys can be "0"); an out-of-range index, an index into
+  * a non-array, or a slice of a non-array is a missing path, same as an
+  * absent key. */
 case class JsonField(child: Expression, path: String) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("exists", BooleanType, nullable = false),
@@ -171,12 +195,30 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
     !seg.quoted && seg.text.nonEmpty && seg.text.length <= 9 &&
       seg.text.forall(c => c >= '0' && c <= '9')
 
+  private def isSliceSeg(seg: JsonField.Segment): Boolean =
+    !seg.quoted && JsonField.isSlice(seg.text)
+
+  /** The [lo, hi]-inclusive sub-array of `arr` as a fresh ArrayNode;
+    * out-of-range bounds clamp, an inverted range is empty (standard
+    * slice behavior — never a miss on an actual array). */
+  private def sliceNode(arr: JsonNode, seg: JsonField.Segment): JsonNode = {
+    val (lo, hiOpt) = JsonField.sliceBounds(seg.text)
+    val out = JsonPayload.mapper.createArrayNode()
+    var i = lo
+    val end = math.min(hiOpt.map(_ + 1).getOrElse(arr.size), arr.size)
+    while (i < end) { out.add(arr.get(i)); i += 1 }
+    out
+  }
+
   /** The child at `seg`: array element for an unquoted numeric segment on
-    * an array node, else object field (Jackson returns null for either
-    * miss — including a quoted segment against an array, which is a
-    * forced key lookup and arrays have no keys). */
+    * an array node, sliced sub-array for an unquoted `[lo:hi]` segment,
+    * else object field (Jackson returns null for either miss — including
+    * a quoted segment against an array, which is a forced key lookup and
+    * arrays have no keys; a slice against a non-array is likewise a
+    * miss). */
   private def step(node: JsonNode, seg: JsonField.Segment): JsonNode =
-    if (node.isArray && isIndex(seg)) node.get(seg.text.toInt)
+    if (isSliceSeg(seg)) { if (node.isArray) sliceNode(node, seg) else null }
+    else if (node.isArray && isIndex(seg)) node.get(seg.text.toInt)
     else node.get(seg.text)
 
   def convert(u: UTF8String): InternalRow = {
@@ -194,7 +236,14 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
         }
         val leaf = segments.last
         if (node != null) {
-          if (node.isArray && isIndex(leaf)) {
+          if (isSliceSeg(leaf)) {
+            // slice of an array always EXISTS (possibly empty — "[]");
+            // slicing anything else is a miss
+            if (node.isArray) {
+              exists = true
+              raw = JsonPayload.valueText(sliceNode(node, leaf))
+            }
+          } else if (node.isArray && isIndex(leaf)) {
             val idx = leaf.text.toInt
             if (idx < node.size) {
               exists = true

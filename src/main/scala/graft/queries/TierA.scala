@@ -110,6 +110,32 @@ object TierA {
           m("missz", MappedType.S, "\"a.b\".z"))
         .orderBy("__offset").limit(300).drop("__offset")
     }),
+    // Array-slice selectors (jql `[lo:hi]`, INCLUSIVE bounds): leading /
+    // trailing / open / clamped / inverted-empty slices, traversal INTO a
+    // slice, a slice of a non-array (miss), and a quoted "[0:2]" KEY
+    // proving quoting suppresses slice semantics.
+    "jql_slice_path" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          concat(lit("{\"arr\": ["), col("event_id").cast("string"),
+            lit(", "), (col("event_id") * 2).cast("string"),
+            lit(", "), (col("event_id") * 3).cast("string"),
+            lit(", "), (col("event_id") * 4).cast("string"),
+            lit("], \"k\": 7, \"[0:2]\": "), (col("event_id") + 9).cast("string"),
+            lit("}")).as("value"))
+      def m(name: String, ty: MappedType, path: String) =
+        ColumnMapping(name, ty, path).toColumn(col("value"))
+      rec.select(col("__offset"),
+          m("s01", MappedType.S, "arr.[0:1]"),
+          m("stail", MappedType.S, "arr.[2:]"),
+          m("sopen", MappedType.S, "arr.[:]"),
+          m("sclamp", MappedType.S, "arr.[2:99]"),
+          m("sempty", MappedType.S, "arr.[3:2]"),
+          m("into", MappedType.I, "arr.[1:2].1"),
+          m("snon", MappedType.S, "k.[0:1]"),
+          m("qkey", MappedType.I, "\"[0:2]\""))
+        .orderBy("__offset").limit(300).drop("__offset")
+    }),
     // :t parse of an RFC3339 string synthesized from ts, through the same
     // ColumnMapping compiler the -c path uses.
     "ts_rfc3339_parse" -> ((s, dir) => {
@@ -274,6 +300,15 @@ object TierA {
         "'Node \"arr.\"0\"\" not found' AS akey, CAST(NULL AS INTEGER) AS akey_i, " +
         "CAST(event_id AS BIGINT) AS a0, CAST(event_id + 5 AS INTEGER) AS qk, " +
         "'Node \"\"a.b\".z\" not found' AS missz " +
+        "FROM events ORDER BY event_id LIMIT 300"),
+    "jql_slice_path" ->
+      ("SELECT '[' || event_id || ',' || event_id * 2 || ']' AS s01, " +
+        "'[' || event_id * 3 || ',' || event_id * 4 || ']' AS stail, " +
+        "'[' || event_id || ',' || event_id * 2 || ',' || event_id * 3 || ',' || event_id * 4 || ']' AS sopen, " +
+        "'[' || event_id * 3 || ',' || event_id * 4 || ']' AS sclamp, " +
+        "'[]' AS sempty, CAST(event_id * 3 AS INTEGER) AS \"into\", " +
+        "'Node \"k.[0:1]\" not found' AS snon, " +
+        "CAST(event_id + 9 AS INTEGER) AS qkey " +
         "FROM events ORDER BY event_id LIMIT 300"),
     "ts_rfc3339_parse" ->
       ("SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), " +

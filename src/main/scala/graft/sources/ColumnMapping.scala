@@ -90,7 +90,8 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
     * text is not the key). */
   def toColumnFromParsed(parsed: Column, value: Column): Column =
     if (path.contains('.') || path.contains('"') ||
-      path.forall(c => c >= '0' && c <= '9'))
+      path.forall(c => c >= '0' && c <= '9') ||
+      graft.functions.JsonField.isSlice(path))
       toColumn(value)
     else buildTyped(element_at(parsed, path), map_contains_key(parsed, lit(path)))
 

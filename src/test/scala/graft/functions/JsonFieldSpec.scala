@@ -66,6 +66,23 @@ class JsonFieldSpec extends SparkSpec {
     assert(field("""{"": 6}""", "\"\"") == (true, "6"))
   }
 
+  test("array slices: inclusive bounds, open ends, clamp, nesting, misses") {
+    val j = """{"a": [10, 20, 30, 40], "k": 5, "[0:1]": 8}"""
+    assert(field(j, "a.[0:1]") == (true, "[10,20]"))      // inclusive hi
+    assert(field(j, "a.[2:]") == (true, "[30,40]"))       // open hi
+    assert(field(j, "a.[:1]") == (true, "[10,20]"))       // open lo
+    assert(field(j, "a.[:]") == (true, "[10,20,30,40]"))  // full copy
+    assert(field(j, "a.[2:99]") == (true, "[30,40]"))     // clamped
+    assert(field(j, "a.[3:2]") == (true, "[]"))           // inverted -> empty, not a miss
+    assert(field(j, "a.[1:2].0") == (true, "20"))         // traverse INTO a slice
+    assert(field(j, "k.[0:1]") == (false, null))          // slice of a scalar: miss
+    assert(field(j, "\"[0:1]\"") == (true, "8"))          // quoted = ordinary key
+    // nested containers survive the slice serialization
+    assert(field("""{"a": [{"x": 1}, 2]}""", "a.[0:0]") == (true, """[{"x":1}]"""))
+    // a 10-digit bound is not a slice (overflow rule) -> ordinary key miss
+    assert(field(j, "a.[0:9999999999]") == (false, null))
+  }
+
   test("malformed paths fail at bind time with the named error") {
     def bad(path: String): String =
       intercept[IllegalArgumentException](
