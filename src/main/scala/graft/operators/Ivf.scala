@@ -169,8 +169,10 @@ object Ivf {
     * the scan's `PartitionFilters` prunes non-probed cells at file-listing
     * time — at corpus scale a 16-cell/4-probe query lists and reads ~1/4
     * of the files. The centroids that wrote the index must be passed back
-    * in (they are the model; persist them with it). Output: (id, score)
-    * highest first; nProbe = nCells is exact. */
+    * in (they are the model; persist them beside the index with
+    * [[AnnModels.saveCentroids]] and load with [[AnnModels.loadCentroids]]
+    * — bit-exact round-trip). Output: (id, score) highest first;
+    * nProbe = nCells is exact. */
   def ivfTopKFromIndex(index: DataFrame, idCol: String, vecCol: String,
                        cents: Array[Array[Double]], query: Array[Double],
                        k: Int, nProbe: Int,

@@ -112,7 +112,9 @@ object Pq {
   /** The materialized compressed index: input columns + `pq_code`
     * (array<int>, `m` bytes of information per row) + `vec_norm` — what a
     * persistent deployment stores so ANN scans never read the fp32
-    * vectors. */
+    * vectors. Persist the codebooks BESIDE it with
+    * [[AnnModels.saveCodebooks]]: the codes are unreadable without the
+    * model that wrote them. */
   def encodedTable(df: DataFrame, idCol: String, vecCol: String,
                    m: Int = 8, codeBits: Int = 4, seed: Long = 42L): DataFrame = {
     val cbs = codebooks(df, idCol, vecCol, m, codeBits, seed)

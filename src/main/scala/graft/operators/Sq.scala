@@ -84,7 +84,9 @@ object Sq {
   /** The materialized compressed index: input columns + `sq_code`
     * (BINARY, dim bytes per row — 4× smaller than fp32) + `vec_norm` —
     * what a persistent deployment stores so ANN scans never read the
-    * fp32 vectors. */
+    * fp32 vectors. Persist the params BESIDE it with
+    * [[AnnModels.saveSq8]]: the codes are unreadable without the model
+    * that wrote them. */
   def encodedTable(df: DataFrame, vecCol: String, p: Sq8Params): DataFrame =
     df.withColumn("sq_code", encode(col(vecCol), p))
       .withColumn("vec_norm", l2Norm(col(vecCol)))

@@ -127,6 +127,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("reloaded-model entries keep the deployment plan shape: pushed ids (PQ/SQ8), partition probe (IVF)") {
+    // same machinery as the scan/part pins, but driven entirely from a
+    // RELOADED AnnModels model — a load-path regression (wrong codebook
+    // order, dropped norm column) would change these shapes or the oracle
+    val pq = finalPlan(q("emb_pq_model_topk"))
+    assert(pq.contains("In(vec_id"), pq)
+    assert(pq.contains("TakeOrderedAndProject"), pq)
+    val sq = finalPlan(q("emb_sq8_model_topk"))
+    assert(sq.contains("In(vec_id"), sq)
+    val ivf = finalPlan(q("emb_ivf_model_topk"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(ivf).isDefined, ivf)
+  }
+
   test("n-gram contamination never plans a nested-loop join; one scan per side") {
     val plan = finalPlan(q("dedup_contam_ngram"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
