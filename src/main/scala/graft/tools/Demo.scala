@@ -71,6 +71,22 @@ object Demo {
     graft.operators.Ivf.ivfTopK(embs, "vec_id", "embedding", q, 5,
       nCells = 8, nProbe = 4).show(false)
 
+    println("=== ANN index lifecycle: train -> persist model+codes -> reload -> query ===")
+    locally {
+      import graft.operators.{AnnModels, Pq}
+      val idx = java.nio.file.Files.createTempDirectory("demo_pq_index")
+        .toFile.getAbsolutePath
+      val cbs = Pq.codebooks(embs, "vec_id", "embedding", m = 16, codeBits = 8,
+        iters = 3, maxSample = 1024)
+      Pq.encodedTable(embs, "embedding", cbs).drop("embedding")
+        .write.mode("overwrite").parquet(s"$idx/codes")
+      AnnModels.saveCodebooks(spark, idx, cbs)
+      // "later session": only `idx` crosses the line — no training here
+      Pq.pqTopKFromEncoded(spark.read.parquet(s"$idx/codes"), embs,
+        "vec_id", "embedding", AnnModels.loadCodebooks(spark, idx),
+        q, k = 5, shortlist = 100).show(false)
+    }
+
     println("=== multi-partition topic: -p selection + per-partition LEO ===")
     val mpBase = graft.sources.MpFixture.baseDir(spark, sf)
     FluvioDuck.partitions(spark, mpBase).orderBy("partition").show(false)
