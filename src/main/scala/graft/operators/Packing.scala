@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk step every pretraining data
+  * pipeline runs last: documents are concatenated in a deterministic
+  * order and the token stream is cut into fixed-`budget` chunks
+  * (training sequences). [[chunkAssign]] computes, for each document,
+  * the chunk its first token lands in and its offset inside that chunk —
+  * the assignment a writer needs to route documents to sequence shards.
+  *
+  * The core is a GLOBAL prefix sum over the corpus in id order — the
+  * textbook case where the naive plan (one `Window.orderBy` with no
+  * partition key) collapses 100 TB onto a single task. The
+  * implementation is the standard two-phase distributed scan instead:
+  *
+  *   1. range-partition by id (so partitions are contiguous id spans)
+  *      and take ONE per-partition token sum — a tiny aggregate,
+  *      `numPartitions` rows collected to the driver;
+  *   2. per-partition windows (keyed by the materialized partition id —
+  *      parallel, no global sort) plus the partition's exclusive prefix
+  *      offset broadcast back as a literal map.
+  *
+  * Output is INDEPENDENT of the partitioning: any contiguous range split
+  * produces the same global prefix sums, so nondeterministic range
+  * boundaries (Spark samples them) cannot change `chunk_id`. Two jobs
+  * read the input (the sums pass and the final pass) — at corpus scale,
+  * persist the projected (id, tokens) frame between them.
+  */
+object Packing {
+
+  /** For each row: `chunk_id` = the `budget`-token chunk where the
+    * document STARTS when the corpus is concatenated in ascending
+    * `idCol` order, and `chunk_offset` = its first token's position in
+    * that chunk. `tokenCol` must be a non-negative token count; ids must
+    * be distinct (they define the concatenation order). */
+  def chunkAssign(df: DataFrame, idCol: String, tokenCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    val reserved = Seq("__pid", "__cum", "__start")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"chunkAssign: ${reserved.mkString("/")} are reserved")
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val parted = df.select(col(idCol), col(tokenCol))
+      .repartitionByRange(nParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // phase 1: one row per partition — the driver sees numPartitions
+    // longs, never data
+    val sums = parted.groupBy("__pid")
+      .agg(sum(col(tokenCol)).cast("long").as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      sums.toSeq.sortBy(_._1).map { case (pid, s) =>
+        val off = acc; acc += s; pid -> off
+      }.toMap
+    }
+    val offsetMap = map(offsets.toSeq.sortBy(_._1).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off))
+    }: _*)
+    // phase 2: per-partition (keyed) windows — parallel, no global sort
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+    parted
+      .withColumn("__cum", sum(col(tokenCol)).over(w).cast("long"))
+      .withColumn("__start",
+        col("__cum") - col(tokenCol) + element_at(offsetMap, col("__pid")))
+      .select(col(idCol), col(tokenCol).cast("long").as("n_tokens"),
+        floor(col("__start") / budget).cast("long").as("chunk_id"),
+        (col("__start") % budget).cast("long").as("chunk_offset"))
+  }
+}

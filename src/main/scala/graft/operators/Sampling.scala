@@ -53,4 +53,39 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("__rate"))
       .drop("__stratum", "__rate")
   }
+
+  /** TOKEN-quota mixture sampling — the data-mixing step stated the way
+    * mixes actually are ("20k tokens of en, 5k of code"), not as row
+    * rates: per stratum, rows are taken in a deterministic md5(id) order
+    * until the stratum's token budget is exhausted. A row is kept iff
+    * the tokens BEFORE it (exclusive running sum) are under the quota —
+    * so the quota may be overshot by at most one document (the standard
+    * greedy-fill rule; a pipeline that must not overshoot truncates the
+    * boundary doc downstream). Strata without a quota keep nothing.
+    *
+    * Scale shape: ONE keyed window (partitionBy stratum, orderBy
+    * md5(id)) — parallel across strata, never a global sort — plus the
+    * broadcast quota join from [[stratifiedHashSample]]. Deterministic
+    * and engine-portable: the order key is md5 of the decimal id (ties
+    * broken by id), the same expression DuckDB computes. */
+  def tokenQuotaSample(df: DataFrame, idCol: String, strataCol: String,
+                       tokenCol: String,
+                       quotas: Map[String, Long]): DataFrame = {
+    require(quotas.values.forall(_ >= 0L), "token quotas must be >= 0")
+    val reserved = Seq("__stratum", "__quota", "__before")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"tokenQuotaSample: ${reserved.mkString("/")} are reserved")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = quotas.toSeq.toDF("__stratum", "__quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(qdf), col(strataCol) === col("__stratum"))
+      .withColumn("__before",
+        coalesce(sum(col(tokenCol)).over(w).cast("long"), lit(0L)) -
+          col(tokenCol))
+      .filter(col("__before") < col("__quota"))
+      .drop("__stratum", "__quota", "__before")
+  }
 }

@@ -147,6 +147,30 @@ object Pipeline {
         docs(s, dir).withColumn("lang", TextAnalysis.langId(col("text"))),
         "doc_id", "lang", Map("en" -> 8, "und" -> 2))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // the data-mixing step stated in TOKENS ("10k of en, 2k of und"):
+    // greedy md5-ordered fill per language until the quota is spent —
+    // one KEYED window, never a global sort; overshoot is at most the
+    // boundary document (the greedy-fill rule, oracle-checked)
+    "sample_token_quota" -> ((s, dir) =>
+      Sampling.tokenQuotaSample(
+        docs(s, dir)
+          .withColumn("lang", TextAnalysis.langId(col("text")))
+          .withColumn("toks", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "lang", "toks", Map("en" -> 10000L, "und" -> 2000L))
+        .select(col("doc_id"), col("lang"), col("toks").cast("long").as("toks"))
+        .orderBy("doc_id")),
+    // sequence packing (concat-and-chunk): where each doc STARTS when
+    // the corpus is concatenated in doc_id order and cut into
+    // 2048-token training sequences — computed as a two-phase
+    // distributed prefix sum (per-partition sums + keyed windows), NOT
+    // a single-task global window; the oracle computes the same global
+    // running sum directly
+    "pack_chunks" -> ((s, dir) =>
+      graft.operators.Packing.chunkAssign(
+        docs(s, dir)
+          .withColumn("toks", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "toks", budget = 2048L)
+        .orderBy("doc_id")),
 
     // ---- dedup
     "dedup_exact" -> ((s, dir) =>
@@ -895,6 +919,24 @@ object Pipeline {
          |   OR (lang = 'und' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
          |         IN ('0','1'))
          |ORDER BY doc_id""".stripMargin,
+    "sample_token_quota" ->
+      s"""WITH t AS (SELECT doc_id, $langIdSql AS lang, $tokenCountSql AS toks FROM documents),
+         |c AS (SELECT doc_id, lang, toks,
+         |             SUM(toks) OVER (PARTITION BY lang
+         |                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - toks AS before
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(toks AS BIGINT) AS toks
+         |FROM c
+         |WHERE (lang = 'en' AND before < 10000) OR (lang = 'und' AND before < 2000)
+         |ORDER BY doc_id""".stripMargin,
+    "pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tokenCountSql AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |             SUM(toks) OVER (ORDER BY doc_id) - toks AS start FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(toks AS BIGINT) AS n_tokens,
+         |       CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
+         |       CAST(start % 2048 AS BIGINT) AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
     "dedup_drops" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

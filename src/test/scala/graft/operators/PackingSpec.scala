@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Packing.chunkAssign]] (two-phase distributed prefix sum) and
+  * [[Sampling.tokenQuotaSample]] (keyed greedy token fill). The property
+  * that matters for the prefix sum is PARTITION-INDEPENDENCE: Spark
+  * samples range boundaries nondeterministically, so the result must be
+  * provably the same under any input partitioning and any shuffle
+  * parallelism. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyDocs(n: Int) =
+    (0 until n).map(i => (i.toLong, (i % 7) + 1)).toDF("id", "toks")
+
+  test("chunkAssign equals the sequential concat-and-chunk reference") {
+    val df = toyDocs(100)
+    val got = Packing.chunkAssign(df, "id", "toks", budget = 10L)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side sequential reference: running start offset in id order
+    var start = 0L
+    val exp = (0 until 100).map { i =>
+      val t = (i % 7) + 1L
+      val row = (i.toLong, t, start / 10L, start % 10L)
+      start += t
+      row
+    }
+    assert(got.toSeq == exp, "distributed prefix sum != sequential reference")
+  }
+
+  test("chunkAssign is partition-independent (the nondeterministic-ranges hazard)") {
+    val df = toyDocs(500)
+    def run(parts: Int, shufflePartitions: String) = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+      try Packing.chunkAssign(df.repartition(parts), "id", "toks", budget = 16L)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+    val base = run(1, "4")
+    assert(run(7, "4") == base, "7 input partitions changed the assignment")
+    assert(run(3, "11") == base, "11 shuffle partitions changed the assignment")
+  }
+
+  test("chunkAssign contracts: positive budget, reserved names") {
+    intercept[IllegalArgumentException](
+      Packing.chunkAssign(toyDocs(5), "id", "toks", budget = 0L))
+    intercept[IllegalArgumentException](
+      Packing.chunkAssign(toyDocs(5).withColumn("__pid", lit(1)),
+        "id", "toks", budget = 8L))
+  }
+
+  test("tokenQuotaSample: greedy md5-order fill, boundary-doc overshoot only") {
+    val df = (0 until 60).map(i => (i.toLong, if (i % 2 == 0) "en" else "und", 10))
+      .toDF("id", "lang", "toks")
+    val kept = Sampling.tokenQuotaSample(df, "id", "lang", "toks",
+      Map("en" -> 95L, "und" -> 0L)).collect()
+    // en: 10-token docs fill greedily; doc 10 starts at 90 < 95 and
+    // overshoots to 100 — the boundary-doc rule; doc 11 starts at 100
+    assert(kept.forall(_.getString(1) == "en"), "und quota 0 must keep nothing")
+    assert(kept.length == 10, s"expected 10 en docs (90 tokens + boundary), got ${kept.length}")
+    // determinism: the kept SET is the md5-least ids, stable across runs
+    val again = Sampling.tokenQuotaSample(df, "id", "lang", "toks",
+      Map("en" -> 95L, "und" -> 0L)).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("tokenQuotaSample: strata without a quota keep nothing; reserved names") {
+    val df = Seq((1L, "fr", 5)).toDF("id", "lang", "toks")
+    assert(Sampling.tokenQuotaSample(df, "id", "lang", "toks",
+      Map("en" -> 100L)).count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.tokenQuotaSample(df.withColumn("__quota", lit(1)),
+        "id", "lang", "toks", Map("en" -> 1L)))
+  }
+}
