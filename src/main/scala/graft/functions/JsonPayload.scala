@@ -115,15 +115,21 @@ object JsonField {
       case _ => throw new IllegalArgumentException(s"not a slice: `$text`")
     }
 
-  /** Split a jql-ish dotted path into segments. Grammar: `.` separates
-    * segments; a segment (or part of one) may be wrapped in double quotes
-    * to protect dots inside a KEY (`meta."a.b"` is two segments); inside
-    * quotes `\"` is a literal quote and `\\` a literal backslash. Malformed
-    * paths — unterminated quote, trailing/unknown escape, empty unquoted
-    * segment — throw IllegalArgumentException, surfaced at BIND time (the
-    * -c parse and the JsonField constructor both validate), never inside a
-    * running task. */
-  def splitPath(path: String): Array[Segment] = {
+  /** Split a jql-ish path into SELECTORS of dot-separated segments.
+    * Grammar: a top-level (unquoted) `,` separates selectors — the jql
+    * crate's multi-selection, whose result is the ARRAY of every
+    * selector's value; `.` separates segments within a selector; a
+    * segment (or part of one) may be wrapped in double quotes to protect
+    * dots AND commas inside a KEY (`meta."a.b"` is two segments,
+    * `"k,l"` is one single-selector key); inside quotes `\"` is a
+    * literal quote and `\\` a literal backslash. Malformed paths —
+    * unterminated quote, trailing/unknown escape, empty unquoted
+    * segment (which covers the empty selector of `a,` / `,a`) — throw
+    * IllegalArgumentException, surfaced at BIND time (the -c parse and
+    * the JsonField constructor both validate), never inside a running
+    * task. */
+  def splitSelectors(path: String): Array[Array[Segment]] = {
+    val sels = scala.collection.mutable.ArrayBuffer.empty[Array[Segment]]
     val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
     val sb = new java.lang.StringBuilder
     var quoted = false
@@ -134,6 +140,9 @@ object JsonField {
     def endSegment(): Unit = {
       if (sb.length == 0 && !quoted) fail("empty segment")
       out += Segment(sb.toString, quoted); sb.setLength(0); quoted = false
+    }
+    def endSelector(): Unit = {
+      endSegment(); sels += out.toArray; out.clear()
     }
     while (i < path.length) {
       val c = path.charAt(i)
@@ -147,14 +156,26 @@ object JsonField {
         case o   => sb.append(o)
       } else c match {
         case '.' => endSegment()
+        case ',' => endSelector()
         case '"' => inQ = true; quoted = true
         case o   => sb.append(o)
       }
       i += 1
     }
     if (inQ) fail("unterminated quote")
-    endSegment()
-    out.toArray
+    endSelector()
+    sels.toArray
+  }
+
+  /** Single-selector form of [[splitSelectors]] — for contexts where
+    * multi-selection has no meaning; a multi-selector path here is the
+    * same bind-time error surface as any other grammar violation. */
+  def splitPath(path: String): Array[Segment] = {
+    val sels = splitSelectors(path)
+    if (sels.length != 1)
+      throw new IllegalArgumentException(s"invalid jql path `$path`: " +
+        "multi-selector path where a single selector is required")
+    sels(0)
   }
 }
 
@@ -173,7 +194,14 @@ object JsonField {
   * selector). Against an OBJECT a numeric segment is an ordinary key
   * lookup (JSON keys can be "0"); an out-of-range index, an index into
   * a non-array, or a slice of a non-array is a missing path, same as an
-  * absent key. */
+  * absent key.
+  *
+  * A top-level unquoted `,` separates SELECTORS (jql multi-selection):
+  * `a,b.c` resolves every selector from the root and yields the JSON
+  * array of their values — strings re-quoted, containers nested, JSON
+  * null as a null element. ANY selector missing makes the whole path a
+  * miss (the jql walker errors on the first failing selector); a quoted
+  * comma (`"k,l"`) stays an ordinary key. */
 case class JsonField(child: Expression, path: String) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("exists", BooleanType, nullable = false),
@@ -182,10 +210,10 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
 
   // bind-time grammar validation: a malformed path fails the query at
   // construction with the named error, not mid-task on an executor
-  JsonField.splitPath(path)
+  JsonField.splitSelectors(path)
 
-  @transient private lazy val segments: Array[JsonField.Segment] =
-    JsonField.splitPath(path)
+  @transient private lazy val selectors: Array[Array[JsonField.Segment]] =
+    JsonField.splitSelectors(path)
 
   // length cap keeps `toInt` from overflowing on a >=10-digit numeral:
   // an index that large is out of range of any real array, so it falls
@@ -221,6 +249,26 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
     else if (node.isArray && isIndex(seg)) node.get(seg.text.toInt)
     else node.get(seg.text)
 
+  /** The node one selector resolves to, or Java null for a miss. A JSON
+    * null leaf comes back as Jackson's NullNode — present, distinct from
+    * a miss (a slice of an array always exists, possibly empty). */
+  private def resolveNode(root: JsonNode, segs: Array[JsonField.Segment]): JsonNode = {
+    var node: JsonNode = root
+    var i = 0
+    while (node != null && i < segs.length - 1) {
+      node = step(node, segs(i)); i += 1
+    }
+    if (node == null) return null
+    val leaf = segs(segs.length - 1)
+    if (isSliceSeg(leaf)) {
+      if (node.isArray) sliceNode(node, leaf) else null
+    } else if (node.isArray && isIndex(leaf)) {
+      if (leaf.text.toInt < node.size) node.get(leaf.text.toInt) else null
+    } else if (node.isObject && node.has(leaf.text)) {
+      node.get(leaf.text)
+    } else null
+  }
+
   def convert(u: UTF8String): InternalRow = {
     var exists = false
     var raw: UTF8String = null
@@ -229,30 +277,20 @@ case class JsonField(child: Expression, path: String) extends UnaryExpression {
         try JsonPayload.mapper.readTree(u.toString)
         catch { case _: Exception => null }
       if (root != null) {
-        var node: JsonNode = root
-        var i = 0
-        while (node != null && i < segments.length - 1) {
-          node = step(node, segments(i)); i += 1
-        }
-        val leaf = segments.last
-        if (node != null) {
-          if (isSliceSeg(leaf)) {
-            // slice of an array always EXISTS (possibly empty — "[]");
-            // slicing anything else is a miss
-            if (node.isArray) {
-              exists = true
-              raw = JsonPayload.valueText(sliceNode(node, leaf))
-            }
-          } else if (node.isArray && isIndex(leaf)) {
-            val idx = leaf.text.toInt
-            if (idx < node.size) {
-              exists = true
-              raw = JsonPayload.valueText(node.get(idx))
-            }
-          } else if (node.isObject && node.has(leaf.text)) {
-            exists = true
-            raw = JsonPayload.valueText(node.get(leaf.text))
+        if (selectors.length == 1) {
+          val n = resolveNode(root, selectors(0))
+          if (n != null) { exists = true; raw = JsonPayload.valueText(n) }
+        } else {
+          // multi-selection: the array of every selector's value, or a
+          // miss as soon as any selector fails (jql walker semantics)
+          val arr = JsonPayload.mapper.createArrayNode()
+          var ok = true
+          var i = 0
+          while (ok && i < selectors.length) {
+            val n = resolveNode(root, selectors(i))
+            if (n == null) ok = false else { arr.add(n); i += 1 }
           }
+          if (ok) { exists = true; raw = JsonPayload.valueText(arr) }
         }
       }
     }

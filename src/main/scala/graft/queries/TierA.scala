@@ -136,6 +136,37 @@ object TierA {
           m("qkey", MappedType.I, "\"[0:2]\""))
         .orderBy("__offset").limit(300).drop("__offset")
     }),
+    // Multi-selection (jql top-level `,`): the serialized ARRAY of every
+    // selector's value — nested/quoted/indexed/sliced selectors compose,
+    // strings re-quote, containers nest, JSON null is a null element; a
+    // miss in ANY selector is a whole-path miss (the jql walker errors on
+    // the first failing selector, surfaced via the jql_error_typed
+    // contract); a QUOTED comma ("k,l") stays a single key.
+    "jql_multi_path" -> ((s, dir) => {
+      val rec = Tables.load(s, dir, "events")
+        .select(col("event_id").as("__offset"),
+          concat(lit("{\"a\": "), col("event_id").cast("string"),
+            lit(", \"b\": {\"c\": \"v"), col("event_id").cast("string"),
+            lit("\", \"x.y\": "), (col("event_id") * 2).cast("string"),
+            lit("}, \"arr\": ["), col("event_id").cast("string"),
+            lit(", "), (col("event_id") + 1).cast("string"),
+            lit(", "), (col("event_id") + 2).cast("string"),
+            lit("], \"k,l\": "), (col("event_id") + 7).cast("string"),
+            lit(", \"n\": null}")).as("value"))
+      def m(name: String, ty: MappedType, path: String) =
+        ColumnMapping(name, ty, path).toColumn(col("value"))
+      rec.select(col("__offset"),
+          m("ab", MappedType.S, "a,b.c"),
+          m("aidx", MappedType.S, "a,arr.1"),
+          m("qm", MappedType.S, "b.\"x.y\",a"),
+          m("kl", MappedType.I, "\"k,l\""),
+          m("missm", MappedType.S, "a,b.zz"),
+          m("missi", MappedType.I, "a,b.zz"),
+          m("slicem", MappedType.S, "arr.[0:1],a"),
+          m("whole", MappedType.S, "a,b"),
+          m("withnull", MappedType.S, "n,a"))
+        .orderBy("__offset").limit(300).drop("__offset")
+    }),
     // :t parse of an RFC3339 string synthesized from ts, through the same
     // ColumnMapping compiler the -c path uses.
     "ts_rfc3339_parse" -> ((s, dir) => {
@@ -309,6 +340,16 @@ object TierA {
         "'[]' AS sempty, CAST(event_id * 3 AS INTEGER) AS \"into\", " +
         "'Node \"k.[0:1]\" not found' AS snon, " +
         "CAST(event_id + 9 AS INTEGER) AS qkey " +
+        "FROM events ORDER BY event_id LIMIT 300"),
+    "jql_multi_path" ->
+      ("SELECT '[' || event_id || ',\"v' || event_id || '\"]' AS ab, " +
+        "'[' || event_id || ',' || (event_id + 1) || ']' AS aidx, " +
+        "'[' || event_id * 2 || ',' || event_id || ']' AS qm, " +
+        "CAST(event_id + 7 AS INTEGER) AS kl, " +
+        "'Node \"a,b.zz\" not found' AS missm, CAST(NULL AS INTEGER) AS missi, " +
+        "'[[' || event_id || ',' || (event_id + 1) || '],' || event_id || ']' AS slicem, " +
+        "'[' || event_id || ',{\"c\":\"v' || event_id || '\",\"x.y\":' || event_id * 2 || '}]' AS whole, " +
+        "'[null,' || event_id || ']' AS withnull " +
         "FROM events ORDER BY event_id LIMIT 300"),
     "ts_rfc3339_parse" ->
       ("SELECT strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%gZ'), " +

@@ -58,9 +58,6 @@ object MappedType {
   */
 final case class ColumnMapping(name: String, ty: MappedType, path: String) {
 
-  /** JSONPath for Spark's `get_json_object` from the jql dot-path. */
-  def jsonPath: String = "$." + path
-
   /** Error text written for a missing path, mirroring the reference's
     * "error as value" quirk for VARCHAR columns. */
   def missingPathError: String = s"""Node "$path" not found"""
@@ -85,11 +82,11 @@ final case class ColumnMapping(name: String, ty: MappedType, path: String) {
     * values/arrays arrive as their JSON text, scalars as their bare text,
     * exactly like get_json_object. Falls back to [[toColumn]] for nested
     * dotted paths, purely numeric ones (a top-level array payload indexes
-    * through JsonField; the object map can't represent it), AND quoted
-    * paths (the quote grammar lives in JsonField.splitPath — the raw path
-    * text is not the key). */
+    * through JsonField; the object map can't represent it), quoted
+    * paths (the quote grammar lives in JsonField.splitSelectors — the raw
+    * path text is not the key), AND comma paths (multi-selection). */
   def toColumnFromParsed(parsed: Column, value: Column): Column =
-    if (path.contains('.') || path.contains('"') ||
+    if (path.contains('.') || path.contains('"') || path.contains(',') ||
       path.forall(c => c >= '0' && c <= '9') ||
       graft.functions.JsonField.isSlice(path))
       toColumn(value)
@@ -143,10 +140,12 @@ object ColumnMapping {
     * `/root/reference/README.md:152-167`) — so a top-level key that itself
     * contains dots is written with an extra quote layer (`'"a.b"'`), and
     * quoted SEGMENTS inside the remaining path (`meta."a.b"`, the jql
-    * quoted selector — see [[graft.functions.JsonField.splitPath]]) pass
-    * through to the path grammar. A malformed path (unterminated quote,
-    * bad escape, empty segment) is a parse error here, the same loud
-    * surface as a bad flag. */
+    * quoted selector — see [[graft.functions.JsonField.splitSelectors]])
+    * pass through to the path grammar, as do top-level commas (jql
+    * multi-selection: `a,b.c` yields the array of both values). A
+    * malformed path (unterminated quote, bad escape, empty segment or
+    * selector) is a parse error here, the same loud surface as a bad
+    * flag. */
   def parse(nameSpec: String, rawPath: String): Either[String, ColumnMapping] = {
     val (name, ty) = nameSpec.lastIndexOf(':') match {
       case -1 => (nameSpec, MappedType.S)
@@ -158,7 +157,7 @@ object ColumnMapping {
       if (path.isEmpty) Left(s"invalid column mapping: empty path for `$name`")
       else
         try {
-          graft.functions.JsonField.splitPath(path)
+          graft.functions.JsonField.splitSelectors(path)
           Right(ColumnMapping(name, ty, path))
         } catch {
           case e: IllegalArgumentException =>

@@ -118,4 +118,46 @@ class JsonFieldSpec extends SparkSpec {
       .head()
     assert(got.getInt(0) == 42)
   }
+
+  test("multi-selection: top-level comma yields the array of all values") {
+    val j = """{"a": 1, "b": {"c": "s", "x.y": 2}, "arr": [10, 20], "n": null}"""
+    assert(field(j, "a,b.c") == (true, """[1,"s"]"""))      // string re-quotes
+    assert(field(j, "a,arr.1") == (true, "[1,20]"))         // index composes
+    assert(field(j, "b.\"x.y\",a") == (true, "[2,1]"))      // quoted seg composes
+    assert(field(j, "arr.[0:1],a") == (true, "[[10,20],1]")) // slice composes
+    assert(field(j, "a,b") == (true, """[1,{"c":"s","x.y":2}]""")) // container nests
+    assert(field(j, "n,a") == (true, "[null,1]"))           // JSON null element
+    assert(field(j, "a,a,a") == (true, "[1,1,1]"))          // repeats allowed
+  }
+
+  test("multi-selection misses and the quoted-comma key") {
+    val j = """{"a": 1, "k,l": 7}"""
+    // ANY failing selector fails the whole path (jql walker errors)
+    assert(field(j, "a,zz") == (false, null))
+    assert(field(j, "zz,a") == (false, null))
+    // a QUOTED comma is an ordinary key, not a separator
+    assert(field(j, "\"k,l\"") == (true, "7"))
+    assert(field(j, "k,l") == (false, null)) // unquoted: two selectors, both miss
+    // empty selectors are bind-time grammar errors
+    def bad(path: String): String =
+      intercept[IllegalArgumentException](
+        JsonField(shim.expression(lit("{}")), path)).getMessage
+    assert(bad("a,").contains("empty segment"))
+    assert(bad(",a").contains("empty segment"))
+    assert(bad("a,,b").contains("empty segment"))
+    // single-selector contexts reject a multi path with a named error
+    assert(intercept[IllegalArgumentException](
+      JsonField.splitPath("a,b")).getMessage.contains("single selector"))
+  }
+
+  test("toColumnFromParsed routes comma paths through JsonField") {
+    // the map fast path would treat `a,b` as one literal key; the
+    // multi-selection grammar lives in the full JsonField parse
+    val m = ColumnMapping("x", MappedType.S, "a,b")
+    val df = spark.range(1).select(lit("""{"a": 1, "b": 2}""").as("value"))
+    val got = df.select(
+      m.toColumnFromParsed(ColumnMapping.parsed(col("value")), col("value")))
+      .head()
+    assert(got.getString(0) == "[1,2]")
+  }
 }
