@@ -514,6 +514,36 @@ object Pipeline {
           k = 20, nProbe = 16)
         .withColumn("score", round(col("score"), 6))
     }),
+    // INDEX APPEND — the growth half of the deployment lifecycle: a
+    // production index ingests new embeddings WITHOUT retraining and
+    // WITHOUT rewriting existing files. Build trains on the even-id half
+    // only and persists model + partitioned index; the append phase loads
+    // the frozen model back and assigns just the odd-id rows
+    // (Ivf.indexTable's precomputed-centroids form — no training collect),
+    // appending them partitionBy(cell): new files land INSIDE the existing
+    // cell=N directories, so the probe filter keeps pruning both
+    // generations at file-listing time. Querying the combined index
+    // exactly (nProbe=16) hash-matches the WHOLE-table brute-force oracle
+    // — which can only happen if appended rows joined model-consistent
+    // cells and no base row was lost or doubled.
+    "emb_ivf_append_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val out = artifactDir(s"ivfapp:$dir") { path =>
+        val base = e.filter(col("vec_id") % 2 === 0)
+        val cents = Ivf.centroidsRefined(base, "vec_id", "embedding",
+          nCells = 16)
+        Ivf.indexTable(base, "embedding", cents)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+        AnnModels.saveCentroids(s, path, cents)
+        Ivf.indexTable(e.filter(col("vec_id") % 2 === 1), "embedding",
+            AnnModels.loadCentroids(s, path))
+          .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+      }
+      Ivf.ivfTopKFromIndex(s.read.parquet(s"$out/index"), "vec_id",
+          "embedding", AnnModels.loadCentroids(s, out), altQuery,
+          k = 20, nProbe = 16)
+        .withColumn("score", round(col("score"), 6))
+    }),
     // SemDeDup (Abbas et al. 2023): k-means cells + within-cell
     // cosine>=t drop with keep-min-id — SEMANTIC dedup over embeddings,
     // the published recipe (cells keep the pair join Σ|cell|², never
@@ -1053,6 +1083,7 @@ object Pipeline {
     "emb_ivf_part_topk" -> bruteForceTop20Sql,
     "emb_pq_model_topk" -> altBruteForceTop20Sql,
     "emb_ivf_model_topk" -> altBruteForceTop20Sql,
+    "emb_ivf_append_topk" -> altBruteForceTop20Sql,
     "emb_sq8_model_topk" -> altBruteForceTop20Sql,
     // the planted-clone reconstruction: identical vectors always share a
     // cell and clone ids are the larger of each pair, so drops = clones;

@@ -73,6 +73,40 @@ class AnnModelsSpec extends SparkSpec {
       "reloaded-model PQ top-10 differs from brute force")
   }
 
+  test("index append with a frozen reloaded model: cells consistent, no dupes/holes, exact query") {
+    import org.apache.spark.sql.functions.{col, desc}
+    val dir = tmp()
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cents = Ivf.centroidsRefined(base, "vec_id", "embedding", nCells = 8)
+    Ivf.indexTable(base, "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+    AnnModels.saveCentroids(spark, dir, cents)
+    // "append session": only `dir` crosses the line — assign the new rows
+    // with the RELOADED model, no retraining
+    Ivf.indexTable(e.filter(col("vec_id") % 2 === 1), "embedding",
+        AnnModels.loadCentroids(spark, dir))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+    val combined = spark.read.parquet(s"$dir/index")
+    // no dupes, no holes
+    assert(combined.count() == e.count())
+    assert(combined.select("vec_id").distinct().count() == e.count())
+    // every row's cell — base generation and appended generation alike —
+    // equals a fresh assignment of the full table under the same model
+    val fresh = Ivf.indexTable(e, "embedding", cents)
+      .select(col("vec_id"), col("cell"))
+    assert(combined.select(col("vec_id"), col("cell").cast("int"))
+      .exceptAll(fresh).isEmpty, "appended index cells diverge from model")
+    // exact query over both generations matches brute force
+    val query = Array.tabulate(64)(i => math.cos(i + 1.0))
+    val got = Ivf.ivfTopKFromIndex(combined, "vec_id", "embedding",
+        AnnModels.loadCentroids(spark, dir), query, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(exact),
+      "appended-index IVF top-10 differs from brute force")
+  }
+
   test("loading a missing model fails loudly with the save-side hint") {
     val err = intercept[IllegalArgumentException] {
       AnnModels.loadCentroids(spark, tmp())
