@@ -259,4 +259,59 @@ class StreamingSpec extends SparkSpec {
     val nums = Seq(1.0, 2.0, 3.0).toDS
     assert(nums.select(SeededSumAggregator(100.0).toColumn).head() == 106.0)
   }
+
+  test("streaming ANN ingest: micro-batches append to the partitioned index under a frozen model") {
+    // the streaming face of the index-append lifecycle: a live pipeline
+    // ingests new embeddings as they arrive — each micro-batch is assigned
+    // with the model persisted at build time (loaded ONCE, broadcast into
+    // every batch, never retrained) and appended into the existing cell
+    // partitions. Proof: after two micro-batches the index holds exactly
+    // the batch-mode assignment of the full table, and an exact IVF query
+    // over it matches brute force.
+    import graft.operators.{AnnModels, Ivf, Similarity}
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("stream_ann").toFile.getAbsolutePath
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cents = Ivf.centroidsRefined(base, "vec_id", "embedding", nCells = 8)
+    Ivf.indexTable(base, "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/index")
+    AnnModels.saveCentroids(spark, dir, cents)
+
+    // "ingest session": the model crosses as a dir path only
+    val frozen = AnnModels.loadCentroids(spark, dir)
+    // Seq[Float] keeps the streamed generation's parquet schema identical
+    // to the base generation's array<float> embedding column
+    val input = MemoryStream[(Long, Seq[Float])]
+    val arrivals = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val q = input.toDS.toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivf.indexTable(batch, "embedding", frozen)
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/index")
+      }
+      .start()
+    try {
+      input.addData(arrivals.take(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(arrivals.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val combined = spark.read.parquet(s"$dir/index")
+    assert(combined.count() == e.count())
+    val fresh = Ivf.indexTable(e, "embedding", cents)
+      .select(col("vec_id"), col("cell"))
+    assert(combined.select(col("vec_id"), col("cell").cast("int"))
+      .exceptAll(fresh).isEmpty,
+      "streamed index cells diverge from the batch assignment")
+    val query = Array.tabulate(64)(i => math.sin(2.0 * i + 1.0))
+    val got = Ivf.ivfTopKFromIndex(combined, "vec_id", "embedding", frozen,
+        query, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(exact),
+      "streamed-index IVF top-10 differs from brute force")
+  }
 }
