@@ -140,6 +140,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(ivf).isDefined, ivf)
   }
 
+  test("appended index keeps the partition probe over BOTH file generations") {
+    // the append lifecycle writes a second generation of files into the
+    // existing cell=N directories; the query must still plan the probe as
+    // a PARTITION filter (pruning at listing time covers both
+    // generations), not degrade to a post-scan filter
+    val plan = finalPlan(q("emb_ivf_append_topk"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("n-gram contamination never plans a nested-loop join; one scan per side") {
     val plan = finalPlan(q("dedup_contam_ngram"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
