@@ -88,4 +88,33 @@ object Sampling {
       .filter(col("__before") < col("__quota"))
       .drop("__stratum", "__quota", "__before")
   }
+
+  /** Per-group DOCUMENT caps — the "at most N pages per domain" rule
+    * every crawl-derived corpus applies (a handful of giant hosts would
+    * otherwise dominate the training mix; RefinedWeb/C4 cap or
+    * down-weight them). Keeps the first `cap` rows of each `strataCol`
+    * group in deterministic md5(id) order (ties by id), so WHICH rows
+    * survive is reproducible across runs, engines, and partitionings —
+    * and stable under incremental re-crawls (a group under its cap
+    * admits new rows without evicting old ones unless the new md5 sorts
+    * earlier).
+    *
+    * Scale shape: ONE keyed window (partitionBy group, orderBy md5) —
+    * parallel across groups, never a global sort. A group with more
+    * rows than one task can sort is exactly the pathological host the
+    * cap exists to cut, and the window's per-group sort spills rather
+    * than collects; at 100 TB the groups (domains) number in the
+    * millions, so tasks stay balanced. */
+  def sourceCapSample(df: DataFrame, idCol: String, strataCol: String,
+                      cap: Int): DataFrame = {
+    require(cap >= 0, s"cap must be >= 0, got $cap")
+    require(!df.columns.contains("__rn"),
+      "sourceCapSample: __rn is reserved")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -159,6 +159,12 @@ object Pipeline {
         "doc_id", "lang", "toks", Map("en" -> 10000L, "und" -> 2000L))
         .select(col("doc_id"), col("lang"), col("toks").cast("long").as("toks"))
         .orderBy("doc_id")),
+    // per-source document caps (the "at most N pages per domain" crawl
+    // rule): keep the first 10 docs of each source in deterministic
+    // md5(doc_id) order — one KEYED window, reproducible across engines
+    "sample_source_cap" -> ((s, dir) =>
+      Sampling.sourceCapSample(docs(s, dir), "doc_id", "source", cap = 10)
+        .select("doc_id", "source").orderBy("doc_id")),
     // sequence packing (concat-and-chunk): where each doc STARTS when
     // the corpus is concatenated in doc_id order and cut into
     // 2048-token training sequences — computed as a two-phase
@@ -959,6 +965,13 @@ object Pipeline {
          |FROM c
          |WHERE (lang = 'en' AND before < 10000) OR (lang = 'und' AND before < 2000)
          |ORDER BY doc_id""".stripMargin,
+    "sample_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+        |FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     "pack_chunks" ->
       s"""WITH t AS (SELECT doc_id, $tokenCountSql AS toks FROM documents),
          |c AS (SELECT doc_id, toks,

@@ -76,6 +76,32 @@ class ClustersSamplingSpec extends SparkSpec {
     assert(s4.subsetOf(s8)) // growing the rate only ADDS rows
   }
 
+  test("sourceCapSample: at most cap rows per group, md5-deterministic, " +
+    "partition-independent") {
+    val df = (0L until 900L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val got = Sampling.sourceCapSample(df, "id", "src", cap = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(got.length == 21)
+    assert(bySrc.values.forall(_.size == 7))
+    // deterministic under a different partitioning
+    val again = Sampling.sourceCapSample(df.repartition(13), "id", "src", 7)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got.toSet)
+    // survivors are exactly the 7 smallest md5s of each group
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (g <- 0 until 3) {
+      val expect = (0L until 900L).filter(_ % 3 == g)
+        .sortBy(i => (m(i), i)).take(7).toSet
+      assert(bySrc(s"src$g") == expect)
+    }
+    // cap above the group size keeps everything; cap 0 keeps nothing
+    assert(Sampling.sourceCapSample(df, "id", "src", 500).count() == 900)
+    assert(Sampling.sourceCapSample(df, "id", "src", 0).count() == 0)
+  }
+
   test("stratifiedHashSample: per-stratum rates; absent strata drop") {
     val df = (0L until 3000L).map(i =>
       (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "und" else "de"))
