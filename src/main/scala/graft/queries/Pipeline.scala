@@ -550,6 +550,34 @@ object Pipeline {
           k = 20, nProbe = 16)
         .withColumn("score", round(col("score"), 6))
     }),
+    // PQ CODE APPEND — the growth half of the compressed-scan lifecycle
+    // (the emb_ivf_append_topk pattern on the codes table): codebooks
+    // train on the even-id half only, codes + model persist, then the
+    // odd-id rows are encoded with the FROZEN reloaded codebooks and
+    // appended (no retraining, no rewrite of existing files — at scale
+    // each ingest lands new row groups beside the old ones). The
+    // reranked query over both generations hash-matches the WHOLE-table
+    // brute-force oracle, which requires model-consistent codes and no
+    // lost/doubled base rows; the spec additionally pins appended codes
+    // byte-equal to a fresh full-table encode under the same model.
+    "emb_pq_append_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val out = artifactDir(s"pqapp:$dir") { path =>
+        val base = e.filter(col("vec_id") % 2 === 0)
+        val cbs = Pq.codebooks(base, "vec_id", "embedding", m = 16,
+          codeBits = 8, iters = 3, maxSample = 1024)
+        Pq.encodedTable(base, "embedding", cbs).drop("embedding")
+          .write.mode("overwrite").parquet(s"$path/codes")
+        AnnModels.saveCodebooks(s, path, cbs)
+        Pq.encodedTable(e.filter(col("vec_id") % 2 === 1), "embedding",
+            AnnModels.loadCodebooks(s, path)).drop("embedding")
+          .write.mode("append").parquet(s"$path/codes")
+      }
+      Pq.pqTopKFromEncoded(s.read.parquet(s"$out/codes"), e, "vec_id",
+          "embedding", AnnModels.loadCodebooks(s, out), altQuery,
+          k = 20, shortlist = 100)
+        .withColumn("score", round(col("score"), 6))
+    }),
     // SemDeDup (Abbas et al. 2023): k-means cells + within-cell
     // cosine>=t drop with keep-min-id — SEMANTIC dedup over embeddings,
     // the published recipe (cells keep the pair join Σ|cell|², never
@@ -1097,6 +1125,7 @@ object Pipeline {
     "emb_pq_model_topk" -> altBruteForceTop20Sql,
     "emb_ivf_model_topk" -> altBruteForceTop20Sql,
     "emb_ivf_append_topk" -> altBruteForceTop20Sql,
+    "emb_pq_append_topk" -> altBruteForceTop20Sql,
     "emb_sq8_model_topk" -> altBruteForceTop20Sql,
     // the planted-clone reconstruction: identical vectors always share a
     // cell and clone ids are the larger of each pair, so drops = clones;

@@ -107,6 +107,42 @@ class AnnModelsSpec extends SparkSpec {
       "appended-index IVF top-10 differs from brute force")
   }
 
+  test("PQ code append with a frozen reloaded codebook: codes consistent, " +
+    "no dupes/holes, reranked query exact") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val cbs = Pq.codebooks(base, "vec_id", "embedding", m = 16, codeBits = 8,
+      iters = 3, maxSample = 1024)
+    Pq.encodedTable(base, "embedding", cbs).drop("embedding")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    AnnModels.saveCodebooks(spark, dir, cbs)
+    // "append session": only `dir` crosses the line — encode the new rows
+    // with the RELOADED codebooks, no retraining, no rewrite of old files
+    Pq.encodedTable(e.filter(col("vec_id") % 2 === 1), "embedding",
+        AnnModels.loadCodebooks(spark, dir)).drop("embedding")
+      .write.mode("append").parquet(s"$dir/codes")
+    val combined = spark.read.parquet(s"$dir/codes")
+    // no dupes, no holes
+    assert(combined.count() == e.count())
+    assert(combined.select("vec_id").distinct().count() == e.count())
+    // every row's code — base and appended generations alike — equals a
+    // fresh encode of the full table under the same codebooks (a model
+    // drift here would silently corrupt ADC scores for one generation)
+    val fresh = Pq.encodedTable(e, "embedding", cbs).drop("embedding")
+    assert(combined.exceptAll(fresh).isEmpty,
+      "appended codes diverge from a fresh same-model encode")
+    // reranked query over both generations matches brute force
+    val query = Array.tabulate(64)(i => math.cos(i + 1.0))
+    val got = Pq.pqTopKFromEncoded(combined, e, "vec_id", "embedding",
+        AnnModels.loadCodebooks(spark, dir), query, k = 10, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(exact),
+      "appended-codes PQ top-10 differs from brute force")
+  }
+
   test("loading a missing model fails loudly with the save-side hint") {
     val err = intercept[IllegalArgumentException] {
       AnnModels.loadCentroids(spark, tmp())
