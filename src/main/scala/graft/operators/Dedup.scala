@@ -225,6 +225,44 @@ object Dedup {
       .select(col("id").as("drop_id")).distinct()
   }
 
+  /** [[ngramContaminated]] behind a BLOOM PREFILTER — the same exact
+    * answer, restructured for the 100 TB membership shape: a Bloom
+    * filter of the eval set's distinct grams (built by Spark's
+    * distributed sketch aggregation; ~1.2 MB per million grams at 1%
+    * fpp) rides to every executor as expression reference data and
+    * prunes the corpus gram stream IN THE SCAN PROJECTION, before any
+    * shuffle — so the exact LEFT SEMI confirm join receives only true
+    * hits plus the fpp sliver of false positives instead of every gram
+    * of the corpus. The confirm join then removes the false positives,
+    * which is what makes the output EXACTLY [[ngramContaminated]]'s
+    * (hash-match-same, not approximately-same): the Bloom guarantee is
+    * no false NEGATIVES, so the prefilter can only pass extra rows,
+    * never drop a real hit.
+    *
+    * Cost shape vs the plain form: the plain LEFT SEMI must move the
+    * corpus-side grams to the join (or rely on AQE to broadcast the eval
+    * side); the bloom form makes the corpus pass map-only by
+    * construction, at the price of one count action + one aggregation
+    * over the SMALL side to size and build the filter. Probe is the
+    * codegen'd [[graft.functions.BloomMightContainExpr]] (UTF-8 bytes,
+    * no per-row String). */
+  def ngramContaminatedBloom(corpus: DataFrame, evalSet: DataFrame,
+                             idCol: String, textCol: String, n: Int = 13,
+                             fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val cGrams = shingles(corpus, idCol, textCol, n)
+    val eGrams = shingles(evalSet, idCol, textCol, n)
+      .select("shingle").distinct()
+    // the eval side is the small side BY DEFINITION (it's a test set);
+    // one count action sizes the filter, one distributed aggregation
+    // builds it — both touch only that small side
+    val nGrams = math.max(eGrams.count(), 1L)
+    val bloom = eGrams.stat.bloomFilter("shingle", nGrams, fpp)
+    cGrams.filter(graft.functions.BloomMightContainExpr(col("shingle"), bloom))
+      .join(eGrams, Seq("shingle"), "left_semi")
+      .select(col("id").as("drop_id")).distinct()
+  }
+
   /** 64-bit SimHash per document over word tokens: bit i of the signature
     * is the sign of Σ_tokens (bit i of xxh64(token) ? +1 : -1), via the
     * one-pass [[graft.functions.SimHashAgg]] TypedImperativeAggregate. */
