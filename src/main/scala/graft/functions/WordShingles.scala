@@ -91,3 +91,67 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 object WordShingles {
   def apply(text: Column, n: Int): Column = shim.column(WordShingles(shim.expression(text), n))
 }
+
+/** ALL word n-grams of the normalized text, IN TOKEN ORDER (no dedup, no
+  * short-text fallback): element i is the gram starting at token i, so
+  * `posexplode` yields (start-token-index, gram) directly — the positional
+  * form the duplicated-span detector needs ([[graft.operators.Dedup
+  * .duplicatedSpans]]). Texts with fewer than n tokens yield an EMPTY
+  * array: a span detector has no use for partial grams (contrast
+  * [[WordShingles]], whose set semantics want every doc represented).
+  * Same one-pass normalize/tokenize kernel and the same tokenization
+  * contract as [[WordShingles]] (`string_split(norm, ' ')` in the DuckDB
+  * oracles), inlined into whole-stage codegen via a reference object. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram length must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** The one-pass kernel; called from both interpreted and generated code. */
+  def grams(u: UTF8String): GenericArrayData = {
+    val s = u.trim().toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    var tokStart = 0
+    var inWs = false
+    while (i < len) {
+      if (isWs(s.charAt(i))) {
+        if (!inWs) { toks.add(s.substring(tokStart, i)); inWs = true }
+      } else if (inWs) { tokStart = i; inWs = false }
+      i += 1
+    }
+    toks.add(if (inWs) "" else s.substring(tokStart, len))
+    val t = toks.size()
+    if (t < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](t - n + 1)
+    var start = 0
+    while (start <= t - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = start
+      while (j < start + n) { if (j > start) sb.append(' '); sb.append(toks.get(j)); j += 1 }
+      out(start) = UTF8String.fromString(sb.toString)
+      start += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramer", this, classOf[WordGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.grams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
+object WordGrams {
+  def apply(text: Column, n: Int): Column = shim.column(WordGrams(shim.expression(text), n))
+}

@@ -499,4 +499,76 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
+
+  /** EXACT duplicated-substring spans (the suffix-array dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed shuffle-native): a text span is duplicated when its
+    * every word-k-gram occurs at ≥2 (doc, position) sites corpus-wide —
+    * exactly the spans a suffix array of the concatenated corpus reports
+    * at match length ≥ k words, found here with two linear shuffles
+    * instead of a giant sorted suffix structure:
+    *
+    *   1. positional grams — one codegen'd [[graft.functions.WordGrams]]
+    *      pass per doc, posexplode → (id, pos, gram);
+    *   2. duplicated grams — groupBy the gram's 64-bit `xxhash64`
+    *      fingerprint, count ≥ 2 (map-side partial counts absorb hot
+    *      grams);
+    *   3. duplicated positions — LEFT SEMI shuffle-hash join of the gram
+    *      table against the duplicated-fingerprint set;
+    *   4. maximal spans — per-doc gaps-and-islands: consecutive
+    *      duplicated starts p, q merge while q ≤ p + k (their k-word
+    *      windows overlap or touch); window `lag` + running sum, one
+    *      shuffle already partitioned by id.
+    *
+    * Shuffling 8-byte fingerprints instead of gram strings cuts both
+    * gram shuffles ~6× in width; a 64-bit collision (odds ≈ n²/2⁶⁵ —
+    * ~10⁻¹⁰ at 10⁵ distinct grams; at true 100 TB scale swap in the
+    * 128-bit half of `md5`) could only ADD a spurious span, never lose
+    * one. Spans are 1-based token indexes over the shared tokenization
+    * contract (WordShingles scaladoc), inclusive on both ends.
+    *
+    * Returns (id, span_start, span_end, span_words), one row per maximal
+    * duplicated span. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("id"),
+        posexplode(graft.functions.WordGrams(col(textCol), k)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gh")
+    val dupPos = grams.hint("shuffle_hash").join(dup, Seq("gh"), "left_semi")
+      .select(col("id"), col("pos"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    dupPos
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1).otherwise(0))
+      .withColumn("island",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id", "island")
+      .agg(min("pos").as("s"), max("pos").as("e"))
+      .select(col("id"), (col("s") + 1).as("span_start"),
+        (col("e") + lit(k)).as("span_end"),
+        (col("e") - col("s") + lit(k)).as("span_words"))
+  }
+
+  /** Per-document duplicated-text budget from [[duplicatedSpans]]: the
+    * fraction of each doc's tokens covered by corpus-duplicated spans —
+    * the number Lee et al. threshold to pick which documents (or spans)
+    * to cut. Docs with no duplicated span report 0.0; the token count is
+    * the same `split(normalized, ' ')` contract the grams tokenize under.
+    * Returns (id, n_tokens, dup_words, dup_frac). */
+  def duplicatedSpanFrac(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k)
+      .groupBy("id").agg(sum("span_words").as("dup_words"))
+    df.select(col(idCol).as("id"),
+        size(split(TextAnalysis.normalized(col(textCol)), " ", -1)).as("n_tokens"))
+      .join(spans, Seq("id"), "left_outer")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+        round(coalesce(col("dup_words"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("dup_frac"))
+  }
 }

@@ -394,6 +394,23 @@ object Pipeline {
         .distinct()
         .orderBy("id", "fp")
     }),
+    // EXACT duplicated-substring spans (Lee et al. 2022's suffix-array
+    // dedup re-expressed as two linear shuffles — see duplicatedSpans
+    // scaladoc): every maximal text region whose word-8-grams each occur
+    // at >=2 (doc, position) sites corpus-wide. Fully SQL-expressible, so
+    // DuckDB recomputes gram → dup-count → semi-join → gaps-and-islands
+    // end-to-end (the oracle joins gram STRINGS; Spark shuffles their
+    // 64-bit fingerprints — identical output absent a 2^-65-scale
+    // collision).
+    "dedup_substring_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("id", "span_start")),
+    // The actionable per-doc budget: fraction of tokens covered by
+    // corpus-duplicated spans — the number Lee et al. threshold to pick
+    // what to cut. Docs with no duplicated span report 0.0.
+    "dedup_substring_frac" -> ((s, dir) =>
+      Dedup.duplicatedSpanFrac(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("id")),
 
     // ---- similarity search over embeddings
     "emb_cosine_topk" -> ((s, dir) =>
@@ -854,6 +871,28 @@ object Pipeline {
        |          FROM toks),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
 
+  /** Duplicated-substring spans as a CTE ending in `spans(id, span_start,
+    * span_end, span_words)` — positional word-8-grams, corpus-duplicated
+    * grams (count >= 2 over all (doc, position) sites), gaps-and-islands
+    * merge of overlapping/touching windows. Mirrors Dedup.duplicatedSpans
+    * exactly (1-based token indexes, inclusive ends); the oracle joins
+    * gram STRINGS where Spark shuffles 64-bit fingerprints. */
+  private val dupSpansCte =
+    s"""WITH toks AS (SELECT doc_id AS id, string_split($norm, ' ') AS arr FROM documents),
+       |pg AS (SELECT id, unnest(generate_series(1, len(arr) - 7)) AS pos, arr
+       |       FROM toks WHERE len(arr) >= 8),
+       |grams AS (SELECT id, pos, array_to_string(arr[pos:pos+7], ' ') AS gram FROM pg),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT g.id, g.pos FROM grams g JOIN dup d USING (gram)),
+       |lg AS (SELECT id, pos, lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev FROM dp),
+       |br AS (SELECT id, pos,
+       |       CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk FROM lg),
+       |isl AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id ORDER BY pos
+       |                         ROWS UNBOUNDED PRECEDING) AS island FROM br),
+       |spans AS (SELECT id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       |                 max(pos) - min(pos) + 8 AS span_words
+       |          FROM isl GROUP BY id, island)""".stripMargin
+
   /** Shared CTE chain ending in `scored(id_a, id_b, jaccard)` — the exact
     * word-3-gram jaccard of every shingle-sharing pair. */
   private def jaccardScoredCte =
@@ -1111,6 +1150,20 @@ object Pipeline {
     "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
     "dedup_winnow_pairs" -> jaccardPairsSql("0.5", cols = "id_a, id_b"),
+    "dedup_substring_spans" ->
+      s"""$dupSpansCte
+         |SELECT id, span_start, span_end, span_words FROM spans
+         |ORDER BY id, span_start""".stripMargin,
+    "dedup_substring_frac" ->
+      s"""$dupSpansCte,
+         |spansum AS (SELECT id, sum(span_words) AS dup_words FROM spans GROUP BY id),
+         |alln AS (SELECT doc_id AS id, len(string_split($norm, ' ')) AS n_tokens
+         |         FROM documents)
+         |SELECT a.id, a.n_tokens,
+         |       coalesce(s.dup_words, 0) AS dup_words,
+         |       round(CAST(coalesce(s.dup_words, 0) AS DOUBLE) / a.n_tokens, 6) AS dup_frac
+         |FROM alln a LEFT JOIN spansum s USING (id)
+         |ORDER BY id""".stripMargin,
     // every ANN variant that is EXACT at its shipped operating point
     // shares ONE brute-force top-20 oracle (defined once — a silent
     // divergence between copies was the review finding)

@@ -135,6 +135,47 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got.toString)
   }
 
+  test("duplicatedSpans finds maximal duplicated regions, 1-based inclusive") {
+    // k=3 grams. Docs 1 and 2 share the 5-word run "one two three four
+    // five" (grams at doc-1 positions 2,3,4 → one maximal span), and the
+    // isolated 3-word run "x y z" (one gram each). Doc 3 is clean.
+    val df = Seq(
+      (1L, "a one two three four five b c x y z"),
+      (2L, "one two three four five q r s t u v w x y z"),
+      (3L, "nothing here repeats at all in any window of three")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 3)
+      .orderBy("id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      // doc 1: tokens 2..6 = "one..five", tokens 9..11 = "x y z"
+      (1L, 2, 6, 5), (1L, 9, 11, 3),
+      // doc 2: tokens 1..5, tokens 13..15
+      (2L, 1, 5, 5), (2L, 13, 15, 3)), got.toSeq.toString)
+  }
+
+  test("duplicatedSpans merges touching windows and catches within-doc repeats") {
+    // The 3-gram "p q r" occurs twice WITHIN one doc (positions 1 and 4,
+    // gap = k → windows touch → one merged span covering tokens 1..6).
+    val df = Seq((7L, "p q r p q r tail words here")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((7L, 1, 6, 6)), got.toSeq.toString)
+  }
+
+  test("duplicatedSpanFrac covers every doc; zero for clean docs") {
+    val df = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three four five"),
+      (3L, "totally unique text with no duplication anywhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanFrac(df, "doc_id", "text", k = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5, 5L, 1.0), (2L, 5, 5L, 1.0), (3L, 7, 0L, 0.0)), got.toSeq.toString)
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
