@@ -71,4 +71,42 @@ object Packing {
         floor(col("__start") / budget).cast("long").as("chunk_id"),
         (col("__start") % budget).cast("long").as("chunk_offset"))
   }
+
+  /** Overlapping sliding-window chunking — the per-DOCUMENT complement of
+    * [[chunkAssign]]'s cross-document packing, and the standard prep for
+    * context-window-bounded consumers (embedding models, retrieval
+    * corpora): each document's token stream is cut into `window`-token
+    * chunks advancing by `stride` tokens (overlap = window − stride
+    * preserves context across cuts).
+    *
+    * Chunk c starts at token c·stride (0-based); the LAST chunk is the
+    * first whose window reaches the end of the doc — every token is
+    * covered exactly ⌈window/stride⌉ times in steady state, and no chunk
+    * is fully contained in its predecessor (the naive `while start < n`
+    * rule emits tail chunks that add no new tokens). Embarrassingly
+    * parallel: one `posexplode` per doc, no shuffle at all — at 100 TB
+    * this is a map-only job whose output feeds `repartitionByRange` or
+    * [[chunkAssign]] downstream.
+    *
+    * Tokens are the shared `split(normalized, ' ')` contract (WordShingles
+    * scaladoc); 1-based `start_token`, `n_tokens = min(window, n − start)`.
+    * Returns (id, chunk_id, start_token, n_tokens, chunk_text). */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 32, stride: Int = 24): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    df.select(col(idCol).as("id"),
+        split(TextAnalysis.normalized(col(textCol)), " ", -1).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .select(col("id"), col("arr"), col("n"),
+        explode(sequence(lit(0),
+          floor((greatest(col("n") - window, lit(0)) + stride - 1)
+            / stride).cast("int"))).as("chunk_id"))
+      .select(col("id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_token"),
+        least(lit(window), col("n") - col("chunk_id") * stride).as("n_tokens"),
+        array_join(slice(col("arr"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

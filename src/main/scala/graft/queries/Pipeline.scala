@@ -177,6 +177,14 @@ object Pipeline {
           .withColumn("toks", TextAnalysis.tokenCount(col("text"))),
         "doc_id", "toks", budget = 2048L)
         .orderBy("doc_id")),
+    // per-DOCUMENT sliding-window chunking (the retrieval/embedding prep
+    // step): 32-token windows advancing by 24, the last window reaching
+    // the doc's end — map-only, no shuffle; oracle recomputes the window
+    // arithmetic and the chunk text via list slicing
+    "chunk_overlap" -> ((s, dir) =>
+      graft.operators.Packing.chunkOverlap(docs(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+        .orderBy("id", "chunk_id")),
 
     // ---- dedup
     "dedup_exact" -> ((s, dir) =>
@@ -1047,6 +1055,17 @@ object Pipeline {
          |       CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
          |       CAST(start % 2048 AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    "chunk_overlap" ->
+      s"""WITH toks AS (SELECT doc_id AS id, string_split($norm, ' ') AS arr FROM documents),
+         |base AS (SELECT id, arr, len(arr) AS n FROM toks),
+         |ch AS (SELECT id, arr, n,
+         |       unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24)) AS chunk_id
+         |       FROM base)
+         |SELECT id, CAST(chunk_id AS INT) AS chunk_id,
+         |       CAST(chunk_id * 24 + 1 AS INT) AS start_token,
+         |       CAST(least(32, n - chunk_id * 24) AS INT) AS n_tokens,
+         |       array_to_string(arr[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+         |FROM ch ORDER BY id, chunk_id""".stripMargin,
     "dedup_drops" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

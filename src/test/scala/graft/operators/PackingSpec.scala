@@ -68,6 +68,31 @@ class PackingSpec extends SparkSpec {
     assert(again == kept.map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("chunkOverlap: full coverage, overlap preserved, no redundant tail chunk") {
+    // 10 tokens, window 4, stride 3: chunks start at 0,3,6 — the c=6
+    // chunk reaches token 10, so c=9 (which the naive start<n rule would
+    // emit, adding only token 10 it already covered) must NOT appear.
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10")).toDF("doc_id", "text")
+    val got = Packing.chunkOverlap(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0, 1, 4, "t1 t2 t3 t4"),
+      (1, 4, 4, "t4 t5 t6 t7"),
+      (2, 7, 4, "t7 t8 t9 t10")), got.toSeq.toString)
+  }
+
+  test("chunkOverlap: short docs yield exactly one whole-doc chunk") {
+    val df = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val got = Packing.chunkOverlap(df, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3), r.getString(4)))
+    // empty text normalizes to one "" token — one chunk of one empty token
+    assert(got.toSeq == Seq((1L, 0, 2, "a b"), (2L, 0, 1, "")), got.toSeq.toString)
+    intercept[IllegalArgumentException](
+      Packing.chunkOverlap(df, "doc_id", "text", window = 4, stride = 5))
+  }
+
   test("tokenQuotaSample: strata without a quota keep nothing; reserved names") {
     val df = Seq((1L, "fr", 5)).toDF("id", "lang", "toks")
     assert(Sampling.tokenQuotaSample(df, "id", "lang", "toks",
