@@ -117,4 +117,71 @@ object Sampling {
       .filter(col("__rn") <= cap)
       .drop("__rn")
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * score every raw document by how target-like its hashed-n-gram
+    * profile is, so a small trusted target domain (marked by the boolean
+    * `targetCol`) steers selection over the whole raw corpus. Per
+    * bucket b of `buckets` md5-hashed word uni+bigram features, the
+    * Laplace-smoothed log-ratio
+    *
+    *   score(b) = ln((ct_b+1)/(Tt+B)) − ln((cr_b+1)/(Tr+B))
+    *
+    * (ct/cr = target/raw occurrence counts, Tt/Tr their totals) and a
+    * document's importance weight is the sum of its gram occurrences'
+    * scores — the paper's log importance weight under hashed
+    * multinomials.
+    *
+    * Engine-portable determinism: buckets come from md5 (the
+    * [[hashSample]] contract) and each bucket score is QUANTIZED to
+    * integer micro-nats before the per-doc sum, so the aggregate is an
+    * integer sum — independent of Spark's partial-agg order and exactly
+    * reproducible in the DuckDB oracle (a float sum would drift by
+    * summation order).
+    *
+    * Scale shape: gram → bucket is map-only codegen ([[graft.functions
+    * .WordGrams]] + md5); bucket stats are ONE shuffle collapsing to
+    * `buckets` rows; scores join back as a BROADCAST (the model is B
+    * integers — DSIR's entire point is that the "classifier" is tiny);
+    * the per-doc sum is one keyed shuffle. The raw corpus is scanned
+    * twice (stats pass + weighting pass) — at 100 TB persist the
+    * projected (id, bucket) frame between them, or train the bucket
+    * scores on a [[hashSample]] slice and weight the full corpus in one
+    * pass. Returns (id, weight_micro). */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val reserved = Seq("__tgt", "__gram", "__b")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"dsirWeights: ${reserved.mkString("/")} are reserved")
+    val grams = df.select(col(idCol).as("id"),
+        col(targetCol).cast("boolean").as("__tgt"),
+        explode(concat(graft.functions.WordGrams(col(textCol), 1),
+          graft.functions.WordGrams(col(textCol), 2))).as("__gram"))
+      .select(col("id"), col("__tgt"),
+        (conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long")
+          % buckets).as("__b"))
+    val stats = grams.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val scores = stats.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round((log(col("ct") + 1) - log(col("tt") + buckets)
+             - log(col("cr") + 1) + log(col("tr") + buckets)) * 1e6)
+          .cast("long").as("score_micro"))
+    grams.join(broadcast(scores), "__b")
+      .groupBy("id").agg(sum("score_micro").as("weight_micro"))
+  }
+
+  /** The selection step over [[dsirWeights]]: the `topN` most
+    * target-like raw documents, deterministically tie-broken by id —
+    * a TakeOrderedAndProject (per-partition top-N + single merge),
+    * never a global sort. Returns (id, weight_micro). */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+                 targetCol: String, topN: Int,
+                 buckets: Int = 256): DataFrame =
+    dsirWeights(df, idCol, textCol, targetCol, buckets)
+      .orderBy(col("weight_micro").desc, col("id").asc)
+      .limit(topN)
 }

@@ -165,6 +165,15 @@ object Pipeline {
     "sample_source_cap" -> ((s, dir) =>
       Sampling.sourceCapSample(docs(s, dir), "doc_id", "source", cap = 10)
         .select("doc_id", "source").orderBy("doc_id")),
+    // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    // log-ratio scores with lang='en' as the trusted target domain, the
+    // 100 most target-like docs. Bucket scores quantize to integer
+    // micro-nats BEFORE the per-doc sum, so DuckDB recomputes the whole
+    // md5-bucket → Laplace log-ratio → integer-sum algebra end-to-end
+    "sample_dsir" -> ((s, dir) =>
+      Sampling.dsirSelect(
+        docs(s, dir).withColumn("is_tgt", col("lang") === "en"),
+        "doc_id", "text", "is_tgt", topN = 100)),
     // sequence packing (concat-and-chunk): where each doc STARTS when
     // the corpus is concatenated in doc_id order and cut into
     // 2048-token training sequences — computed as a two-phase
@@ -1055,6 +1064,29 @@ object Pipeline {
          |       CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
          |       CAST(start % 2048 AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    "sample_dsir" ->
+      s"""WITH toks AS (SELECT doc_id AS id, lang = 'en' AS tgt,
+         |                     string_split($norm, ' ') AS arr FROM documents),
+         |g1 AS (SELECT id, tgt, unnest(arr) AS gram FROM toks),
+         |g2 AS (SELECT id, tgt,
+         |       unnest(list_transform(generate_series(1, len(arr) - 1),
+         |              i -> array_to_string(arr[i:i+1], ' '))) AS gram
+         |       FROM toks WHERE len(arr) >= 2),
+         |grams AS (SELECT id, tgt,
+         |          ('0x' || substring(md5(gram), 1, 8))::BIGINT % 256 AS b
+         |          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+         |stats AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |                 count(*) AS cr FROM grams GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+         |scores AS (SELECT b,
+         |           CAST(round((ln(ct + 1) - ln(tt + 256)
+         |                     - ln(cr + 1) + ln(tr + 256)) * 1000000) AS BIGINT)
+         |             AS score_micro
+         |           FROM stats, tot),
+         |w AS (SELECT id, sum(score_micro) AS weight_micro
+         |      FROM grams JOIN scores USING (b) GROUP BY id)
+         |SELECT id, weight_micro FROM w
+         |ORDER BY weight_micro DESC, id LIMIT 100""".stripMargin,
     "chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id AS id, string_split($norm, ' ') AS arr FROM documents),
          |base AS (SELECT id, arr, len(arr) AS n FROM toks),

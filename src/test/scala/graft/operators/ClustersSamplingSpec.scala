@@ -114,4 +114,30 @@ class ClustersSamplingSpec extends SparkSpec {
     assert(byLang("en") == 1000)                     // 16/16 keeps all
     assert(math.abs(byLang("und") / 1000.0 - 0.25) < 0.08)
   }
+
+  test("dsirSelect ranks target-vocabulary docs above off-domain docs") {
+    // Target docs speak vocabulary A; raw noise speaks B. Unlabeled docs
+    // that speak A must outrank unlabeled docs that speak B — DSIR's
+    // whole premise. The target docs themselves also score high, but the
+    // interesting rows are the unlabeled ones (200, 201).
+    val df = Seq(
+      (0L, "alpha beta gamma alpha beta gamma alpha beta", true),
+      (1L, "beta gamma alpha beta gamma alpha beta gamma", true),
+      (200L, "alpha beta gamma beta alpha gamma beta alpha", false),
+      (201L, "omega psi chi omega psi chi omega psi", false),
+      (202L, "omega chi psi chi omega psi omega chi", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = Sampling.dsirWeights(df, "doc_id", "text", "is_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(200L) > w(201L), w.toString)
+    assert(w(200L) > w(202L), w.toString)
+    // selection: top-2 must be target-vocab docs, deterministic order
+    val top = Sampling.dsirSelect(df, "doc_id", "text", "is_tgt", topN = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!top.contains(201L) && !top.contains(202L), top.toString)
+    // determinism across runs
+    val again = Sampling.dsirSelect(df, "doc_id", "text", "is_tgt", topN = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == again)
+  }
 }
