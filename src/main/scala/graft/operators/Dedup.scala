@@ -553,6 +553,89 @@ object Dedup {
         (col("e") - col("s") + lit(k)).as("span_words"))
   }
 
+  /** Engine-portable per-doc minhash signatures: component i is the MIN
+    * over the doc's word-n-gram shingles of `md5("i:" || shingle)`,
+    * compared AS fixed-width 32-hex strings (lexicographic min ≡ numeric
+    * min). DuckDB computes the identical values, which is what makes the
+    * [[minhashStoreWrite]]/[[minhashStoreCandidates]] lifecycle and the
+    * dedup_minhash_portable entry oracle-checkable end-to-end; production
+    * one-shot dedup keeps the cheaper native xxhash64 signatures
+    * ([[minhashSignatures]]). Returns (id, h0..h{components-1}). */
+  def portableMinhashSigs(df: DataFrame, idCol: String, textCol: String,
+                          components: Int = 8, n: Int = 3): DataFrame = {
+    require(components >= 1, s"components must be >= 1, got $components")
+    val sh = shingles(df, idCol, textCol, n)
+    val aggs = (0 until components).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (id, band, bkey) rows from [[portableMinhashSigs]] output: band b's
+    * key concatenates its `rowsPerBand` signature components — the
+    * standard LSH banding layout, one row per (doc, band). */
+  private def portableBands(sigs: DataFrame, components: Int,
+                            rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && components % rowsPerBand == 0,
+      s"components ($components) must divide into bands of $rowsPerBand")
+    val bandStructs = array((0 until components / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}")): _*).as("bkey"))
+    }: _*)
+    sigs.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** INCREMENTAL dedup, build phase: persist the corpus's banded minhash
+    * signature STORE as parquet at `path`. The store is the only state a
+    * later batch needs — (id, band, bkey) rows, ~bands × corpus rows of
+    * fixed-width strings — so the historical corpus TEXT is never
+    * re-read, re-shingled, or re-hashed when new data arrives (the
+    * [[graft.operators.AnnModels]] philosophy applied to dedup: the
+    * signatures are the model; persist them with the decision). At scale,
+    * bucket the store by `bkey` so incremental joins co-locate without a
+    * store-side shuffle; appending a batch's own bands keeps the store
+    * current (signatures are per-doc, so append never invalidates
+    * existing rows). */
+  def minhashStoreWrite(df: DataFrame, idCol: String, textCol: String,
+                        path: String, components: Int = 8,
+                        rowsPerBand: Int = 2, n: Int = 3): Unit =
+    portableBands(portableMinhashSigs(df, idCol, textCol, components, n),
+      components, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  /** Grow the store with a new batch's bands — signatures are PER-DOC,
+    * so appending never invalidates existing rows; after deduping a
+    * batch against the store ([[minhashStoreCandidates]]), append its
+    * survivors and the store stays current without ever re-reading
+    * historical text. */
+  def minhashStoreAppend(df: DataFrame, idCol: String, textCol: String,
+                         path: String, components: Int = 8,
+                         rowsPerBand: Int = 2, n: Int = 3): Unit =
+    portableBands(portableMinhashSigs(df, idCol, textCol, components, n),
+      components, rowsPerBand)
+      .write.mode("append").parquet(path)
+
+  /** INCREMENTAL dedup, query phase: candidate near-duplicate pairs
+    * between a NEW batch and the persisted store at `path` — the batch's
+    * signatures are computed fresh (it is the only text read), the store
+    * is a parquet scan, and candidates share ≥1 LSH band. One
+    * shuffle-hash join on (band, bkey); the new batch is typically a day's
+    * crawl against years of store, so the join's small side is the batch.
+    * Returns distinct (new_id, store_id). */
+  def minhashStoreCandidates(newBatch: DataFrame, idCol: String,
+                             textCol: String, path: String,
+                             components: Int = 8, rowsPerBand: Int = 2,
+                             n: Int = 3): DataFrame = {
+    val store = newBatch.sparkSession.read.parquet(path)
+    val nb = portableBands(
+      portableMinhashSigs(newBatch, idCol, textCol, components, n),
+      components, rowsPerBand)
+    nb.as("n").hint("shuffle_hash").join(store.as("s"), Seq("band", "bkey"))
+      .select(col("n.id").as("new_id"), col("s.id").as("store_id"))
+      .distinct()
+  }
+
   /** Per-document duplicated-text budget from [[duplicatedSpans]]: the
     * fraction of each doc's tokens covered by corpus-duplicated spans —
     * the number Lee et al. threshold to pick which documents (or spans)

@@ -266,11 +266,25 @@ object Pipeline {
     // (dedup_minhash_lsh) keeps the cheaper native xxhash64, whose
     // signature VALUES DuckDB cannot express; its recall is proved by
     // dedup_lsh_recall and its verified pair set by dedup_minhash_neardups.
-    "dedup_minhash_portable" -> ((s, dir) => {
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
-      val aggs = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
-      sh.groupBy("id").agg(aggs.head, aggs.tail: _*).orderBy("id")
+    "dedup_minhash_portable" -> ((s, dir) =>
+      Dedup.portableMinhashSigs(docs(s, dir), "doc_id", "text").orderBy("id")),
+    // INCREMENTAL dedup against a PERSISTED signature store (the index
+    // lifecycle applied to dedup): the store's banded signatures are
+    // written ONCE per process (artifactDir), then a planted new batch
+    // (docs 0-99 under shifted ids — identical text guarantees 4/4 band
+    // hits) is deduped by joining ONLY its own fresh signatures against
+    // the RELOADED store parquet — the historical text is never re-read.
+    // DuckDB recomputes both sides' signature+band algebra end-to-end.
+    "dedup_incremental_hits" -> ((s, dir) => {
+      val path = artifactDir(s"mhstore:$dir") { p =>
+        Dedup.minhashStoreWrite(docs(s, dir).select("doc_id", "text"),
+          "doc_id", "text", p + "/bands")
+      } + "/bands"
+      val newBatch = docs(s, dir).filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .select("doc_id", "text")
+      Dedup.minhashStoreCandidates(newBatch, "doc_id", "text", path)
+        .orderBy("new_id", "store_id")
     }),
     // Cross-corpus decontamination: corpus documents within jaccard>=0.5
     // of any "test set" document (here: the first 100 docs cloned under
@@ -1137,6 +1151,29 @@ object Pipeline {
       (shinglesCte + "\n" +
         (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
           .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
+    "dedup_incremental_hits" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      def bandsSql(rel: String) = (0 until 4).map(b =>
+        s"SELECT id, $b AS band, h${2 * b} || '|' || h${2 * b + 1} AS bkey FROM $rel")
+        .mkString(" UNION ALL ")
+      s"""$shinglesCte,
+         |sigS AS (SELECT doc_id AS id, $sigCols FROM sh GROUP BY doc_id),
+         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |         WHERE doc_id < 100),
+         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+         |gramsT AS (SELECT doc_id,
+         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+         |                  i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+         |           FROM toksT),
+         |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
+         |sigN AS (SELECT doc_id AS id, $sigCols FROM shT GROUP BY doc_id),
+         |bandsS AS (${bandsSql("sigS")}),
+         |bandsN AS (${bandsSql("sigN")})
+         |SELECT DISTINCT n.id AS new_id, s.id AS store_id
+         |FROM bandsN n JOIN bandsS s USING (band, bkey)
+         |ORDER BY new_id, store_id""".stripMargin
+    },
     "dedup_simhash_portable" ->
       s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
          |             FROM documents),

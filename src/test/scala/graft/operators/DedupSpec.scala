@@ -176,6 +176,40 @@ class DedupSpec extends SparkSpec {
       (1L, 5, 5L, 1.0), (2L, 5, 5L, 1.0), (3L, 7, 0L, 0.0)), got.toSeq.toString)
   }
 
+  test("minhash store lifecycle: persist, reload, dedup a new batch, append") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_store_spec_")
+    try {
+      val path = dir.resolve("bands").toString
+      val base = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "completely different historical content nothing like the rest here")
+      ).toDF("doc_id", "text")
+      Dedup.minhashStoreWrite(base, "doc_id", "text", path)
+      // new batch: one exact clone of doc 1, one novel doc
+      val batch = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog again and again"),
+        (101L, "utterly novel text sharing no shingles with anything stored before")
+      ).toDF("doc_id", "text")
+      val hits = Dedup.minhashStoreCandidates(batch, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((100L, 1L)), hits.toString)
+      // APPEND the batch's own bands (per-doc signatures never
+      // invalidate existing rows) — the NEXT batch then dedups against
+      // base + batch, with neither corpus's text re-read
+      Dedup.minhashStoreAppend(batch, "doc_id", "text", path)
+      val next = Seq((200L,
+        "utterly novel text sharing no shingles with anything stored before"))
+        .toDF("doc_id", "text")
+      val hits2 = Dedup.minhashStoreCandidates(next, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits2 == Set((200L, 101L)), hits2.toString)
+    } finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => { Files.deleteIfExists(p); () })
+    }
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
