@@ -537,7 +537,9 @@ object Dedup {
       .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
     val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("gh")
-    val dupPos = grams.hint("shuffle_hash").join(dup, Seq("gh"), "left_semi")
+    // hint goes on the BUILD side (the right, for LEFT SEMI): AQE may
+    // still broadcast it when small — the scale-adaptive choice
+    val dupPos = grams.join(dup.hint("shuffle_hash"), Seq("gh"), "left_semi")
       .select(col("id"), col("pos"))
     val w = Window.partitionBy("id").orderBy("pos")
     dupPos

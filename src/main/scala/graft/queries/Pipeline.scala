@@ -194,6 +194,19 @@ object Pipeline {
       graft.operators.Packing.chunkOverlap(docs(s, dir), "doc_id", "text",
         window = 32, stride = 24)
         .orderBy("id", "chunk_id")),
+    // Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    // data-clustering order that bounds every output file's min/max
+    // extent in BOTH dimensions so parquet footer stats prune scans on
+    // either column (LayoutSpec proves the per-file-extent property on a
+    // written layout; this entry oracle-proves the bit-interleave
+    // algebra itself — pure integer shifts both engines compute)
+    "layout_zorder" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.operators.Layout.zValue(
+            pmod(col("l_partkey"), lit(1024)).cast("int"),
+            pmod(col("l_suppkey"), lit(1024)).cast("int"), 10).as("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber")),
 
     // ---- dedup
     "dedup_exact" -> ((s, dir) =>
@@ -1078,6 +1091,14 @@ object Pipeline {
          |       CAST(floor(CAST(start AS DOUBLE) / 2048) AS BIGINT) AS chunk_id,
          |       CAST(start % 2048 AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+    "layout_zorder" -> {
+      val terms = (0 until 10).flatMap(i => Seq(
+        s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber,
+         |CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+         |FROM lineitem ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+    },
     "sample_dsir" ->
       s"""WITH toks AS (SELECT doc_id AS id, lang = 'en' AS tgt,
          |                     string_split($norm, ' ') AS arr FROM documents),
