@@ -550,4 +550,187 @@ object Multimodal {
       ceil(col("width") * scale).cast("int").as("out_width"),
       ceil(col("height") * scale).cast("int").as("out_height"))
   }
+
+  /** Perceptual image hashing (pHash, the DCT variant): resample the
+    * REAL decoded pixels to 32×32, integer luma, orthonormal 2D DCT-II,
+    * then threshold the 8×8 low-frequency block (DC excluded) at its
+    * median — 63 signature bits in a Long. Excluding DC makes the hash
+    * EXACTLY invariant to uniform brightness shifts (a constant image
+    * perturbs only the DC coefficient; integer luma shifts by exactly
+    * the channel shift since (num + 1000·s)/1000 = num/1000 + s in
+    * integer division) — the property that catches re-encoded/
+    * re-graded duplicates byte-exact dedup misses. */
+  object Phash {
+    private val N = 32
+    // only the 8 low-frequency basis rows are ever needed
+    private lazy val cosT: Array[Array[Double]] = Array.tabulate(8, N)(
+      (u, x) => math.cos((2 * x + 1) * u * math.Pi / (2 * N)))
+    private def alpha(u: Int): Double =
+      if (u == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+
+    /** SplitMix64-style per-pixel mix — distinct ids give DECORRELATED
+      * textures (an arithmetic gradient would alias: ids differing by
+      * the pattern period share images). */
+    private def mix(id: Long, x: Int, y: Int, salt: Long): Int = {
+      var h = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL +
+        y * 0x165667B19E3779F9L + salt * 0x27D4EB2F165667C5L
+      h ^= h >>> 29; h *= 0xBF58476D1CE4E5B9L; h ^= h >>> 32
+      (h & 0x7FFFFFFF).toInt
+    }
+
+    /** Deterministic textured PNG for the pHash fixture: channel values
+      * in [30, 199+shift] — headroom so a uniform `shift` never clips
+      * (clipping would break the DC-only-shift invariance). */
+    def encodeTexturedPng(id: Long, shift: Int = 0): Array[Byte] = {
+      require(shift >= 0 && shift <= 55, s"shift must be in [0, 55], got $shift")
+      val w = (id % 6).toInt + 12
+      val h = (id % 4).toInt + 12
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = 30 + mix(id, x, y, 1L) % 170 + shift
+          val g = 30 + mix(id, x, y, 2L) % 170 + shift
+          val b = 30 + mix(id, x, y, 3L) % 170 + shift
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** The 64-bit perceptual hash of a decoded image (bit 0 unused —
+      * it is the excluded DC position). */
+    def phash64(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      // nearest-neighbor resample + integer luma
+      val g = Array.ofDim[Double](N, N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) {
+          val p = img.getRGB(x * w / N, y * h / N)
+          val r = (p >> 16) & 0xff; val gg = (p >> 8) & 0xff; val b = p & 0xff
+          g(y)(x) = ((299 * r + 587 * gg + 114 * b) / 1000).toDouble
+          x += 1
+        }
+        y += 1
+      }
+      // 2D DCT-II, 8x8 low block only: cosT(8xN) . g(NxN) . cosT^T(Nx8)
+      val tmp = Array.ofDim[Double](8, N)
+      var u = 0
+      while (u < 8) {
+        var x = 0
+        while (x < N) {
+          var s = 0.0; var yy = 0
+          while (yy < N) { s += cosT(u)(yy) * g(yy)(x); yy += 1 }
+          tmp(u)(x) = s; x += 1
+        }
+        u += 1
+      }
+      val coef = Array.ofDim[Double](8, 8)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0; var x = 0
+          while (x < N) { s += cosT(v)(x) * tmp(u)(x); x += 1 }
+          coef(u)(v) = alpha(u) * alpha(v) * s; v += 1
+        }
+        u += 1
+      }
+      val vals = new Array[Double](63)
+      var k = 0; u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) { vals(k) = coef(u)(v); k += 1 }
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = vals.clone(); java.util.Arrays.sort(sorted)
+      val median = sorted(31)
+      var bits = 0L; k = 0; u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if ((u != 0 || v != 0)) {
+            if (vals(k) > median) bits |= 1L << (u * 8 + v)
+            k += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      bits
+    }
+  }
+
+  /** pHash fixture: one textured image per doc id; ids < 50 cloned
+    * BYTE-IDENTICALLY under +1,000,000; ids 50-99 cloned with a uniform
+    * +8 brightness shift under +2,000,000 (same pixels, different bytes
+    * — the duplicate class exact dedup cannot see). Encoded
+    * executor-side in `mapPartitions`, like [[realMedia]]. */
+  def phashMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val base = (id, Phash.encodeTexturedPng(id))
+          if (id < 50L) Seq(base, (id + 1000000L, Phash.encodeTexturedPng(id)))
+          else if (id < 100L)
+            Seq(base, (id + 2000000L, Phash.encodeTexturedPng(id, shift = 8)))
+          else Seq(base)
+        }
+      }.toDF("media_id", "payload")
+  }
+
+  /** REAL decode → pHash, executor-side, no shuffle: (media_id, phash). */
+  def phashHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, png) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          (id, Phash.phash64(img))
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxDist`:
+    * the same 16-bit segment blocking as [[graft.operators.Dedup
+    * .simhashPairs]] (pigeonhole-complete while maxDist < segments), so
+    * the pair space is never n² — only same-segment buckets compare.
+    * Returns (id_a, id_b, hamming). */
+  def phashPairs(hashes: DataFrame, maxDist: Int = 2,
+                 segments: Int = 4): DataFrame = {
+    require(maxDist < segments,
+      s"capture is pigeonhole-complete only while maxDist ($maxDist) < segments ($segments)")
+    val segBits = 64 / segments
+    val mask = (1L << segBits) - 1
+    val seg = hashes.select(col("media_id").as("id"), col("phash"),
+      explode(array((0 until segments).map(s =>
+        struct(lit(s).as("seg"),
+          shiftright(col("phash"), s * segBits).bitwiseAND(mask).as("key"))): _*)).as("sk"))
+      .select(col("id"), col("phash"),
+        col("sk.seg").as("seg"), col("sk.key").as("key"))
+    seg.as("l").hint("shuffle_hash").join(seg.as("r"), Seq("seg", "key"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -845,7 +845,21 @@ object Pipeline {
         Multimodal.syntheticMedia(s, docs(s, dir)))
         .toDF()
         .select(col("media_id"), col("kind"), col("frames_sampled"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    // perceptual-hash image dedup over REAL decoded pixels: textured
+    // PNGs, ids<50 cloned byte-identically (+1e6) and ids 50-99 cloned
+    // with a uniform +8 brightness shift (+2e6 — same picture, different
+    // bytes, invisible to exact dedup; pHash excludes the DC coefficient
+    // so the shift moves ZERO signature bits). Segment-blocked pairs at
+    // hamming<=2; ground truth is the planted pair set (measured: every
+    // planted pair at hamming 0, no natural collisions — decorrelated
+    // SplitMix textures)
+    "multimodal_phash_dups" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.phashHashes(Multimodal.phashMedia(s, docs(s, dir))),
+        maxDist = 2)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b"))
   )
 
   // ---------- oracle SQL ----------
@@ -1411,6 +1425,13 @@ object Pipeline {
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |CAST(CASE WHEN doc_id % 3 = 2 THEN greatest(1, CAST(doc_id % 30 AS INTEGER)) ELSE 1 END AS INTEGER) AS frames_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_phash_dups" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents WHERE doc_id < 50
+        |UNION ALL
+        |SELECT doc_id AS id_a, doc_id + 2000000 AS id_b
+        |FROM documents WHERE doc_id >= 50 AND doc_id < 100
+        |ORDER BY id_a, id_b""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

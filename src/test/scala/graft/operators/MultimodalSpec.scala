@@ -175,4 +175,40 @@ class MultimodalSpec extends SparkSpec {
     // no upscaling: outputs never exceed inputs
     assert(plan.forall(r => r.getInt(4) <= math.max(r.getInt(2), 1)))
   }
+
+  test("phash: brightness-shift invariant (DC excluded), id-decorrelated") {
+    def hashOf(id: Long, shift: Int = 0): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.Phash.encodeTexturedPng(id, shift)))
+      Multimodal.Phash.phash64(img)
+    }
+    // uniform brightness shift moves ZERO bits — the pHash property that
+    // catches re-graded duplicates exact dedup misses
+    for (id <- Seq(1L, 7L, 42L); s <- Seq(4, 8, 55))
+      assert(hashOf(id) == hashOf(id, s), s"id=$id shift=$s")
+    // distinct ids decorrelate: hamming far from 0 (63 comparable bits,
+    // exactly 31 set each -> random overlap ~ 15; assert > 8)
+    val ids = (0L until 20L).map(i => i -> hashOf(i)).toMap
+    for (a <- 0L until 20L; b <- (a + 1) until 20L) {
+      val d = java.lang.Long.bitCount(ids(a) ^ ids(b))
+      assert(d > 8, s"ids $a,$b hamming $d")
+    }
+    // clipping guard: shifts that could clip are rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.Phash.encodeTexturedPng(1L, shift = 56))
+  }
+
+  test("phashPairs: planted exact + brightness clones surface, nothing else") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = Multimodal.phashPairs(
+      Multimodal.phashHashes(Multimodal.phashMedia(spark, docs)), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = docs.count().toInt
+    val expected = ((0L until math.min(50, n).toLong).map(i => (i, i + 1000000L)) ++
+      (50L until math.min(100, n).toLong).map(i => (i, i + 2000000L))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expected, s"got ${pairs.length}")
+    // every planted pair is hamming 0 — byte-clones trivially, shifted
+    // clones because the shift lives entirely in the excluded DC term
+    assert(pairs.forall(_._3 == 0), pairs.filter(_._3 != 0).mkString(","))
+  }
 }
