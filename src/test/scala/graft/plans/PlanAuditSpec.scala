@@ -165,4 +165,40 @@ class PlanAuditSpec extends SparkSpec {
         .groupBy(identity).exists(_._2.size > 1),
       s"no exchange/stage reuse found in the minhash self-join plan\n$plan")
   }
+
+  test("duplicated-span detection: equi-semi-join on gram fingerprints, both windows share one sort") {
+    val plan = finalPlan(q("dedup_substring_spans"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    // gaps-and-islands: lag + running sum are both (id, pos)-ordered —
+    // ONE Window sort, not two (Spark collapses compatible windows)
+    assert("\\bSort \\[id".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("DSIR: the bucket-score model joins back as a BROADCAST (tiny-model property)") {
+    val plan = finalPlan(q("sample_dsir"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // selection is top-N, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("incremental dedup: the store side is a plain parquet scan (no historical re-shingle)") {
+    val plan = finalPlan(q("dedup_incremental_hits"))
+    // exactly one WordShingles evaluation subtree: the NEW batch's; the
+    // store contributes only a parquet scan of (id, band, bkey)
+    assert("wordshingles".r.findAllIn(plan.toLowerCase).size <= 1, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pHash pairs: segment self-join reuses the hash exchange") {
+    val plan = finalPlan(q("multimodal_phash_dups"))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+        .groupBy(identity).exists(_._2.size > 1),
+      s"no exchange/stage reuse found in the phash self-join plan\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
