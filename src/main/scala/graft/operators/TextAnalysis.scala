@@ -130,4 +130,77 @@ object TextAnalysis {
       qualityScore(t).as("quality"),
       topGramFrac(t, 2).as("top_bigram_frac"))
   }
+
+  /** N-gram language-model quality scoring — the CCNet/LLaMA filter
+    * shape (train a small LM on a trusted target domain, score the raw
+    * corpus by per-token log-probability, cut the worst tail). The model
+    * is a BIGRAM LM with STUPID BACKOFF (Brants et al. 2007 — the
+    * backoff used at web scale precisely because it needs no discounting
+    * state):
+    *
+    *   S(w2 | w1) = c(w1 w2)/c(w1)            if the bigram was seen
+    *              = 0.4 · (c(w2)+1)/(T+V)     otherwise (add-1 unigram)
+    *
+    * over target-corpus counts (rows where `targetCol` is true; T =
+    * target tokens, V = target vocab). A doc's score is its bigrams'
+    * mean log-probability — higher = more target-like; threshold the
+    * low tail to cut gibberish the way CCNet buckets perplexity.
+    *
+    * Engine-portable determinism (the [[Sampling.dsirWeights]] trick):
+    * each MODEL row's log-probability quantizes to integer micro-nats,
+    * so every per-doc aggregate is an integer sum + one IEEE division —
+    * summation-order-independent and recomputed exactly by the DuckDB
+    * oracle. The mean is floored to micro-nats (`lm_micro_avg`) rather
+    * than decimal-rounded: floor of an IEEE quotient is unambiguous
+    * across engines where round-half behavior at the last printed digit
+    * is not.
+    *
+    * Scale shape: the MODEL (per-bigram scores + per-word backoff
+    * scores) is target-vocab-bounded — built with two count shuffles,
+    * ln applied on model-sized tables, never per doc-position; the raw
+    * corpus's bigrams then LEFT-join the two score tables (shuffle-hash;
+    * AQE broadcasts when the model is small, the common case) and one
+    * keyed shuffle aggregates per doc. Returns (id, n_bigrams,
+    * lm_micro_sum, lm_micro_avg); docs with fewer than 2 tokens have no
+    * bigrams and are absent. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              targetCol: String): DataFrame = {
+    val reserved = Seq("__b", "__w1", "__w2", "__tgt")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"lmScore: ${reserved.mkString("/")} are reserved")
+    val toks = df.select(col(idCol).as("id"),
+      col(targetCol).cast("boolean").as("__tgt"),
+      graft.functions.WordGrams(col(textCol), 1).as("us"),
+      graft.functions.WordGrams(col(textCol), 2).as("bs"))
+    val cu = toks.filter(col("__tgt")).select(explode(col("us")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum("cu").as("t"), count(lit(1)).as("v"))
+    val cb = toks.filter(col("__tgt")).select(explode(col("bs")).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("cb"))
+    // ln on MODEL-sized tables: per observed bigram, per target word
+    val bigramScore = cb
+      .withColumn("__w1", substring_index(col("__b"), " ", 1))
+      .join(cu.withColumnsRenamed(Map("w" -> "__w1")), "__w1")
+      .select(col("__b"),
+        round(log(col("cb").cast("double") / col("cu")) * 1e6)
+          .cast("long").as("s_b"))
+    val backoff = cu.crossJoin(broadcast(tot))
+      .select(col("w").as("__w2"),
+        round(log(lit(0.4) * (col("cu") + 1) / (col("t") + col("v"))) * 1e6)
+          .cast("long").as("s_w"))
+    val dflt = tot.select(
+      round(log(lit(0.4) / (col("t") + col("v"))) * 1e6)
+        .cast("long").as("s_d"))
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.WordGrams(col(textCol), 2)).as("__b"))
+      .join(bigramScore.hint("shuffle_hash"), Seq("__b"), "left_outer")
+      .withColumn("__w2", substring_index(col("__b"), " ", -1))
+      .join(backoff.hint("shuffle_hash"), Seq("__w2"), "left_outer")
+      .crossJoin(broadcast(dflt))
+      .select(col("id"), coalesce(col("s_b"), col("s_w"), col("s_d")).as("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("lm_micro_sum"))
+      .withColumn("lm_micro_avg",
+        floor(col("lm_micro_sum").cast("double") / col("n_bigrams")).cast("long"))
+  }
 }

@@ -121,6 +121,16 @@ object Pipeline {
         .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(50)),
+    // CCNet/LLaMA-style LM quality filter: a stupid-backoff bigram LM
+    // trained on the lang='en' slice scores every doc's mean token
+    // log-probability (integer micro-nats — the DSIR quantization trick,
+    // so DuckDB recomputes count → backoff → integer-sum end-to-end);
+    // the low tail is the gibberish a perplexity filter cuts
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(
+        docs(s, dir).withColumn("is_tgt", col("lang") === "en"),
+        "doc_id", "text", "is_tgt")
+        .orderBy("id")),
 
     // The SQL scalar-kernel surface (graft.sql.GraftSql): the reference's
     // UX is SQL-first, so the text kernels are callable from pure SQL —
@@ -1030,6 +1040,36 @@ object Pipeline {
       s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
          |FROM (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id AS id, lang = 'en' AS tgt,
+         |                     string_split($norm, ' ') AS arr FROM documents),
+         |cu AS (SELECT w, count(*) AS c
+         |       FROM (SELECT unnest(arr) AS w FROM toks WHERE tgt) GROUP BY w),
+         |tot AS (SELECT sum(c) AS t, count(*) AS v FROM cu),
+         |cb AS (SELECT b, count(*) AS c FROM (
+         |       SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |              i -> array_to_string(arr[i:i+1], ' '))) AS b
+         |       FROM toks WHERE tgt AND len(arr) >= 2) GROUP BY b),
+         |bsc AS (SELECT cb.b,
+         |        CAST(round(ln(CAST(cb.c AS DOUBLE) / cu.c) * 1000000) AS BIGINT) AS s_b
+         |        FROM cb JOIN cu ON string_split(cb.b, ' ')[1] = cu.w),
+         |wsc AS (SELECT w,
+         |        CAST(round(ln(0.4 * (c + 1) / (t + v)) * 1000000) AS BIGINT) AS s_w
+         |        FROM cu, tot),
+         |dflt AS (SELECT CAST(round(ln(0.4 / (t + v)) * 1000000) AS BIGINT) AS s_d
+         |         FROM tot),
+         |docB AS (SELECT id,
+         |         unnest(list_transform(generate_series(1, len(arr) - 1),
+         |                i -> array_to_string(arr[i:i+1], ' '))) AS b
+         |         FROM toks WHERE len(arr) >= 2),
+         |scored AS (SELECT d.id, coalesce(b.s_b, w.s_w, dflt.s_d) AS s
+         |           FROM docB d
+         |           LEFT JOIN bsc b ON d.b = b.b
+         |           LEFT JOIN wsc w ON string_split(d.b, ' ')[2] = w.w
+         |           CROSS JOIN dflt)
+         |SELECT id, count(*) AS n_bigrams, sum(s) AS lm_micro_sum,
+         |       CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS lm_micro_avg
+         |FROM scored GROUP BY id ORDER BY id""".stripMargin,
     "sql_fn_kernels" ->
       s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
          |b AS (SELECT doc_id,

@@ -119,4 +119,30 @@ class TextAnalysisSpec extends SparkSpec {
       "doc_id", "n_chars", "n_tokens", "n_subwords", "fingerprint", "lang_pred",
       "quality", "top_bigram_frac"))
   }
+
+  test("lmScore: target-like docs outrank gibberish; backoff ladder holds") {
+    // target LM speaks "the cat sat..." bigrams; doc 10 repeats SEEN
+    // bigrams (high prob), doc 11 uses seen WORDS in unseen order
+    // (unigram backoff), doc 12 is fully out-of-vocabulary (default
+    // backoff) — the score must strictly decrease down that ladder.
+    val df = Seq(
+      (0L, "the cat sat on the mat", true),
+      (1L, "the cat ran to the mat", true),
+      (10L, "the cat sat on the mat", false),
+      (11L, "mat the on cat sat the", false),
+      (12L, "zyx wvu tsr qpo nml kji", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val got = TextAnalysis.lmScore(df, "doc_id", "text", "is_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(10L) > got(11L), got.toString)
+    assert(got(11L) > got(12L), got.toString)
+    // every doc with >= 2 tokens is scored; bigram counts are n-1
+    val n = TextAnalysis.lmScore(df, "doc_id", "text", "is_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n.values.toSet == Set(5L), n.toString)
+    // deterministic across runs (integer micro-nat algebra)
+    val again = TextAnalysis.lmScore(df, "doc_id", "text", "is_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == again)
+  }
 }
