@@ -802,6 +802,38 @@ object Pipeline {
         .select(col("doc_id"), col("n_dups"))
         .orderBy("doc_id")),
 
+    // v3 of the composite pipeline: the MODERN rule stack end-to-end —
+    // Gopher/C4 gates (quality + language + repetition, per-row codegen),
+    // a CCNet-style LM-perplexity gate (stupid-backoff bigram LM trained
+    // on the lang='en' slice; docs below -3.45 mean nats cut — ~34% of
+    // the fixture corpus; un-scoreable <2-token docs cut too), a Lee et
+    // al. duplicated-span budget gate (docs >50% corpus-duplicated
+    // tokens cut), then exact dedup. The aux scores join KEYED on doc_id
+    // (each is one extra shuffle over per-doc rows, never row-multiplying)
+    "pipeline_clean_corpus_v3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("lm_micro_avg"))
+      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("langp", TextAnalysis.langId(col("text")))
+        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
+        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
+          col("rep") <= 0.2)
+        .join(lm, Seq("doc_id"), "left_outer")
+        .filter(col("lm_micro_avg") >= -3450000L)
+        .join(dupF, "doc_id")
+        .filter(col("dup_frac") <= 0.5)
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizePlan(
@@ -1403,6 +1435,72 @@ object Pipeline {
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin
     },
+    "pipeline_clean_corpus_v3" ->
+      s"""WITH toks AS (SELECT doc_id, lang, text, string_split($norm, ' ') AS arr
+         |              FROM documents),
+         |b AS (SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 1)),
+         |             i -> array_to_string(arr[i:i+1], ' '))) AS g
+         |      FROM toks),
+         |bc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM b GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |bb AS (SELECT doc_id,
+         |       unnest(list_transform(generate_series(1, len(arr) - 1),
+         |              i -> array_to_string(arr[i:i+1], ' '))) AS bg
+         |       FROM toks WHERE len(arr) >= 2),
+         |cu AS (SELECT w, count(*) AS c
+         |       FROM (SELECT unnest(arr) AS w FROM toks WHERE lang = 'en') GROUP BY w),
+         |tot AS (SELECT sum(c) AS t, count(*) AS v FROM cu),
+         |cb AS (SELECT bg, count(*) AS c FROM bb
+         |       JOIN (SELECT doc_id FROM documents WHERE lang = 'en') e USING (doc_id)
+         |       GROUP BY bg),
+         |bsc AS (SELECT cb.bg,
+         |        CAST(round(ln(CAST(cb.c AS DOUBLE) / cu.c) * 1000000) AS BIGINT) AS s_b
+         |        FROM cb JOIN cu ON string_split(cb.bg, ' ')[1] = cu.w),
+         |wsc AS (SELECT w,
+         |        CAST(round(ln(0.4 * (c + 1) / (t + v)) * 1000000) AS BIGINT) AS s_w
+         |        FROM cu, tot),
+         |dflt AS (SELECT CAST(round(ln(0.4 / (t + v)) * 1000000) AS BIGINT) AS s_d
+         |         FROM tot),
+         |lmsc AS (SELECT d.doc_id,
+         |         CAST(floor(CAST(sum(coalesce(bs.s_b, ws.s_w, dflt.s_d)) AS DOUBLE)
+         |                    / count(*)) AS BIGINT) AS lm_avg
+         |         FROM bb d
+         |         LEFT JOIN bsc bs ON d.bg = bs.bg
+         |         LEFT JOIN wsc ws ON string_split(d.bg, ' ')[2] = ws.w
+         |         CROSS JOIN dflt
+         |         GROUP BY d.doc_id),
+         |pg AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 7)) AS pos, arr
+         |       FROM toks WHERE len(arr) >= 8),
+         |grams8 AS (SELECT doc_id, pos, array_to_string(arr[pos:pos+7], ' ') AS gram FROM pg),
+         |dupg AS (SELECT gram FROM grams8 GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT g.doc_id, g.pos FROM grams8 g JOIN dupg USING (gram)),
+         |lag_ AS (SELECT doc_id, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
+         |brk_ AS (SELECT doc_id, pos,
+         |         CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk FROM lag_),
+         |isl_ AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                            ROWS UNBOUNDED PRECEDING) AS island FROM brk_),
+         |spans AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_words
+         |          FROM isl_ GROUP BY doc_id, island),
+         |fr AS (SELECT t.doc_id,
+         |       round(CAST(coalesce(s.dw, 0) AS DOUBLE) / len(t.arr), 6) AS dup_frac
+         |       FROM toks t
+         |       LEFT JOIN (SELECT doc_id, sum(span_words) AS dw FROM spans GROUP BY doc_id) s
+         |       USING (doc_id)),
+         |kept AS (SELECT d.doc_id, d.text
+         |  FROM documents d
+         |  JOIN bc USING (doc_id)
+         |  JOIN lmsc USING (doc_id)
+         |  JOIN fr USING (doc_id)
+         |  WHERE ($qualitySql) >= 0.5 AND ($langIdSql) = 'en' AND bc.rep <= 0.2
+         |    AND lmsc.lm_avg >= -3450000 AND fr.dup_frac <= 0.5)
+         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM kept
+         |GROUP BY md5($norm)
+         |ORDER BY doc_id""".stripMargin,
     // the planted-parameter reconstruction of the REAL decodes: kind by
     // doc_id % 3; images carry a (doc_id%8+2) x (doc_id%5+2) solid-color
     // PNG with channels (doc_id%256, doc_id*7%256, doc_id*13%256); audio
