@@ -230,6 +230,16 @@ object GraftSql {
         graft.functions.SimHashText(shim.expression(c)))),
       textInt("graft_top_gram_frac", (e, n) => graft.functions.TopGramFrac(e, n)),
       textInt("graft_shingles", (e, n) => graft.functions.WordShingles(e, n)),
+      textInt("graft_word_grams", (e, n) => graft.functions.WordGrams(e, n)),
+      (FunctionIdentifier("graft_zvalue"),
+        new ExpressionInfo(GraftSql.getClass.getName, "graft_zvalue"),
+        (args: Seq[Expression]) => {
+          if (args.length != 3)
+            throw new IllegalArgumentException("graft_zvalue(<a>, <b>, <bits>)")
+          shim.resolvedExpression(graft.operators.Layout.zValue(
+            shim.column(args.head), shim.column(args(1)),
+            intArg("graft_zvalue", args(2))))
+        }),
       (FunctionIdentifier("graft_winnow"),
         new ExpressionInfo(GraftSql.getClass.getName, "graft_winnow"),
         (args: Seq[Expression]) => {

@@ -193,6 +193,18 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("LM scoring: ln on model-sized tables only, no nested-loop joins") {
+    val plan = finalPlan(q("text_lm_score"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the two CROSS JOINs are the 1-row totals/default — broadcast only
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    // corpus text is scanned for: unigram counts, bigram counts, doc
+    // bigrams — the model passes; anything above 3 means a lost reuse
+    assert(scans <= 3, s"$scans corpus scans\n$plan")
+    assert(bnlj <= 2, s"$bnlj BNLJ (only 1-row totals broadcasts expected)\n$plan")
+  }
+
   test("pHash pairs: segment self-join reuses the hash exchange") {
     val plan = finalPlan(q("multimodal_phash_dups"))
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||

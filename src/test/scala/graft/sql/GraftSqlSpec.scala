@@ -165,6 +165,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("round-8 kernels from SQL: positional grams and Z-values match the API") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "a b c d", 3, 5), (2L, "x y", 1023, 0))
+      .toDF("id", "text", "pk", "sk").createOrReplaceTempView("t_r8")
+    val viaSql = s.sql(
+      """SELECT id, graft_word_grams(text, 2) AS gs,
+        |graft_zvalue(pk, sk, 10) AS z
+        |FROM t_r8 ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    val viaApi = s.table("t_r8").select(col("id"),
+      graft.functions.WordGrams(col("text"), 2).as("gs"),
+      graft.operators.Layout.zValue(col("pk"), col("sk"), 10).as("z"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    val e = intercept[Exception](
+      s.sql("SELECT graft_zvalue(pk, sk) FROM t_r8").collect())
+    assert(e.getMessage.contains("graft_zvalue(<a>, <b>, <bits>)"), e.getMessage)
+  }
+
   test("sketch aggregates are callable from SQL and match the Scala API") {
     val s = registered()
     import s.implicits._
