@@ -128,6 +128,41 @@ object Demo {
       .select("user_id").collect().map(_.getLong(0))
     println(s"sessions: ${sess.length} across ${sess.distinct.length} users")
 
+    println("=== duplicated-substring spans (suffix-array dedup, shuffle-native) ===")
+    graft.operators.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("id", "span_start").show(5, false)
+
+    println("=== DSIR selection + LM scoring (target = lang 'en') ===")
+    val tagged = docs.withColumn("is_tgt", col("lang") === "en")
+    val picked = graft.operators.Sampling.dsirSelect(
+      tagged, "doc_id", "text", "is_tgt", topN = 20).collect()
+    println(s"DSIR top-20 ids: ${picked.take(5).map(_.getLong(0)).mkString(", ")}, ...")
+    graft.operators.TextAnalysis.lmScore(tagged, "doc_id", "text", "is_tgt")
+      .orderBy("lm_micro_avg").show(3, false)
+
+    println("=== incremental dedup: persisted signature store ===")
+    val storeDir = java.nio.file.Files.createTempDirectory("demo_mh_store_")
+    try {
+      val bands = storeDir.resolve("bands").toString
+      graft.operators.Dedup.minhashStoreWrite(
+        docs.select("doc_id", "text"), "doc_id", "text", bands)
+      val batch = docs.select("doc_id", "text").filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val inc = graft.operators.Dedup.minhashStoreCandidates(
+        batch, "doc_id", "text", bands).count()
+      println(s"new-batch candidates vs reloaded store: $inc")
+    } finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(storeDir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => { Files.deleteIfExists(p); () })
+    }
+
+    println("=== perceptual-hash image dedup (real decoded pixels) ===")
+    val phashDups = graft.operators.Multimodal.phashPairs(
+      graft.operators.Multimodal.phashHashes(
+        graft.operators.Multimodal.phashMedia(spark, docs)), maxDist = 2)
+    println(s"pHash duplicate pairs (exact + brightness-shifted clones): ${phashDups.count()}")
+
     spark.stop()
   }
 }
