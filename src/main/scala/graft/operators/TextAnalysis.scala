@@ -131,6 +131,25 @@ object TextAnalysis {
       topGramFrac(t, 2).as("top_bigram_frac"))
   }
 
+  /** ENGINE-PORTABLE HyperLogLog sketch of distinct normalized texts:
+    * 256 registers keyed by the md5 fingerprint's first byte, register
+    * value = max over rows of (1 + leading zero hex digits of the
+    * remaining fingerprint) — a base-16 geometric rank (P(rank ≥ k) =
+    * 16^−(k−1)) built entirely from md5, so DuckDB computes the
+    * identical 256-row integer table (engine-native
+    * `approx_count_distinct` sketches can never hash-match). Map-side
+    * partial MAX caps the shuffle at 256 rows per task at any corpus
+    * size; sketches of disjoint shards MERGE by element-wise max
+    * (spec-pinned) — cross-shard cardinality for free. Returns
+    * (bucket, max_rank). */
+  def hllSketch(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(normalized(col(textCol))).as("__h"))
+      .select(
+        conv(substring(col("__h"), 1, 2), 16, 10).cast("int").as("bucket"),
+        (length(regexp_extract(substring(col("__h"), 3, 30), "^0*", 0)) + 1)
+          .as("max_rank"))
+      .groupBy("bucket").agg(max("max_rank").as("max_rank"))
+
   /** N-gram language-model quality scoring — the CCNet/LLaMA filter
     * shape (train a small LM on a trusted target domain, score the raw
     * corpus by per-token log-probability, cut the worst tail). The model

@@ -121,6 +121,19 @@ object Pipeline {
         .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(50)),
+    // ENGINE-PORTABLE HyperLogLog sketch of distinct documents (the
+    // md5-portable pattern applied to cardinality sketching): bucket =
+    // the fingerprint's first byte (256 registers), rank = 1 + leading
+    // zero HEX DIGITS of the rest (base-16 geometric — P(rank>=k) =
+    // 16^-(k-1)); register value = MAX rank. The whole sketch is a
+    // 256-row INTEGER table both engines compute identically — unlike
+    // approx_count_distinct, whose engine-specific hashes can never
+    // hash-match. Map-side partial MAX means the shuffle carries at most
+    // 256 rows per task regardless of corpus size, and sketches MERGE by
+    // element-wise max (spec-pinned) — the property that makes
+    // cross-shard cardinality free at 100 TB.
+    "corpus_hll_sketch" -> ((s, dir) =>
+      TextAnalysis.hllSketch(docs(s, dir), "text").orderBy("bucket")),
     // CCNet/LLaMA-style LM quality filter: a stupid-backoff bigram LM
     // trained on the lang='en' slice scores every doc's mean token
     // log-probability (integer micro-nats — the DSIR quantization trick,
@@ -1072,6 +1085,13 @@ object Pipeline {
       s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
          |FROM (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "corpus_hll_sketch" ->
+      s"""WITH h AS (SELECT md5($norm) AS h FROM documents),
+         |r AS (SELECT ('0x' || substring(h, 1, 2))::INT AS bucket,
+         |             length(regexp_extract(substring(h, 3), '^0*')) + 1 AS rank
+         |      FROM h)
+         |SELECT bucket, max(rank) AS max_rank FROM r
+         |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "text_lm_score" ->
       s"""WITH toks AS (SELECT doc_id AS id, lang = 'en' AS tgt,
          |                     string_split($norm, ' ') AS arr FROM documents),

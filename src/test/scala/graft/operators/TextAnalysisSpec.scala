@@ -120,6 +120,24 @@ class TextAnalysisSpec extends SparkSpec {
       "quality", "top_bigram_frac"))
   }
 
+  test("hllSketch: shard sketches merge by element-wise max; duplicates free") {
+    val all = (0L until 400L).map(i => (i, s"document number $i unique body"))
+    val df = all.toDF("doc_id", "text")
+    def sk(d: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      TextAnalysis.hllSketch(d, "text").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val whole = sk(df)
+    val left = sk(df.filter(col("doc_id") < 200))
+    val right = sk(df.filter(col("doc_id") >= 200))
+    // merge = element-wise max over the union of registers
+    val merged = (left.keySet ++ right.keySet).map(b =>
+      b -> math.max(left.getOrElse(b, 0), right.getOrElse(b, 0))).toMap
+    assert(merged == whole, "shard merge != whole-corpus sketch")
+    // duplicates never move a register (cardinality, not count)
+    val dup = sk(df.union(df))
+    assert(dup == whole, "duplicated corpus changed the sketch")
+  }
+
   test("lmScore: target-like docs outrank gibberish; backoff ladder holds") {
     // target LM speaks "the cat sat..." bigrams; doc 10 repeats SEEN
     // bigrams (high prob), doc 11 uses seen WORDS in unseen order
