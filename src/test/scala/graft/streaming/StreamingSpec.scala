@@ -314,4 +314,56 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(exact),
       "streamed-index IVF top-10 differs from brute force")
   }
+
+  test("streaming incremental dedup: batches gate against the store, survivors append") {
+    // the streaming face of the persisted-signature-store lifecycle:
+    // each micro-batch is deduped against the STORE AS OF ITS TRIGGER
+    // (duplicates of stored docs drop; within-batch clones of new docs
+    // drop by keep-min-id) and the survivors' bands APPEND — so a clone
+    // arriving in a LATER batch is caught by its original's appended
+    // signature without any historical text being re-read.
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("stream_mh").toFile.getAbsolutePath
+    val bands = s"$dir/bands"
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a completely different historical document body goes right here")
+    ).toDF("doc_id", "text")
+    Dedup.minhashStoreWrite(base, "doc_id", "text", bands)
+
+    val input = MemoryStream[(Long, String)]
+    val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDS.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hits = Dedup.minhashStoreCandidates(batch, "doc_id", "text", bands)
+          .select("new_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val keep = batch.filter(!col("doc_id").isin(hits.toSeq: _*))
+        survivors ++= keep.collect().map(_.getLong(0))
+        Dedup.minhashStoreAppend(keep, "doc_id", "text", bands)
+        ()
+      }
+      .start()
+    try {
+      // batch 1: one dup of stored doc 1, one novel doc 100
+      input.addData(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (100L, "an entirely novel streaming document with fresh content inside")))
+      q.processAllAvailable()
+      // batch 2: a clone of batch-1's NOVEL doc — caught only because
+      // doc 100's bands were appended at the previous trigger
+      input.addData(Seq(
+        (200L, "an entirely novel streaming document with fresh content inside"),
+        (201L, "yet another unrelated document streaming in at the very end")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(survivors.toSet == Set(100L, 201L), survivors.toString)
+    // the store now answers for base + both surviving generations
+    val next = Seq((300L, "yet another unrelated document streaming in at the very end"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.minhashStoreCandidates(next, "doc_id", "text", bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit == Set((300L, 201L)), hit.toString)
+  }
 }
