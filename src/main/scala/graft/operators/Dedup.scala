@@ -638,6 +638,40 @@ object Dedup {
       .distinct()
   }
 
+  /** The REMEDIATION over [[duplicatedSpans]] — Lee et al. cut the
+    * duplicated SPANS, not the documents: every token inside a
+    * corpus-duplicated span is removed and the remainder re-joined, so
+    * boilerplate vanishes while each doc's unique content survives.
+    * Tokens anti-join the span table on (id, pos ∈ [start, end]) — an
+    * id-equi join with a per-row range filter, never a cross product —
+    * and reassemble via `array_sort(collect_list(struct(pos, tok)))`
+    * (order restored by the struct's leading pos field, independent of
+    * partitioning). Docs whose EVERY token is duplicated come back with
+    * empty `clean_text` (n_kept 0) rather than vanishing. Returns
+    * (id, n_kept, clean_text) over the normalized tokenization. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k)
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(TextAnalysis.normalized(col(textCol)), " ", -1))
+          .as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("tok"))
+    val kept = toks.as("t")
+      .join(spans.as("s"),
+        col("t.id") === col("s.id") &&
+          col("t.pos").between(col("s.span_start"), col("s.span_end")),
+        "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("id"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Per-document duplicated-text budget from [[duplicatedSpans]]: the
     * fraction of each doc's tokens covered by corpus-duplicated spans —
     * the number Lee et al. threshold to pick which documents (or spans)

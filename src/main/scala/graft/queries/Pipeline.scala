@@ -478,6 +478,13 @@ object Pipeline {
     "dedup_substring_frac" -> ((s, dir) =>
       Dedup.duplicatedSpanFrac(docs(s, dir), "doc_id", "text", k = 8)
         .orderBy("id")),
+    // the REMEDIATION: cut the duplicated spans themselves (Lee et al.
+    // remove spans, not documents) — boilerplate vanishes, unique
+    // content survives; fully-duplicated docs come back empty, not
+    // missing. DuckDB reassembles via string_agg(... ORDER BY pos)
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir), "doc_id", "text", k = 8)
+        .orderBy("id")),
 
     // ---- similarity search over embeddings
     "emb_cosine_topk" -> ((s, dir) =>
@@ -1369,6 +1376,22 @@ object Pipeline {
       s"""$dupSpansCte
          |SELECT id, span_start, span_end, span_words FROM spans
          |ORDER BY id, span_start""".stripMargin,
+    "dedup_substring_clean" ->
+      s"""$dupSpansCte,
+         |toks2 AS (SELECT id, arr[pos] AS tok, pos FROM
+         |          (SELECT id, arr, unnest(generate_series(1, len(arr))) AS pos
+         |           FROM toks)),
+         |kept AS (SELECT k.id, k.pos, k.tok FROM toks2 k
+         |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |               WHERE s.id = k.id
+         |                 AND k.pos BETWEEN s.span_start AND s.span_end)),
+         |agg AS (SELECT id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY id)
+         |SELECT d.doc_id AS id, coalesce(a.n_kept, 0) AS n_kept,
+         |       coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+         |ORDER BY id""".stripMargin,
     "dedup_substring_frac" ->
       s"""$dupSpansCte,
          |spansum AS (SELECT id, sum(span_words) AS dup_words FROM spans GROUP BY id),

@@ -163,6 +163,25 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, 1, 6, 6)), got.toSeq.toString)
   }
 
+  test("removeDuplicatedSpans cuts the spans, keeps unique content, never loses docs") {
+    val df = Seq(
+      (1L, "a one two three four five b c"),
+      (2L, "one two three four five q r s"),
+      (3L, "fully unique text with nothing repeated anywhere at all"),
+      (4L, "one two three four five"),   // entirely duplicated
+      (5L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(df, "doc_id", "text", k = 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got(0) == (1L, 3L, "a b c"), got(0).toString)
+    assert(got(1) == (2L, 3L, "q r s"), got(1).toString)
+    assert(got(2)._2 == 9L, got(2).toString)          // untouched
+    // fully-duplicated docs come back EMPTY, not missing
+    assert(got(3) == (4L, 0L, ""), got(3).toString)
+    assert(got(4) == (5L, 0L, ""), got(4).toString)
+  }
+
   test("duplicatedSpanFrac covers every doc; zero for clean docs") {
     val df = Seq(
       (1L, "one two three four five"),
