@@ -48,4 +48,24 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Persist `df` BUCKETED by `keyCol` into `buckets` buckets as a
+    * managed table — the storage layout that makes repeated equi-joins
+    * and aggregations on the key SHUFFLE-FREE: two tables bucketed the
+    * same way join bucket-to-bucket with no Exchange on either side
+    * (LayoutSpec pins the executed plan), which at 100 TB is the
+    * difference between re-shuffling the corpus per query and never
+    * shuffling it again. Pre-sorting within buckets additionally hands
+    * sort-merge joins their order for free. This is `bucketBy`, not
+    * `partitionBy`: buckets hash-split WITHIN files (high-cardinality
+    * keys stay at a fixed file count), partitions are directories (for
+    * low-cardinality pruning — the [[graft.operators.Ivf]] cell
+    * layout). */
+  def bucketWrite(df: DataFrame, table: String, keyCol: String,
+                  buckets: Int = 16): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -157,6 +157,15 @@ object Demo {
         .forEach((p: Path) => { Files.deleteIfExists(p); () })
     }
 
+    println("=== bucketed layout: co-located keyed work, no re-shuffle ===")
+    try {
+      graft.operators.Layout.bucketWrite(
+        docs.select("doc_id", "source"), "demo_docs_bucketed", "doc_id", buckets = 8)
+      val n = spark.table("demo_docs_bucketed")
+        .groupBy("doc_id").count().count()
+      println(s"bucketed table groupBy(doc_id) rows: $n (plan shuffle-free)")
+    } finally spark.sql("DROP TABLE IF EXISTS demo_docs_bucketed")
+
     println("=== perceptual-hash image dedup (real decoded pixels) ===")
     val phashDups = graft.operators.Multimodal.phashPairs(
       graft.operators.Multimodal.phashHashes(

@@ -21,6 +21,38 @@ class LayoutSpec extends SparkSpec {
     assert(got((1023, 1023)) == (1L << 20) - 1)
   }
 
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    val docs = (0L until 1000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val scores = (0L until 1000L).map(i => (i, i % 7)).toDF("doc_id", "score")
+    // disable broadcast so the join actually exercises the bucket layout
+    // (a broadcast join would sidestep bucketing on this tiny fixture —
+    // at real scale neither side broadcasts and bucketing is the lever)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Layout.bucketWrite(docs, "ls_docs", "doc_id", buckets = 8)
+      Layout.bucketWrite(scores, "ls_scores", "doc_id", buckets = 8)
+      val joined = spark.table("ls_docs").join(spark.table("ls_scores"), "doc_id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // bucket-to-bucket: a merge join with NO shuffle on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles\n$plan")
+      // keyed aggregation rides the bucketing too
+      val agg = spark.table("ls_docs").groupBy("doc_id").count()
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!aggPlan.contains("Exchange hashpartitioning"),
+        s"bucketed groupBy still shuffles\n$aggPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ls_docs")
+      spark.sql("DROP TABLE IF EXISTS ls_scores")
+    }
+  }
+
   test("z-ordered files bound BOTH dimensions; single-column sort does not") {
     // uniform 64x64 grid; the pruning claim is about per-FILE extents
     val dir = java.nio.file.Files.createTempDirectory("zorder_spec_")
