@@ -1095,7 +1095,13 @@ object Pipeline {
     "corpus_hll_sketch" ->
       s"""WITH h AS (SELECT md5($norm) AS h FROM documents),
          |r AS (SELECT ('0x' || substring(h, 1, 2))::INT AS bucket,
-         |             length(regexp_extract(substring(h, 3), '^0*')) + 1 AS rank
+         |             length(regexp_extract(substring(h, 3), '^0*')) * 4
+         |             + (CASE substring(regexp_replace(substring(h, 3), '^0*', ''), 1, 1)
+         |                WHEN '1' THEN 3
+         |                WHEN '2' THEN 2 WHEN '3' THEN 2
+         |                WHEN '4' THEN 1 WHEN '5' THEN 1
+         |                WHEN '6' THEN 1 WHEN '7' THEN 1
+         |                ELSE 0 END) + 1 AS rank
          |      FROM h)
          |SELECT bucket, max(rank) AS max_rank FROM r
          |GROUP BY bucket ORDER BY bucket""".stripMargin,

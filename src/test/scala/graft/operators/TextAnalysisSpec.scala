@@ -138,6 +138,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dup == whole, "duplicated corpus changed the sketch")
   }
 
+  test("hllEstimate: within tolerance in both regimes, merge-consistent") {
+    def est(n: Int): Long = {
+      val df = (0 until n).map(i => (i.toLong, s"unique document body $i"))
+        .toDF("doc_id", "text")
+      TextAnalysis.hllEstimate(TextAnalysis.hllSketch(df, "text"))
+    }
+    // sparse regime (empty registers -> linear counting): tight
+    val e500 = est(500)
+    assert(math.abs(e500 - 500) < 500 * 0.10, s"est(500) = $e500")
+    // dense regime (classical alpha*m^2/Z): +-1.04/sqrt(256) ~ 6.5%; 3 sigma
+    val e20k = est(20000)
+    assert(math.abs(e20k - 20000) < 20000 * 0.20, s"est(20000) = $e20k")
+    // a merged shard pair estimates like the whole corpus
+    val df = (0 until 4000).map(i => (i.toLong, s"unique document body $i"))
+      .toDF("doc_id", "text")
+    val l = TextAnalysis.hllSketch(df.filter(col("doc_id") < 2000), "text")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val r = TextAnalysis.hllSketch(df.filter(col("doc_id") >= 2000), "text")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val merged = (l.keySet ++ r.keySet).toSeq
+      .map(b => (b, math.max(l.getOrElse(b, 0), r.getOrElse(b, 0))))
+      .toDF("bucket", "max_rank")
+    val whole = TextAnalysis.hllEstimate(TextAnalysis.hllSketch(df, "text"))
+    assert(TextAnalysis.hllEstimate(merged) == whole)
+  }
+
   test("lmScore: target-like docs outrank gibberish; backoff ladder holds") {
     // target LM speaks "the cat sat..." bigrams; doc 10 repeats SEEN
     // bigrams (high prob), doc 11 uses seen WORDS in unseen order
