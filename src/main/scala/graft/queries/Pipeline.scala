@@ -82,6 +82,34 @@ object Pipeline {
           sum(col("toks")).cast("long").as("total_tokens"),
           (sum(col("q")).cast("double") / count(lit(1))).as("mean_quality"))
         .orderBy("lang")),
+    // per-SOURCE corpus health report — the observability face of the
+    // round-8 signals, the table a data-mix owner watches: doc/token
+    // volume, the duplicated-token budget (summed as integers, ONE
+    // division per source — no mean-of-rounded drift), and the LM
+    // quality level (integer micro-nat sums, floored ratio). Every
+    // column is integer algebra or a single IEEE division, so DuckDB
+    // recomputes the whole report
+    "corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val frac = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("dup_words"))
+      val lm = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_micro_sum"))
+      d.select("doc_id", "source")
+        .join(frac, "doc_id")
+        .join(lm, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("dup_words").as("dup_words"),
+          round(sum("dup_words").cast("double") / sum("n_tokens"), 6)
+            .as("dup_frac"),
+          floor(sum("lm_micro_sum").cast("double") /
+            sum("n_bigrams")).cast("long").as("lm_micro_avg"))
+        .orderBy("source")
+    }),
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1092,6 +1120,56 @@ object Pipeline {
       s"""SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
          |FROM (SELECT unnest(string_split($norm, ' ')) AS tok FROM documents)
          |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "corpus_report" ->
+      s"""WITH toks AS (SELECT doc_id, lang, source, string_split($norm, ' ') AS arr
+         |              FROM documents),
+         |pg AS (SELECT doc_id, unnest(generate_series(1, len(arr) - 7)) AS pos, arr
+         |       FROM toks WHERE len(arr) >= 8),
+         |grams8 AS (SELECT doc_id, pos, array_to_string(arr[pos:pos+7], ' ') AS gram FROM pg),
+         |dupg AS (SELECT gram FROM grams8 GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT g.doc_id, g.pos FROM grams8 g JOIN dupg USING (gram)),
+         |lag_ AS (SELECT doc_id, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp),
+         |brk_ AS (SELECT doc_id, pos,
+         |         CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk FROM lag_),
+         |isl_ AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                            ROWS UNBOUNDED PRECEDING) AS island FROM brk_),
+         |spans AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_words
+         |          FROM isl_ GROUP BY doc_id, island),
+         |perdoc AS (SELECT doc_id, sum(span_words) AS dw FROM spans GROUP BY doc_id),
+         |bb AS (SELECT doc_id,
+         |       unnest(list_transform(generate_series(1, len(arr) - 1),
+         |              i -> array_to_string(arr[i:i+1], ' '))) AS bg
+         |       FROM toks WHERE len(arr) >= 2),
+         |cu AS (SELECT w, count(*) AS c
+         |       FROM (SELECT unnest(arr) AS w FROM toks WHERE lang = 'en') GROUP BY w),
+         |tot AS (SELECT sum(c) AS t, count(*) AS v FROM cu),
+         |cb AS (SELECT bg, count(*) AS c FROM bb
+         |       JOIN (SELECT doc_id FROM documents WHERE lang = 'en') e USING (doc_id)
+         |       GROUP BY bg),
+         |bsc AS (SELECT cb.bg,
+         |        CAST(round(ln(CAST(cb.c AS DOUBLE) / cu.c) * 1000000) AS BIGINT) AS s_b
+         |        FROM cb JOIN cu ON string_split(cb.bg, ' ')[1] = cu.w),
+         |wsc AS (SELECT w,
+         |        CAST(round(ln(0.4 * (c + 1) / (t + v)) * 1000000) AS BIGINT) AS s_w
+         |        FROM cu, tot),
+         |dflt AS (SELECT CAST(round(ln(0.4 / (t + v)) * 1000000) AS BIGINT) AS s_d
+         |         FROM tot),
+         |lmdoc AS (SELECT d.doc_id, count(*) AS nb,
+         |          sum(coalesce(bs.s_b, ws.s_w, dflt.s_d)) AS ssum
+         |          FROM bb d
+         |          LEFT JOIN bsc bs ON d.bg = bs.bg
+         |          LEFT JOIN wsc ws ON string_split(d.bg, ' ')[2] = ws.w
+         |          CROSS JOIN dflt
+         |          GROUP BY d.doc_id),
+         |rep AS (SELECT t.doc_id, t.source, len(t.arr) AS nt, coalesce(p.dw, 0) AS dw
+         |        FROM toks t LEFT JOIN perdoc p USING (doc_id))
+         |SELECT r.source, count(*) AS n_docs,
+         |       sum(r.nt) AS n_tokens, sum(r.dw) AS dup_words,
+         |       round(CAST(sum(r.dw) AS DOUBLE) / sum(r.nt), 6) AS dup_frac,
+         |       CAST(floor(CAST(sum(l.ssum) AS DOUBLE) / sum(l.nb)) AS BIGINT) AS lm_micro_avg
+         |FROM rep r LEFT JOIN lmdoc l USING (doc_id)
+         |GROUP BY r.source ORDER BY r.source""".stripMargin,
     "corpus_hll_sketch" ->
       s"""WITH h AS (SELECT md5($norm) AS h FROM documents),
          |r AS (SELECT ('0x' || substring(h, 1, 2))::INT AS bucket,
