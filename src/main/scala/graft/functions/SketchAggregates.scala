@@ -138,6 +138,78 @@ case class SimHashAgg(
     copy(child = c.head)
 }
 
+/** Count-Min Sketch (Cormode & Muthukrishnan 2005): `depth` hash rows ×
+  * `width` counters; row r counts each input at bucket
+  * `floorMod(xxh64(input, seed=r), width)`. Point estimate = min over
+  * rows of the probed counter — an upper bound on the true count that is
+  * exact when no collision lands in ALL rows.
+  *
+  * Pure counting, so the aggregate is ORDER- and PARTITIONING-INDEPENDENT
+  * (unlike Misra-Gries/SpaceSaving, whose state depends on arrival
+  * order) — the right heavy-hitter sketch for a shuffled distributed
+  * scan. Buffer is one primitive long array of depth×width counters;
+  * map-side partial aggregation merges by elementwise add, so the
+  * shuffle carries ≤ one sketch per partition regardless of corpus size.
+  * Output: array<long> of length depth×width, row-major. */
+case class CmsAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, s"CMS depth must be in [1,16], got $depth")
+  require(width >= 2, s"CMS width must be >= 2, got $width")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      var r = 0
+      while (r < depth) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), r)
+        buf(r * width + java.lang.Math.floorMod(h, width.toLong).toInt) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsAgg =
+    copy(child = c.head)
+}
+
 object SketchAggregates {
   /** minhash(col, n): array<long> signature aggregate. */
   def minhash(c: Column, numHashes: Int): Column =
@@ -146,4 +218,29 @@ object SketchAggregates {
   /** simhash(col): 64-bit signature aggregate. */
   def simhash(c: Column): Column =
     shim.column(SimHashAgg(shim.expression(c)).toAggregateExpression())
+
+  /** cms(col, depth, width): count-min sketch aggregate — array<long>
+    * of depth×width counters, row-major. */
+  def cms(c: Column, depth: Int, width: Int): Column =
+    shim.column(CmsAgg(shim.expression(c), depth, width).toAggregateExpression())
+
+  /** Point estimate from a collected [[CmsAgg]] sketch: min over rows of
+    * the probed counter — same seeded XXH64 the executors used. The
+    * sketch IS the bounded summary (depth×width longs); probing it is a
+    * driver-side accessor, not a data-sized action. */
+  def cmsEstimate(sketch: Array[Long], depth: Int, width: Int,
+                  item: String): Long = {
+    require(sketch.length == depth * width,
+      s"sketch length ${sketch.length} != depth*width ${depth * width}")
+    val s = UTF8String.fromString(item)
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), r)
+      val c = sketch(r * width + java.lang.Math.floorMod(h, width.toLong).toInt)
+      if (c < best) best = c
+      r += 1
+    }
+    best
+  }
 }

@@ -180,6 +180,145 @@ object TextAnalysis {
     math.round(est)
   }
 
+  /** Count-Min Sketch of the corpus TOKEN frequency distribution — the
+    * heavy-hitter summary a mixture designer reads before choosing
+    * stop-lists, dedup shingle caps, or vocabulary cuts. One pass, one
+    * [[graft.functions.CmsAgg]] aggregate (map-side partial merge; the
+    * shuffle carries ≤ one depth×width sketch per task); CMS is chosen
+    * over Misra-Gries/SpaceSaving precisely because pure counting is
+    * partitioning-independent — the same sketch on any cluster layout.
+    * Returns one row: (sketch array<long>, n_tokens). Probe with
+    * [[graft.functions.SketchAggregates.cmsEstimate]]. */
+  def cmsSketch(df: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame = {
+    val toks = df.select(explode(split(normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    toks.agg(
+      graft.functions.SketchAggregates.cms(col("tok"), depth, width).as("sketch"),
+      count(lit(1)).as("n_tokens"))
+  }
+
+  /** ENGINE-PORTABLE Count-Min Sketch (the [[hllSketch]] pattern applied
+    * to frequency): row r's bucket for token w is
+    * `md5("r:w")`'s first 8 hex digits mod `width` — pure md5 string
+    * algebra both engines compute identically, so DuckDB recomputes the
+    * whole depth×width counter table and hash-matches it (production
+    * keeps the seeded-XXH64 [[cmsSketch]]). Returns the OBSERVED
+    * (r, bucket, cnt) rows — zero counters carry no information and
+    * omitting them keeps the output ≤ depth×width rows. */
+  def portableCmsSketch(df: DataFrame, textCol: String,
+                        depth: Int = 4, width: Int = 64): DataFrame =
+    cmsBuckets(tokens(df, textCol), depth, width)
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
+  private def tokens(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** md5 bucket of `tok` for each sketch row 0..depth−1, via posexplode —
+    * one Generate node, no join, stays inside whole-stage codegen. */
+  private def cmsBuckets(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks.select(col("*"), posexplode(array((0 until depth).map(r =>
+        (conv(substring(md5(concat(lit(s"$r:"), col("tok"))), 1, 8),
+          16, 10).cast("long") % width)): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "bucket")
+
+  /** Portable CMS point-estimates vs ground truth, over a DETERMINISTIC
+    * probe subset (tokens whose md5 starts with `probePrefix` — the same
+    * hash-sample idiom the ANN training uses). For each probe:
+    * `est` = min over sketch rows of its counter (the CMS estimate),
+    * `exact` = its true count, `overcount` = est − exact (≥ 0 ALWAYS —
+    * the CMS one-sided error guarantee, which the oracle re-proves
+    * row by row). */
+  def portableCmsEstimates(df: DataFrame, textCol: String,
+                           depth: Int = 4, width: Int = 64,
+                           probePrefix: String = "0"): DataFrame = {
+    val sketch = portableCmsSketch(df, textCol, depth, width)
+    val exact = tokens(df, textCol)
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .filter(substring(md5(col("tok")), 1, probePrefix.length) === probePrefix)
+    val probes = cmsBuckets(exact, depth, width)
+    // probes (a ≤1/16 vocabulary hash-sample × depth) join the ≤
+    // depth×width sketch — the sketch side is broadcast by construction
+    probes.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("tok", "exact").agg(min("cnt").as("est"))
+      .select(col("tok"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+  }
+
+  /** TF-IDF top-k characteristic terms per document — the classic
+    * per-document keyword summary (Spärck Jones 1972 idf). Integer-exact
+    * cross-engine: idf is rounded ONCE to micro units
+    * (`round(ln(N/df)·10⁶)`), then score = tf × idf_micro is pure BIGINT
+    * algebra — no accumulated float drift for the oracle to disagree
+    * with. Two shuffles (doc-term tf, term df) + one broadcast of the
+    * vocabulary-sized df table; ties broken by term text so top-k is
+    * deterministic. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n"))
+    val idf = dfreq.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        round(log(col("n").cast("double") / col("df")) * 1e6)
+          .cast("long").as("idf_micro"))
+    val scored = tf.join(broadcast(idf), "tok")
+      .select(col("id"), col("tok"), (col("tf") * col("idf_micro")).as("score_micro"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score_micro").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("id").as(idCol), col("tok").as("term"), col("score_micro"), col("rk"))
+  }
+
+  /** BM25 ranking of the corpus against a fixed query-term set
+    * (Robertson-Walker Okapi BM25, k1/b defaults from the literature).
+    * Scores only documents containing ≥1 query term (the inverted-index
+    * access path: tokens are FILTERED to the broadcast term list before
+    * the tf aggregation, so the shuffle carries query-term postings, not
+    * the corpus). avgdl is an exact integer sum over an exact count —
+    * one deterministic double division; the final score rounds to micro
+    * units once. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topN: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25Rank: empty query-term set")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(normalized(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+    val post = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+    // idf((N−df+0.5)/(df+0.5)+1) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl));
+    // constants fold left so the oracle mirrors the exact fp evaluation order
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + (col("dl") * b / avgdl + (1.0 - b)) * k1
+    val contrib = post
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        // each term's contribution rounds to micro units BEFORE the sum —
+        // the per-doc aggregate is then pure BIGINT addition, order- and
+        // partitioning-independent (the text_lm_score pattern)
+        round(idf * (col("tf") * (k1 + 1.0)) / denom * 1e6)
+          .cast("long").as("s_micro"))
+    val scored = contrib.groupBy("id")
+      .agg(sum("s_micro").cast("long").as("score_micro"))
+    val w = Window.partitionBy(lit(0))
+      .orderBy(col("score_micro").desc, col("id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+      .select(col("id").as(idCol), col("score_micro"), col("rk"))
+  }
+
   /** N-gram language-model quality scoring — the CCNet/LLaMA filter
     * shape (train a small LM on a trusted target domain, score the raw
     * corpus by per-token log-probability, cut the worst tail). The model

@@ -949,7 +949,216 @@ object Pipeline {
         Multimodal.phashHashes(Multimodal.phashMedia(s, docs(s, dir))),
         maxDist = 2)
         .select("id_a", "id_b")
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+    // ---- frequency sketch: ENGINE-PORTABLE Count-Min (the corpus_hll
+    // pattern applied to counting) — DuckDB recomputes the full
+    // depth×width counter table from the same md5 bucket algebra.
+    // Production keeps the one-pass seeded-XXH64 CmsAgg (CmsSpec).
+    "sketch_cms_portable" -> ((s, dir) =>
+      TextAnalysis.portableCmsSketch(docs(s, dir), "text")
+        .orderBy("r", "bucket")),
+    // CMS point estimates vs ground truth on a deterministic md5-prefix
+    // probe sample; `overcount >= 0` re-proves the one-sided error
+    // guarantee row by row in BOTH engines
+    "sketch_cms_estimates" -> ((s, dir) =>
+      TextAnalysis.portableCmsEstimates(docs(s, dir), "text")
+        .orderBy("tok")),
+    // ---- per-document TF-IDF keywords: integer-exact (idf rounded once
+    // to micro units, score = tf × idf_micro in BIGINT)
+    "text_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")),
+    // ---- BM25 retrieval against a fixed query-term set; per-term
+    // contributions round to micro BEFORE the per-doc sum (order-free)
+    "text_bm25_rank" -> ((s, dir) =>
+      TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "hash", "window"), topN = 20)
+        .orderBy("rk")),
+    // ---- corpus length distribution: EXACT linear-interpolation
+    // quartiles (p25/p50/p75/p90) of n_chars per source — the
+    // distribution panel of the corpus health report. Exact percentile
+    // over integers; micro-rounded once for the cross-engine compare.
+    "stats_quantiles" -> ((s, dir) =>
+      docs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(n_chars, 0.25)") * 1e6).cast("long").as("p25_micro"),
+        round(expr("percentile(n_chars, 0.50)") * 1e6).cast("long").as("p50_micro"),
+        round(expr("percentile(n_chars, 0.75)") * 1e6).cast("long").as("p75_micro"),
+        round(expr("percentile(n_chars, 0.90)") * 1e6).cast("long").as("p90_micro"))
+        .orderBy("source")),
+    // ---- curriculum decile binning: ntile(10) over (quality, doc_id) —
+    // the deterministic total order makes bucket assignment exact — with
+    // per-bin doc counts and quality range; the bin table is what a
+    // quality-curriculum scheduler consumes
+    "quality_decile_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir).select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("bin", ntile(10).over(
+          Window.partitionBy(lit(0)).orderBy(col("q").asc, col("doc_id").asc)))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+          min("q").as("q_min"), max("q").as("q_max"))
+        .orderBy("bin")
+    }),
+    // ---- duplicate-multiplicity histogram: how many exact-dup clusters
+    // of each size the corpus carries (the dedup "what will we delete"
+    // panel); clusters keyed by the normalized-text fingerprint, sizes
+    // exact, two tiny keyed shuffles
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(TextAnalysis.normalized(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
+    // ---- C4-style blocklist filter: the kill list of docs containing
+    // any blocklisted token. Tokens FILTER against the tiny broadcast
+    // list before the per-doc count — the postings access path again;
+    // the corpus is never regex-scanned per blocklist word.
+    "filter_blocklist" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok").isin("slow", "fail", "legacy"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .orderBy("doc_id")),
+    // ---- per-source unigram KL divergence to the corpus mixture — the
+    // DSIR-adjacent "how far is each source from the blend" panel. Each
+    // word's p·ln(p/q) term rounds to NANO-nats (micro would flush small
+    // vocabularies' terms to zero) BEFORE the per-source sum: order-free
+    // BIGINT addition, identical in both engines.
+    "corpus_source_kl" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val perSrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("cw"))
+      val srcTot = perSrc.groupBy("source").agg(sum("cw").as("n"))
+      val corpus = perSrc.groupBy("tok").agg(sum("cw").as("gw"))
+      val tot = corpus.agg(sum("gw").as("t"))
+      val p = col("cw").cast("double") / col("n")
+      val q = col("gw").cast("double") / col("t")
+      perSrc
+        .join(broadcast(srcTot), "source")
+        .join(corpus, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          round(p * log(p / q) * 1e9).cast("long").as("term_nano"))
+        .groupBy("source").agg(sum("term_nano").as("kl_nano"))
+        .orderBy("source")
+    }),
+    // ---- per-document character-distribution entropy (gibberish /
+    // degenerate-text signal): −Σ (c/n)·ln(c/n) over the doc's chars,
+    // per-char terms rounded to nano-nats before the order-free sum.
+    // The explode is per (doc, DISTINCT char) after counting — the
+    // shuffle carries character-vocabulary rows, linear in corpus chars.
+    "text_char_entropy" -> ((s, dir) => {
+      val chars = docs(s, dir).select(col("doc_id"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val n = chars.groupBy("doc_id").agg(sum("c").as("n"))
+      val pr = col("c").cast("double") / col("n")
+      chars.join(n, "doc_id")
+        .select(col("doc_id"),
+          round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
+        .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
+        .orderBy("doc_id")
+    }),
+    // ---- per-document n-gram NOVELTY: the fraction of a doc's distinct
+    // 3-gram shingles that appear NOWHERE else in the corpus (df = 1) —
+    // high novelty = unique content, low = boilerplate. Reuses the
+    // dedup shingle machinery; the join is on the shingle (vocabulary-
+    // sized), one rounded division per doc.
+    "text_novelty_score" -> ((s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3).distinct()
+      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"),
+          count(lit(1)).as("n_shingles"))
+        .select(col("id").as("doc_id"), col("n_unique"), col("n_shingles"),
+          round(col("n_unique") * 1e6 / col("n_shingles"))
+            .cast("long").as("novelty_micro"))
+        .orderBy("doc_id")
+    }),
+    // ---- cross-source EXACT-DUP leakage matrix: which source pairs
+    // share byte-identical (normalized) documents — the provenance panel
+    // behind per-source dedup policy. Planted clone source (docs 0-99
+    // re-tagged) guarantees known leakage; the join is on the
+    // fingerprint (cluster-sized groups), never doc×doc.
+    "dedup_source_leakage" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val clones = base.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("source", lit("planted_clone"))
+      val d = base.unionByName(clones)
+        .select(col("source"), md5(TextAnalysis.normalized(col("text"))).as("fp"))
+        .distinct()
+      d.as("a").join(d.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+    // ---- bigram PMI collocations: pointwise mutual information
+    // ln(p(xy)/(p(x)p(y))) over corpus bigrams with count >= 5 — the
+    // collocation mining every tokenizer/vocab designer runs. All joins
+    // are on MODEL-sized tables (bigram/unigram vocabularies); totals
+    // broadcast; ln runs once per surviving bigram, micro-rounded once.
+    "text_bigram_pmi" -> ((s, dir) => {
+      val toks = docs(s, dir).select(
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("cx"))
+      val uniTot = uni.agg(sum("cx").as("tu"))
+      // WordGrams = POSITIONAL grams with multiplicity (WordShingles
+      // dedups per doc — wrong for occurrence counts)
+      val grams = docs(s, dir).select(
+        explode(graft.functions.WordGrams(col("text"), 2)).as("shingle"))
+      val bi = grams.groupBy("shingle").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+        .select(col("shingle"),
+          element_at(split(col("shingle"), " "), 1).as("w1"),
+          element_at(split(col("shingle"), " "), 2).as("w2"),
+          col("cxy"))
+      val biTot = grams.agg(count(lit(1)).as("tb"))
+      bi
+        .join(uni.select(col("tok").as("w1"), col("cx").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cx").as("c2")), "w2")
+        .crossJoin(broadcast(uniTot))
+        .crossJoin(broadcast(biTot))
+        .select(col("shingle").as("bigram"), col("cxy"),
+          round(log((col("cxy").cast("double") / col("tb")) /
+              ((col("c1").cast("double") / col("tu")) *
+                (col("c2").cast("double") / col("tu")))) * 1e6)
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("bigram").asc)
+        .limit(50)
+    }),
+    // ---- cross-source vocabulary overlap: pairwise Jaccard of the
+    // distinct normalized-token sets of every source pair — the corpus
+    // diversity panel. Set sizes are exact; one integer-rounded division
+    // at the end. The join is on the WORD (distinct vocabulary, capped by
+    // corpus vocabulary size), never a doc×doc pair join.
+    "corpus_source_jaccard" -> ((s, dir) => {
+      val vocab = docs(s, dir).select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = vocab.as("a").join(vocab.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes).withColumnRenamed("source", "src_a")
+          .withColumnRenamed("sz", "sz_a"), "src_a")
+        .join(broadcast(sizes).withColumnRenamed("source", "src_b")
+          .withColumnRenamed("sz", "sz_b"), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
+          round(col("inter") * 1e6 / (col("sz_a") + col("sz_b") - col("inter")))
+            .cast("long").as("jaccard_micro"))
+        .orderBy("src_a", "src_b")
+    })
   )
 
   // ---------- oracle SQL ----------
@@ -1704,6 +1913,182 @@ object Pipeline {
         |CAST(doc_id % 48 * 16 + 16 AS INTEGER) AS height,
         |CAST(ceil((doc_id % 64 * 16 + 16) * least(256.0 / (doc_id % 64 * 16 + 16), 256.0 / (doc_id % 48 * 16 + 16), 1.0)) AS INTEGER) AS out_width,
         |CAST(ceil((doc_id % 48 * 16 + 16) * least(256.0 / (doc_id % 64 * 16 + 16), 256.0 / (doc_id % 48 * 16 + 16), 1.0)) AS INTEGER) AS out_height
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // DuckDB recomputes the full count-min counter table from the same
+    // md5 bucket algebra (depth 4, width 64)
+    "sketch_cms_portable" ->
+      s"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split($norm, ' ')) AS tok
+         |            FROM documents) WHERE length(tok) > 0),
+         |b AS (SELECT CAST(r AS INTEGER) AS r,
+         |             ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 64 AS bucket
+         |      FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r))
+         |SELECT r, bucket, count(*) AS cnt FROM b
+         |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
+    "sketch_cms_estimates" ->
+      s"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split($norm, ' ')) AS tok
+         |            FROM documents) WHERE length(tok) > 0),
+         |sk AS (SELECT r, ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 64 AS bucket,
+         |              count(*) AS cnt
+         |       FROM t CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)
+         |       GROUP BY r, bucket),
+         |ex AS (SELECT tok, count(*) AS "exact" FROM t GROUP BY tok),
+         |pr AS (SELECT tok, "exact" FROM ex WHERE substring(md5(tok), 1, 1) = '0'),
+         |pb AS (SELECT pr.tok, pr."exact", r,
+         |              ('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || pr.tok), 1, 8))::BIGINT % 64 AS bucket
+         |       FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r)),
+         |es AS (SELECT pb.tok, pb."exact", min(sk.cnt) AS est
+         |       FROM pb JOIN sk ON pb.r = sk.r AND pb.bucket = sk.bucket
+         |       GROUP BY pb.tok, pb."exact")
+         |SELECT tok, est, "exact", est - "exact" AS overcount
+         |FROM es ORDER BY tok""".stripMargin,
+    "text_tfidf_topterms" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |tf AS (SELECT id, tok, count(*) AS tf FROM t GROUP BY id, tok),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+         |idf AS (SELECT tok, CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS idfm
+         |        FROM df, nd),
+         |sc AS (SELECT id, tf.tok, tf * idfm AS score_micro
+         |       FROM tf JOIN idf ON tf.tok = idf.tok),
+         |rk AS (SELECT id, tok, score_micro,
+         |              row_number() OVER (PARTITION BY id ORDER BY score_micro DESC, tok ASC) AS rk
+         |       FROM sc)
+         |SELECT id AS doc_id, tok AS term, score_micro, CAST(rk AS INTEGER) AS rk
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // mirrors the Spark fp evaluation order exactly; per-term micro
+    // rounding BEFORE the per-doc sum keeps the aggregate integer-exact
+    "text_bm25_rank" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT id, tok, count(*) AS tf FROM t
+         |         WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+         |c AS (SELECT post.id,
+         |        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * (1.2 + 1.0))
+         |          / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+         |          * 1000000.0) AS BIGINT) AS sm
+         |      FROM post JOIN dfq ON post.tok = dfq.tok
+         |                JOIN dl ON post.id = dl.id, st),
+         |sc AS (SELECT id, sum(sm) AS score_micro FROM c GROUP BY id),
+         |r AS (SELECT id, CAST(score_micro AS BIGINT) AS score_micro,
+         |             row_number() OVER (ORDER BY score_micro DESC, id ASC) AS rk
+         |      FROM sc)
+         |SELECT id AS doc_id, score_micro, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // quantile_cont is the same linear-interpolation percentile Spark's
+    // exact `percentile` computes
+    "stats_quantiles" ->
+      """SELECT source, count(*) AS n,
+        |CAST(round(quantile_cont(n_chars, 0.25) * 1000000) AS BIGINT) AS p25_micro,
+        |CAST(round(quantile_cont(n_chars, 0.50) * 1000000) AS BIGINT) AS p50_micro,
+        |CAST(round(quantile_cont(n_chars, 0.75) * 1000000) AS BIGINT) AS p75_micro,
+        |CAST(round(quantile_cont(n_chars, 0.90) * 1000000) AS BIGINT) AS p90_micro
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "quality_decile_bins" ->
+      s"""WITH q AS (SELECT doc_id, $qualitySql AS q FROM documents),
+         |b AS (SELECT doc_id, q, ntile(10) OVER (ORDER BY q ASC, doc_id ASC) AS bin FROM q)
+         |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
+         |       min(q) AS q_min, max(q) AS q_max
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "text_novelty_score" ->
+      s"""$shinglesCte,
+         |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |agg AS (SELECT doc_id,
+         |          sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique,
+         |          count(*) AS n_shingles
+         |        FROM sh JOIN dfreq ON sh.shingle = dfreq.shingle
+         |        GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_unique AS BIGINT) AS n_unique,
+         |       n_shingles,
+         |       CAST(round(n_unique * 1000000.0 / n_shingles) AS BIGINT) AS novelty_micro
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    "dedup_source_leakage" ->
+      s"""WITH u AS (SELECT source, md5($norm) AS fp FROM documents
+         |           UNION ALL
+         |           SELECT 'planted_clone' AS source, md5($norm) AS fp
+         |           FROM documents WHERE doc_id < 100),
+         |d AS (SELECT DISTINCT source, fp FROM u),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |      FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared FROM p ORDER BY src_a, src_b""".stripMargin,
+    "text_bigram_pmi" ->
+      s"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split($norm, ' ')) AS tok
+         |            FROM documents) WHERE length(tok) > 0),
+         |uni AS (SELECT tok, count(*) AS cx FROM t GROUP BY tok),
+         |ut AS (SELECT sum(cx) AS tu FROM uni),
+         |toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |grams AS (SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+         |                 i -> array_to_string(arr[i:i+1], ' '))) AS shingle
+         |          FROM toks WHERE len(arr) >= 2),
+         |bt AS (SELECT count(*) AS tb FROM grams),
+         |bi AS (SELECT shingle, count(*) AS cxy FROM grams
+         |       GROUP BY shingle HAVING count(*) >= 5),
+         |sc AS (SELECT bi.shingle AS bigram, bi.cxy,
+         |         CAST(round(ln((CAST(cxy AS DOUBLE) / tb) /
+         |           ((CAST(u1.cx AS DOUBLE) / tu) * (CAST(u2.cx AS DOUBLE) / tu)))
+         |           * 1000000) AS BIGINT) AS pmi_micro
+         |       FROM bi JOIN uni u1 ON string_split(bi.shingle, ' ')[1] = u1.tok
+         |               JOIN uni u2 ON string_split(bi.shingle, ' ')[2] = u2.tok,
+         |            ut, bt)
+         |SELECT bigram, cxy, pmi_micro FROM sc
+         |ORDER BY pmi_micro DESC, bigram ASC LIMIT 50""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH c AS (SELECT md5($norm) AS fp, count(*) AS sz
+         |           FROM documents GROUP BY fp)
+         |SELECT sz, count(*) AS n_clusters FROM c GROUP BY sz ORDER BY sz""".stripMargin,
+    "filter_blocklist" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE tok IN ('slow', 'fail', 'legacy'))
+         |SELECT id AS doc_id, count(*) AS hits FROM t
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "corpus_source_kl" ->
+      s"""WITH t AS (SELECT source, tok FROM (SELECT source,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |ps AS (SELECT source, tok, count(*) AS cw FROM t GROUP BY source, tok),
+         |st AS (SELECT source, sum(cw) AS n FROM ps GROUP BY source),
+         |co AS (SELECT tok, sum(cw) AS gw FROM ps GROUP BY tok),
+         |tt AS (SELECT sum(gw) AS t FROM co),
+         |terms AS (SELECT ps.source,
+         |            CAST(round((CAST(cw AS DOUBLE) / n)
+         |              * ln((CAST(cw AS DOUBLE) / n) / (CAST(gw AS DOUBLE) / t))
+         |              * 1000000000.0) AS BIGINT) AS term_nano
+         |          FROM ps JOIN st ON ps.source = st.source
+         |                  JOIN co ON ps.tok = co.tok, tt)
+         |SELECT source, CAST(sum(term_nano) AS BIGINT) AS kl_nano
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, ch FROM (SELECT doc_id,
+        |             unnest(string_split(text, '')) AS ch FROM documents)
+        |            WHERE length(ch) > 0),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY doc_id),
+        |terms AS (SELECT c.doc_id,
+        |            CAST(round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+        |              * -1000000000.0) AS BIGINT) AS term_nano
+        |          FROM c JOIN n ON c.doc_id = n.doc_id)
+        |SELECT doc_id, CAST(sum(term_nano) AS BIGINT) AS entropy_nano
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "corpus_source_jaccard" ->
+      s"""WITH v AS (SELECT DISTINCT source, tok
+         |           FROM (SELECT source, unnest(string_split($norm, ' ')) AS tok
+         |                 FROM documents) WHERE length(tok) > 0),
+         |sz AS (SELECT source, count(*) AS sz FROM v GROUP BY source),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+         |      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter, sa.sz + sb.sz - inter AS uni,
+         |       CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_micro
+         |FROM i JOIN sz sa ON i.src_a = sa.source
+         |       JOIN sz sb ON i.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin
   )
 }

@@ -213,4 +213,36 @@ class PlanAuditSpec extends SparkSpec {
       s"no exchange/stage reuse found in the phash self-join plan\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("BM25: postings-sized pipeline — df and corpus stats broadcast, no sort-merge") {
+    val plan = finalPlan(q("text_bm25_rank"))
+    // the term filter runs BEFORE the tf aggregation (postings access
+    // path): the tok-isin filter must sit under the first aggregate
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // 1-row stats via BNLJ broadcast only
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("TF-IDF: idf joins back as a broadcast; top-k per doc has no global window") {
+    val plan = finalPlan(q("text_tfidf_topterms"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("source-vocab Jaccard: the vocabulary self-join reuses one exchange") {
+    val plan = finalPlan(q("corpus_source_jaccard"))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+        .groupBy(identity).exists(_._2.size > 1),
+      s"no exchange/stage reuse in the vocab self-join\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("portable CMS: no join anywhere — one scan, one counting shuffle") {
+    val plan = finalPlan(q("sketch_cms_portable"))
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
 }
