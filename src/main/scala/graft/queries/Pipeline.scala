@@ -1133,6 +1133,61 @@ object Pipeline {
         .orderBy(col("pmi_micro").desc, col("bigram").asc)
         .limit(50)
     }),
+    // ---- language-ID confusion matrix: labeled lang × predicted lang
+    // doc counts — the classifier-eval panel every langid deployment
+    // publishes; one keyed shuffle over per-doc codegen'd predictions
+    "text_lang_confusion" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+    // ---- log2-bucketed token-length histogram per source: bucket =
+    // bit width of the token count (length of its binary string — pure
+    // INTEGER algebra in both engines, no ln-at-power-of-two edge)
+    "stats_token_histogram" -> ((s, dir) =>
+      docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        .select(col("source"), col("toks"),
+          length(bin(col("toks").cast("long"))).as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"),
+          min("toks").as("min_toks"), max("toks").as("max_toks"))
+        .orderBy("source", "bucket")),
+    // ---- temperature-scaled mixture weights (the multilingual-sampling
+    // recipe: w_s ∝ p_s^α, α = 0.7 flattens the source distribution):
+    // each source's p^α rounds to nano FIRST, the normalizer is then an
+    // integer sum — order-free; one final rounded division per source
+    "sample_temperature" -> ((s, dir) => {
+      val tokCnt = docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("tok"))
+      val tot = tokCnt.agg(sum("tok").as("t"))
+      val pa = tokCnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"),
+          round(pow(col("tok").cast("double") / col("t"), 0.7) * 1e9)
+            .cast("long").as("pa_nano"))
+      val z = pa.agg(sum("pa_nano").as("z"))
+      pa.crossJoin(broadcast(z))
+        .select(col("source"), col("tok"),
+          round(col("pa_nano") * 1e6 / col("z")).cast("long").as("weight_micro"))
+        .orderBy("source")
+    }),
+    // ---- JSONL ingestion round-trip: the interchange format every
+    // training pipeline actually receives. The corpus is written ONCE
+    // per process as JSON-lines (the artifact lifecycle), read back with
+    // an EXPLICIT schema (never runtime inference over 100 TB), and must
+    // match the parquet source row-for-row against the oracle.
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = artifactDir(s"jsonl:$dir") { p =>
+        docs(s, dir).select("doc_id", "lang", "n_chars", "source", "text")
+          .coalesce(1).write.mode("overwrite").json(p + "/docs")
+      } + "/docs"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("source", StringType),
+        StructField("text", StringType)))
+      s.read.schema(schema).json(path).orderBy("doc_id")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2039,6 +2094,30 @@ object Pipeline {
          |            ut, bt)
          |SELECT bigram, cxy, pmi_micro FROM sc
          |ORDER BY pmi_micro DESC, bigram ASC LIMIT 50""".stripMargin,
+    "text_lang_confusion" ->
+      s"""SELECT lang, $langIdSql AS lang_pred, count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stats_token_histogram" ->
+      s"""WITH t AS (SELECT source, $tokenCountSql AS toks FROM documents),
+         |b AS (SELECT source, toks, CAST(length(bin(CAST(toks AS BIGINT))) AS INTEGER) AS bucket FROM t)
+         |SELECT source, bucket, count(*) AS n_docs,
+         |       min(toks) AS min_toks, max(toks) AS max_toks
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "sample_temperature" ->
+      """WITH tc AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS tok
+        |            FROM documents GROUP BY source),
+        |tt AS (SELECT sum(tok) AS t FROM tc),
+        |pa AS (SELECT source, tok,
+        |         CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0) AS BIGINT) AS pa_nano
+        |       FROM tc, tt),
+        |z AS (SELECT sum(pa_nano) AS z FROM pa)
+        |SELECT source, tok,
+        |       CAST(round(pa_nano * 1000000.0 / z) AS BIGINT) AS weight_micro
+        |FROM pa, z ORDER BY source""".stripMargin,
+    "source_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, source, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_cluster_sizes" ->
       s"""WITH c AS (SELECT md5($norm) AS fp, count(*) AS sz
          |           FROM documents GROUP BY fp)

@@ -258,6 +258,14 @@ object GraftSql {
           if (args.length != 1)
             throw new IllegalArgumentException("graft_simhash_agg(<token>)")
           graft.functions.SimHashAgg(args.head)
+        }),
+      (FunctionIdentifier("graft_cms"),
+        new ExpressionInfo(GraftSql.getClass.getName, "graft_cms"),
+        (args: Seq[Expression]) => {
+          if (args.length != 3)
+            throw new IllegalArgumentException("graft_cms(<token>, <depth>, <width>)")
+          graft.functions.CmsAgg(args.head,
+            intArg("graft_cms", args(1)), intArg("graft_cms", args(2)))
         }))
   }
 

@@ -72,6 +72,18 @@ class CmsSpec extends SparkSpec {
     assert(SketchAggregates.cmsEstimate(sketch, depth, width, "absent") <= 500L)
   }
 
+  test("shard sketches merge by element-wise ADD into the whole-corpus sketch") {
+    val whole = TextAnalysis.cmsSketch(docs, "text", depth, width)
+      .head().getSeq[Long](0).toArray
+    val shardA = TextAnalysis.cmsSketch(docs.filter(col("doc_id") % 2 === 0),
+      "text", depth, width).head().getSeq[Long](0).toArray
+    val shardB = TextAnalysis.cmsSketch(docs.filter(col("doc_id") % 2 =!= 0),
+      "text", depth, width).head().getSeq[Long](0).toArray
+    val merged = shardA.zip(shardB).map { case (a, b) => a + b }
+    assert(merged.toSeq === whole.toSeq,
+      "cross-shard CMS merge must equal the whole-corpus sketch")
+  }
+
   test("cmsSketch reports n_tokens = corpus token count") {
     val (_, exact) = sketchAndExact
     val n = TextAnalysis.cmsSketch(docs, "text", depth, width)

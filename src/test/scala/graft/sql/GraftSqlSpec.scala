@@ -203,6 +203,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("graft_cms from SQL matches the Scala aggregate and probes exactly") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "aa"), (1L, "aa"), (1L, "bb"), (2L, "aa"), (2L, "cc"))
+      .toDF("id", "tok").createOrReplaceTempView("t_cms")
+    val viaSql = s.sql(
+      "SELECT graft_cms(tok, 4, 32) AS sk FROM t_cms")
+      .head().getSeq[Long](0).toArray
+    val viaApi = s.table("t_cms")
+      .agg(graft.functions.SketchAggregates.cms(col("tok"), 4, 32).as("sk"))
+      .head().getSeq[Long](0).toArray
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(graft.functions.SketchAggregates.cmsEstimate(viaSql, 4, 32, "aa") === 3L)
+    val e = intercept[Exception](
+      s.sql("SELECT graft_cms(tok) FROM t_cms").collect())
+    assert(e.getMessage.contains("graft_cms(<token>, <depth>, <width>)"), e.getMessage)
+  }
+
   test("scalar kernels reject non-constant / wrong-arity int args") {
     val s = registered()
     import s.implicits._

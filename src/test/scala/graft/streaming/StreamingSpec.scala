@@ -366,4 +366,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hit == Set((300L, 201L)), hit.toString)
   }
+
+  test("streaming CMS: per-batch sketches MERGE into the batch-equal corpus sketch") {
+    // the streaming face of the frequency sketch: each micro-batch
+    // aggregates its own depth×width CMS executor-side (one bounded
+    // array per batch reaches the driver — the sketch IS the summary),
+    // and the running store merges by element-wise ADD. Pure counting =
+    // trigger-boundary-independent: however the log is sliced into
+    // batches, the merged sketch equals the one-shot batch sketch.
+    import graft.operators.TextAnalysis
+    import graft.functions.SketchAggregates
+    val (depth, width) = (4, 64)
+    val store = new Array[Long](depth * width)
+    var seenTokens = 0L
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val row = TextAnalysis.cmsSketch(batch, "text", depth, width).head()
+        val sk = row.getSeq[Long](0)
+        var i = 0
+        while (i < store.length) { store(i) += sk(i); i += 1 }
+        seenTokens += row.getLong(1)
+        ()
+      }
+      .start()
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "gamma beta"))
+    val b2 = Seq((3L, "alpha delta"), (4L, "beta beta epsilon"))
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = TextAnalysis.cmsSketch((b1 ++ b2).toDF("doc_id", "text"),
+      "text", depth, width).head()
+    assert(store.toSeq === oneShot.getSeq[Long](0))
+    assert(seenTokens === oneShot.getLong(1))
+    assert(SketchAggregates.cmsEstimate(store, depth, width, "beta") === 4L)
+    assert(SketchAggregates.cmsEstimate(store, depth, width, "alpha") === 3L)
+  }
 }
