@@ -313,9 +313,13 @@ object TextAnalysis {
           .cast("long").as("s_micro"))
     val scored = contrib.groupBy("id")
       .agg(sum("s_micro").cast("long").as("score_micro"))
+    // top-N first (TakeOrderedAndProject — per-partition top-k, no
+    // global sort), THEN rank: the single-partition window sees <= topN
+    // rows, never the full scored set
+    val top = scored.orderBy(col("score_micro").desc, col("id").asc).limit(topN)
     val w = Window.partitionBy(lit(0))
       .orderBy(col("score_micro").desc, col("id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= topN)
+    top.withColumn("rk", row_number().over(w))
       .select(col("id").as(idCol), col("score_micro"), col("rk"))
   }
 

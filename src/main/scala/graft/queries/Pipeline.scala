@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnModels, Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
+import graft.operators.{AnnModels, Bq, Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -517,6 +517,39 @@ object Pipeline {
     // ---- similarity search over embeddings
     "emb_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(embs(s, dir), "vec_id", "embedding", onesQuery, k = 20)
+        .withColumn("score", round(col("score"), 6))),
+    // 1-bit binary quantization, ENGINE-PORTABLE half: the Hamming
+    // shortlist itself — sign-bit pack (two 32-bit words), XOR, popcount
+    // — recomputed end-to-end by DuckDB from the same integer algebra
+    "emb_binary_hamming" -> ((s, dir) =>
+      Bq.hammingTopK(embs(s, dir), "vec_id", "embedding", onesQuery, n = 20)),
+    // binary shortlist + exact rerank: ONE sign bit per dim is genuinely
+    // lossy (recall < 1 is the honest operating point — reported by
+    // emb_binary_recall, pinned in BqSpec), so the oracle recomputes the
+    // WHOLE binary pipeline — portable shortlist algebra + true-cosine
+    // rerank — rather than pretending brute-force equality
+    "emb_binary_topk" -> ((s, dir) =>
+      Bq.bqTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
+        k = 20, shortlist = 100)
+        .withColumn("score", round(col("score"), 6))),
+    // measured recall@20 of the binary pipeline vs brute force — BOTH
+    // sides computed in BOTH engines (the emb_ann_recall pattern)
+    "emb_binary_recall" -> ((s, dir) => {
+      val truth = Similarity.cosineTopK(embs(s, dir), "vec_id", "embedding",
+        onesQuery, k = 20).select(col("vec_id"))
+      val got = Bq.bqTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
+        k = 20, shortlist = 100).select(col("vec_id"))
+      got.join(truth, "vec_id")
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(20L).as("n_true"), col("n_hit"))
+    }),
+    // Matryoshka truncated retrieval (MRL): exact top-k on the FIRST 16
+    // dims only — the "cheap prefix search" deployment shape; same
+    // shuffle-free TakeOrderedAndProject plan as the full-dim entry
+    "emb_matryoshka_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(
+        embs(s, dir).withColumn("emb16", slice(col("embedding"), 1, 16)),
+        "vec_id", "emb16", onesQuery.take(16), k = 20)
         .withColumn("score", round(col("score"), 6))),
     // product-quantization ANN with exact rerank: the scan scores 8-byte
     // PQ codes via ADC lookup tables, shortlists 100, reranks EXACTLY —
@@ -1187,6 +1220,111 @@ object Pipeline {
         StructField("n_chars", LongType), StructField("source", StringType),
         StructField("text", StringType)))
       s.read.schema(schema).json(path).orderBy("doc_id")
+    }),
+    // ---- per-source quality heads: top-3 docs by (quality, doc_id)
+    // per source — the curriculum "best of each source" panel; the
+    // window is PARTITIONED by source (distributed, never global)
+    "sample_topk_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("q").desc, col("doc_id").asc)
+      docs(s, dir).select(col("source"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .orderBy("source", "rk")
+    }),
+    // ---- MERGEABLE histogram-quantile sketch: the scale path for
+    // percentiles (exact `percentile` needs a global sort; a fixed-width
+    // histogram is one counting shuffle, shard-mergeable by bucket-wise
+    // add). Estimate = linear interpolation inside the covering bucket —
+    // all-integer until ONE division, so both engines agree exactly.
+    // The bucket table is metadata-sized; its running total is the only
+    // (deliberate, tiny) single-partition window — the OrderedCap shape.
+    "sketch_hist_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .groupBy(expr("n_chars DIV 16").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum("c").over(Window.partitionBy(lit(0)).orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = hist.agg(sum("c").as("n"))
+      val ps = s.createDataFrame(Seq((500000L, 0.5), (900000L, 0.9)))
+        .toDF("p_micro", "p")
+      val ranked = cum.crossJoin(broadcast(n)).crossJoin(broadcast(ps))
+        .withColumn("r", ceil(col("p") * col("n")).cast("long"))
+        .filter(col("cum") >= col("r"))
+        .groupBy("p_micro", "n", "r")
+        .agg(min(struct(col("b"), col("c"), col("cum"))).as("hit"))
+      ranked.select(col("p_micro"), col("n"), col("r"),
+          col("hit.b").as("bucket"),
+          round((col("hit.b") * 16 +
+            (col("r") - (col("hit.cum") - col("hit.c"))) * 16.0 / col("hit.c"))
+            * 1e6).cast("long").as("est_micro"))
+        .orderBy("p_micro")
+    }),
+    // ---- tokenizer coverage curve: top-32 tokens with CUMULATIVE
+    // corpus coverage — "how much of the corpus do the first K vocab
+    // entries explain", the curve every vocab-size decision reads.
+    // Top-k first (TakeOrderedAndProject), then the running total over
+    // the 32 surviving rows; one rounded division per row.
+    "vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum("c").as("t"))
+      val top = counts.orderBy(col("c").desc, col("tok").asc).limit(32)
+      val w = Window.partitionBy(lit(0)).orderBy(col("c").desc, col("tok").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.withColumn("rk", row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("c").desc, col("tok").asc)))
+        .withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("tok"), col("c"), col("cum"),
+          round(col("cum") * 1e6 / col("t")).cast("long").as("coverage_micro"))
+        .orderBy("rk")
+    }),
+    // ---- BATCH retrieval: several BM25 queries answered in ONE pass —
+    // the offline batch-inference shape (a query TABLE joins the
+    // postings; per-query ranking is a PARTITIONED window, never a
+    // global one). Per-term contributions reuse the single-query
+    // integer-micro algebra exactly.
+    "text_bm25_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark"), (1L, "hash"),
+        (2L, "window"), (2L, "sort"),
+        (3L, "merge"), (3L, "batch"), (3L, "line"))).toDF("qid", "term")
+      val toks = docs(s, dir).select(col("doc_id").as("id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+      val terms = queries.select(col("term").as("tok")).distinct()
+      val post = toks.join(broadcast(terms), "tok")
+        .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
+      val (k1, b) = (1.2, 0.75)
+      val avgdl = col("sum_dl").cast("double") / col("n")
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val denom = col("tf") + (col("dl") * b / avgdl + (1.0 - b)) * k1
+      val contrib = post
+        .join(broadcast(dfreq), "tok")
+        .join(dl, "id")
+        .crossJoin(broadcast(stats))
+        .select(col("id"), col("tok"),
+          round(idf * (col("tf") * (k1 + 1.0)) / denom * 1e6)
+            .cast("long").as("s_micro"))
+      val perQuery = queries.withColumnRenamed("term", "tok")
+        .join(contrib, "tok")
+        .groupBy("qid", "id").agg(sum("s_micro").cast("long").as("score_micro"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score_micro").desc, col("id").asc)
+      perQuery.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("qid"), col("id").as("doc_id"), col("score_micro"), col("rk"))
+        .orderBy("qid", "rk")
     }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
@@ -2094,6 +2232,129 @@ object Pipeline {
          |            ut, bt)
          |SELECT bigram, cxy, pmi_micro FROM sc
          |ORDER BY pmi_micro DESC, bigram ASC LIMIT 50""".stripMargin,
+    "emb_binary_hamming" -> {
+      def word(lo: Int) = (lo until lo + 32)
+        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
+        .mkString("(", " + ", ")::BIGINT")
+      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+         |           FROM embeddings),
+         |h AS (SELECT vec_id,
+         |        CAST(bit_count(xor(w0, 4294967295::BIGINT))
+         |           + bit_count(xor(w1, 4294967295::BIGINT)) AS INTEGER) AS hamming
+         |      FROM w)
+         |SELECT vec_id, hamming FROM h
+         |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
+    },
+    "vocab_coverage" ->
+      s"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split($norm, ' ')) AS tok
+         |            FROM documents) WHERE length(tok) > 0),
+         |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+         |tt AS (SELECT sum(c) AS t FROM c),
+         |top AS (SELECT tok, c FROM c ORDER BY c DESC, tok ASC LIMIT 32),
+         |r AS (SELECT tok, c,
+         |        row_number() OVER (ORDER BY c DESC, tok ASC) AS rk,
+         |        sum(c) OVER (ORDER BY c DESC, tok ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM top)
+         |SELECT CAST(rk AS INTEGER) AS rk, tok, c, CAST(cum AS BIGINT) AS cum,
+         |       CAST(round(cum * 1000000.0 / t) AS BIGINT) AS coverage_micro
+         |FROM r, tt ORDER BY rk""".stripMargin,
+    "text_bm25_batch" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |qt AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'hash'),
+         |        (2, 'window'), (2, 'sort'),
+         |        (3, 'merge'), (3, 'batch'), (3, 'line')) v(qid, term)),
+         |terms AS (SELECT DISTINCT term AS tok FROM qt),
+         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT id, t.tok, count(*) AS tf FROM t
+         |         JOIN terms ON t.tok = terms.tok GROUP BY id, t.tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+         |c AS (SELECT post.id, post.tok,
+         |        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * (1.2 + 1.0))
+         |          / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+         |          * 1000000.0) AS BIGINT) AS sm
+         |      FROM post JOIN dfq ON post.tok = dfq.tok
+         |                JOIN dl ON post.id = dl.id, st),
+         |pq AS (SELECT qid, id, CAST(sum(sm) AS BIGINT) AS score_micro
+         |       FROM qt JOIN c ON qt.term = c.tok GROUP BY qid, id),
+         |r AS (SELECT qid, id, score_micro,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, id ASC) AS rk
+         |      FROM pq)
+         |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, score_micro,
+         |       CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "emb_binary_topk" -> {
+      def word(lo: Int) = (lo until lo + 32)
+        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
+        .mkString("(", " + ", ")::BIGINT")
+      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+         |           FROM embeddings),
+         |h AS (SELECT vec_id,
+         |        bit_count(xor(w0, 4294967295::BIGINT))
+         |          + bit_count(xor(w1, 4294967295::BIGINT)) AS hamming
+         |      FROM w),
+         |short AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100)
+         |SELECT e.vec_id,
+         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |FROM embeddings e JOIN short ON e.vec_id = short.vec_id
+         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, e.vec_id
+         |LIMIT 20""".stripMargin
+    },
+    "emb_binary_recall" -> {
+      def word(lo: Int) = (lo until lo + 32)
+        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
+        .mkString("(", " + ", ")::BIGINT")
+      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+         |           FROM embeddings),
+         |h AS (SELECT vec_id,
+         |        bit_count(xor(w0, 4294967295::BIGINT))
+         |          + bit_count(xor(w1, 4294967295::BIGINT)) AS hamming
+         |      FROM w),
+         |short AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100),
+         |rr AS (SELECT e.vec_id FROM embeddings e JOIN short ON e.vec_id = short.vec_id
+         |       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, e.vec_id
+         |       LIMIT 20),
+         |truth AS (SELECT vec_id FROM embeddings
+         |          ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |          LIMIT 20)
+         |SELECT CAST(20 AS BIGINT) AS n_true, count(*) AS n_hit
+         |FROM rr JOIN truth ON rr.vec_id = truth.vec_id""".stripMargin
+    },
+    "emb_matryoshka_topk" ->
+      s"""SELECT vec_id,
+         |round(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+         |  [${Seq.fill(16)("1.0").mkString(", ")}]), 6) AS score
+         |FROM embeddings
+         |ORDER BY list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+         |  [${Seq.fill(16)("1.0").mkString(", ")}]) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "sample_topk_quality" ->
+      s"""WITH q AS (SELECT source, doc_id, $qualitySql AS q FROM documents),
+         |r AS (SELECT source, doc_id, q,
+         |        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rk
+         |      FROM q)
+         |SELECT source, doc_id, q, CAST(rk AS INTEGER) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "sketch_hist_quantiles" ->
+      """WITH h AS (SELECT n_chars // 16 AS b, count(*) AS c FROM documents GROUP BY 1),
+        |cum AS (SELECT b, c, sum(c) OVER (ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |nn AS (SELECT sum(c) AS n FROM h),
+        |ps AS (SELECT * FROM (VALUES (500000, 0.5), (900000, 0.9)) t(p_micro, p)),
+        |rk AS (SELECT p_micro, nn.n AS n, CAST(ceil(p * nn.n) AS BIGINT) AS r,
+        |              b, c, cum
+        |       FROM cum, nn, ps WHERE cum >= CAST(ceil(p * nn.n) AS BIGINT)),
+        |hit AS (SELECT p_micro, n, r, b, c, cum,
+        |               row_number() OVER (PARTITION BY p_micro ORDER BY b) AS rn
+        |        FROM rk)
+        |SELECT CAST(p_micro AS BIGINT) AS p_micro, CAST(n AS BIGINT) AS n, r,
+        |       b AS bucket,
+        |       CAST(round((b * 16 + (r - (cum - c)) * 16.0 / c) * 1000000) AS BIGINT) AS est_micro
+        |FROM hit WHERE rn = 1 ORDER BY p_micro""".stripMargin,
     "text_lang_confusion" ->
       s"""SELECT lang, $langIdSql AS lang_pred, count(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -222,6 +222,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     // 1-row stats via BNLJ broadcast only
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    // final ranking is top-N (per-partition top-k), never a global sort
+    // feeding a full-set single-partition window
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("binary ANN: quantized shortlist is TakeOrderedAndProject; rerank joins it broadcast") {
+    val plan = finalPlan(q("emb_binary_topk"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("TF-IDF: idf joins back as a broadcast; top-k per doc has no global window") {

@@ -403,4 +403,32 @@ class StreamingSpec extends SparkSpec {
     assert(SketchAggregates.cmsEstimate(store, depth, width, "beta") === 4L)
     assert(SketchAggregates.cmsEstimate(store, depth, width, "alpha") === 3L)
   }
+
+  test("streaming HLL: per-batch registers merge by MAX into the batch-equal sketch") {
+    // the cardinality twin of the streaming CMS store: HLL registers
+    // merge by element-wise max, so duplicates arriving in later
+    // batches never move a register and the merged store equals the
+    // one-shot batch sketch over the union
+    import graft.operators.TextAnalysis
+    val store = scala.collection.mutable.Map.empty[Int, Int]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.hllSketch(batch, "text").collect().foreach { r =>
+          val (b, rank) = (r.getInt(0), r.getInt(1))
+          store(b) = math.max(store.getOrElse(b, 0), rank)
+        }
+        ()
+      }
+      .start()
+    val b1 = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+    val b2 = Seq((3L, "alpha beta"), (4L, "epsilon zeta")) // doc 3 dups doc 1
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = TextAnalysis.hllSketch((b1 ++ b2).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(store.toMap === oneShot)
+  }
 }
