@@ -1326,6 +1326,88 @@ object Pipeline {
         .select(col("qid"), col("id").as("doc_id"), col("score_micro"), col("rk"))
         .orderBy("qid", "rk")
     }),
+    // ---- per-source HLL register tables: the per-GROUP cardinality
+    // sketch (distinct docs per source at 100 TB without a countDistinct
+    // re-shuffle per query) — same portable md5 register algebra as the
+    // corpus sketch, keyed by source; merges shard-wise by max
+    "corpus_hll_by_source" -> ((s, dir) => {
+      val h = docs(s, dir).select(col("source"),
+        md5(TextAnalysis.normalized(col("text"))).as("__h"))
+      val rest = substring(col("__h"), 3, 30)
+      val zeroHex = length(regexp_extract(rest, "^0*", 0))
+      val firstNz = substring(regexp_replace(rest, "^0*", ""), 1, 1)
+      val extraBits = when(firstNz === "1", 3)
+        .when(firstNz.isin("2", "3"), 2)
+        .when(firstNz.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+      h.select(col("source"),
+          conv(substring(col("__h"), 1, 2), 16, 10).cast("int").as("bucket"),
+          (zeroHex * 4 + extraBits + 1).as("rank"))
+        .groupBy("source", "bucket").agg(max("rank").as("max_rank"))
+        .orderBy("source", "bucket")
+    }),
+    // ---- per-source histogram-quantile estimates: the DISTRIBUTED form
+    // of the quantile sketch — the cumulative window is PARTITIONED BY
+    // SOURCE, so no single-partition step exists at all; one estimate
+    // (p50) per source, covering-bucket interpolation as the global entry
+    "sketch_hist_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .groupBy(col("source"), expr("n_chars DIV 16").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = hist.groupBy("source").agg(sum("c").as("n"))
+      cum.join(broadcast(n), "source")
+        .withColumn("r", ceil(lit(0.5) * col("n")).cast("long"))
+        .filter(col("cum") >= col("r"))
+        .groupBy("source", "n", "r")
+        .agg(min(struct(col("b"), col("c"), col("cum"))).as("hit"))
+        .select(col("source"), col("n"), col("r"),
+          col("hit.b").as("bucket"),
+          round((col("hit.b") * 16 +
+            (col("r") - (col("hit.cum") - col("hit.c"))) * 16.0 / col("hit.c"))
+            * 1e6).cast("long").as("p50_micro"))
+        .orderBy("source")
+    }),
+    // ---- per-source duplication-rate panel: docs vs distinct
+    // fingerprints per source — what exact dedup would delete, by
+    // provenance; one keyed shuffle
+    "dedup_rate_by_source" -> ((s, dir) =>
+      docs(s, dir).select(col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round((col("n_docs") - col("n_distinct")) * 1e6 / col("n_docs"))
+            .cast("long").as("dup_rate_micro"))
+        .orderBy("source")),
+    // ---- per-label embedding stats: the embedding-table health panel
+    // (row counts, norm range, mean norm). Per-row norms round to micro
+    // BEFORE the sum so the per-label aggregate is order-free integers;
+    // one division for the mean.
+    "emb_label_stats" -> ((s, dir) => {
+      val nrm = round(sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding"), col("embedding"))) * 1e6).cast("long")
+      embs(s, dir).select(col("label"), nrm.as("nrm_micro"))
+        .groupBy("label").agg(count(lit(1)).as("n"),
+          min("nrm_micro").as("min_nrm_micro"),
+          max("nrm_micro").as("max_nrm_micro"),
+          sum("nrm_micro").as("sum_nrm_micro"))
+        .select(col("label"), col("n"), col("min_nrm_micro"),
+          col("max_nrm_micro"),
+          round(col("sum_nrm_micro") / col("n")).cast("long").as("avg_nrm_micro"))
+        .orderBy("label")
+    }),
+    // ---- join-key skew diagnostics: top-10 heaviest l_orderkey groups
+    // plus the max/mean ratio — the panel read before choosing a salted
+    // or broadcast join strategy on the fact table
+    "stats_key_skew" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      counts.orderBy(col("c").desc, col("l_orderkey").asc).limit(10)
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2245,6 +2327,52 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "corpus_hll_by_source" ->
+      s"""WITH h AS (SELECT source, md5($norm) AS h FROM documents),
+         |r AS (SELECT source, ('0x' || substring(h, 1, 2))::INT AS bucket,
+         |             length(regexp_extract(substring(h, 3), '^0*')) * 4
+         |             + (CASE substring(regexp_replace(substring(h, 3), '^0*', ''), 1, 1)
+         |                WHEN '1' THEN 3
+         |                WHEN '2' THEN 2 WHEN '3' THEN 2
+         |                WHEN '4' THEN 1 WHEN '5' THEN 1
+         |                WHEN '6' THEN 1 WHEN '7' THEN 1
+         |                ELSE 0 END) + 1 AS rank
+         |      FROM h)
+         |SELECT source, bucket, max(rank) AS max_rank FROM r
+         |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "sketch_hist_by_source" ->
+      """WITH h AS (SELECT source, n_chars // 16 AS b, count(*) AS c
+        |           FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, b, c, sum(c) OVER (PARTITION BY source ORDER BY b
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |nn AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+        |rk AS (SELECT cum.source, CAST(nn.n AS BIGINT) AS n,
+        |              CAST(ceil(0.5 * nn.n) AS BIGINT) AS r, b, c, cum
+        |       FROM cum JOIN nn ON cum.source = nn.source
+        |       WHERE cum >= CAST(ceil(0.5 * nn.n) AS BIGINT)),
+        |hit AS (SELECT source, n, r, b, c, cum,
+        |               row_number() OVER (PARTITION BY source ORDER BY b) AS rn
+        |        FROM rk)
+        |SELECT source, n, r, b AS bucket,
+        |       CAST(round((b * 16 + (r - (cum - c)) * 16.0 / c) * 1000000) AS BIGINT) AS p50_micro
+        |FROM hit WHERE rn = 1 ORDER BY source""".stripMargin,
+    "dedup_rate_by_source" ->
+      s"""WITH f AS (SELECT source, md5($norm) AS fp FROM documents)
+         |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct,
+         |       CAST(round((count(*) - count(DISTINCT fp)) * 1000000.0 / count(*)) AS BIGINT) AS dup_rate_micro
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "emb_label_stats" ->
+      """WITH n AS (SELECT label,
+        |        CAST(round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |          CAST(embedding AS DOUBLE[]))) * 1000000) AS BIGINT) AS nm
+        |      FROM embeddings)
+        |SELECT label, count(*) AS n, min(nm) AS min_nrm_micro,
+        |       max(nm) AS max_nrm_micro,
+        |       CAST(round(CAST(sum(nm) AS BIGINT) / count(*)) AS BIGINT) AS avg_nrm_micro
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "stats_key_skew" ->
+      """SELECT l_orderkey, count(*) AS c FROM lineitem
+        |GROUP BY l_orderkey ORDER BY c DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "vocab_coverage" ->
       s"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split($norm, ' ')) AS tok
          |            FROM documents) WHERE length(tok) > 0),
