@@ -58,6 +58,46 @@ object Bq {
       .orderBy(col("hamming").asc, col(idCol).asc)
       .limit(n)
 
+  /** The materialized binary index: (id, w0, w1) — 16 bytes per vector
+    * against 256 for the fp32 column. Write WITHOUT the embedding column
+    * and the candidate scan touches 1/16 of the bytes; the index needs
+    * no trained model (sign quantization is data-independent), so unlike
+    * PQ/SQ8 nothing must be persisted beside it. */
+  def encodedTable(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    df.select(col("*"), halfWord(v, 0).as("w0"), halfWord(v, 32).as("w1"))
+  }
+
+  /** Query a previously-written binary index: Hamming shortlist from the
+    * 16-byte encoded scan (the fp32 column is NOT read), then exact
+    * rerank with the shortlist ids PUSHED into the vector scan
+    * (`In(id, ...)` reaches the parquet reader — the pqTopKFromEncoded
+    * deployment path). */
+  def bqTopKFromEncoded(encoded: DataFrame, vectors: DataFrame,
+                        idCol: String, vecCol: String,
+                        query: Array[Double], k: Int,
+                        shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(shortlist <= 65536,
+      s"shortlist ($shortlist) is driver-collected for the id-pushdown rerank; cap it")
+    val shortIds = encoded
+      .select(col(idCol),
+        (bit_count(col("w0").bitwiseXOR(lit(queryHalf(query, 0)))) +
+          bit_count(col("w1").bitwiseXOR(lit(queryHalf(query, 32)))))
+          .cast("int").as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(shortlist)
+      .select(col(idCol))
+      .collect().map(_.get(0))
+    vectors
+      .filter(col(idCol).isInCollection(shortIds))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol),
+          graft.functions.VectorFunctions.vecLit(query)).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Binary-shortlist + exact-rerank top-k: Hamming top-`shortlist`
     * candidates, exact cosine on the shortlist only, top-k.
     *

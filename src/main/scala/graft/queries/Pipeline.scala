@@ -532,6 +532,22 @@ object Pipeline {
       Bq.bqTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
         k = 20, shortlist = 100)
         .withColumn("score", round(col("score"), 6))),
+    // the binary index MATERIALIZED (the pq_scan deployment shape): a
+    // 16-byte-per-vector codes parquet written once WITHOUT the fp32
+    // column; the query path scans codes only and pushes the shortlist
+    // ids into the vector scan (In(vec_id) pinned in PlanAuditSpec).
+    // No model rides with it — sign quantization is data-independent.
+    "emb_binary_scan_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val out = artifactDir(s"bq:$dir") { path =>
+        Bq.encodedTable(e, "vec_id", "embedding")
+          .drop("embedding", "label")
+          .write.mode("overwrite").parquet(s"$path/codes")
+      }
+      Bq.bqTopKFromEncoded(s.read.parquet(s"$out/codes"), e,
+          "vec_id", "embedding", onesQuery, k = 20, shortlist = 100)
+        .withColumn("score", round(col("score"), 6))
+    }),
     // measured recall@20 of the binary pipeline vs brute force — BOTH
     // sides computed in BOTH engines (the emb_ann_recall pattern)
     "emb_binary_recall" -> ((s, dir) => {
@@ -1458,6 +1474,28 @@ object Pipeline {
        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $altSqlList) DESC, vec_id
        |LIMIT 20""".stripMargin
 
+  /** Sign-word pack of dims [lo, lo+32) as DuckDB integer algebra. */
+  private def bqWordSql(lo: Int): String = (lo until lo + 32)
+    .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
+    .mkString("(", " + ", ")::BIGINT")
+
+  /** The binary-quantization pipeline recomputed end-to-end (portable
+    * shortlist + true-cosine rerank) — shared by emb_binary_topk and the
+    * materialized-index emb_binary_scan_topk (same shortlist algebra). */
+  private lazy val binaryTopkSql =
+    s"""WITH w AS (SELECT vec_id, ${bqWordSql(0)} AS w0, ${bqWordSql(32)} AS w1
+       |           FROM embeddings),
+       |h AS (SELECT vec_id,
+       |        bit_count(xor(w0, 4294967295::BIGINT))
+       |          + bit_count(xor(w1, 4294967295::BIGINT)) AS hamming
+       |      FROM w),
+       |short AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100)
+       |SELECT e.vec_id,
+       |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+       |FROM embeddings e JOIN short ON e.vec_id = short.vec_id
+       |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, e.vec_id
+       |LIMIT 20""".stripMargin
+
   private def stopHits(words: Seq[String]) =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
 
@@ -2315,10 +2353,7 @@ object Pipeline {
          |SELECT bigram, cxy, pmi_micro FROM sc
          |ORDER BY pmi_micro DESC, bigram ASC LIMIT 50""".stripMargin,
     "emb_binary_hamming" -> {
-      def word(lo: Int) = (lo until lo + 32)
-        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
-        .mkString("(", " + ", ")::BIGINT")
-      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+      s"""WITH w AS (SELECT vec_id, ${bqWordSql(0)} AS w0, ${bqWordSql(32)} AS w1
          |           FROM embeddings),
          |h AS (SELECT vec_id,
          |        CAST(bit_count(xor(w0, 4294967295::BIGINT))
@@ -2415,28 +2450,10 @@ object Pipeline {
          |SELECT CAST(qid AS BIGINT) AS qid, id AS doc_id, score_micro,
          |       CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
-    "emb_binary_topk" -> {
-      def word(lo: Int) = (lo until lo + 32)
-        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
-        .mkString("(", " + ", ")::BIGINT")
-      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
-         |           FROM embeddings),
-         |h AS (SELECT vec_id,
-         |        bit_count(xor(w0, 4294967295::BIGINT))
-         |          + bit_count(xor(w1, 4294967295::BIGINT)) AS hamming
-         |      FROM w),
-         |short AS (SELECT vec_id FROM h ORDER BY hamming ASC, vec_id ASC LIMIT 100)
-         |SELECT e.vec_id,
-         |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
-         |FROM embeddings e JOIN short ON e.vec_id = short.vec_id
-         |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, e.vec_id
-         |LIMIT 20""".stripMargin
-    },
+    "emb_binary_topk" -> binaryTopkSql,
+    "emb_binary_scan_topk" -> binaryTopkSql,
     "emb_binary_recall" -> {
-      def word(lo: Int) = (lo until lo + 32)
-        .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << (d - lo)} ELSE 0 END)")
-        .mkString("(", " + ", ")::BIGINT")
-      s"""WITH w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+      s"""WITH w AS (SELECT vec_id, ${bqWordSql(0)} AS w0, ${bqWordSql(32)} AS w1
          |           FROM embeddings),
          |h AS (SELECT vec_id,
          |        bit_count(xor(w0, 4294967295::BIGINT))

@@ -61,6 +61,24 @@ class BqSpec extends SparkSpec {
     assert(bq === expected)
   }
 
+  test("encoded index answers identically to the inline pipeline (16-byte scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("bq_codes").toFile.getAbsolutePath
+    Bq.encodedTable(embs, "vec_id", "embedding")
+      .drop("embedding", "label")
+      .write.mode("overwrite").parquet(dir)
+    val codes = spark.read.parquet(dir)
+    // the index is 16 bytes/vector: id + two sign words, NO fp32 column
+    assert(codes.columns.sorted.toSeq === Seq("vec_id", "w0", "w1"))
+    val fromIdx = Bq.bqTopKFromEncoded(codes, embs, "vec_id", "embedding",
+        ones, k = 20, shortlist = 100)
+      .withColumn("score", round(col("score"), 6))
+      .as[(Long, Double)].collect().toSeq
+    val inline = Bq.bqTopK(embs, "vec_id", "embedding", ones, k = 20, shortlist = 100)
+      .withColumn("score", round(col("score"), 6))
+      .as[(Long, Double)].collect().toSeq
+    assert(fromIdx === inline)
+  }
+
   test("bqTopK rejects shortlist < k") {
     assertThrows[IllegalArgumentException] {
       Bq.bqTopK(embs, "vec_id", "embedding", ones, k = 20, shortlist = 10)

@@ -234,6 +234,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("binary materialized-index entry: rerank fetch pushes shortlist ids into the vector scan") {
+    // the Hamming stage runs eagerly on the 16-byte codes parquet (no
+    // fp32 column exists there to read); the RETURNED plan is the exact
+    // rerank — pushed id filter, never a corpus scan
+    val plan = finalPlan(q("emb_binary_scan_topk"))
+    assert(plan.contains("In(vec_id"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("TF-IDF: idf joins back as a broadcast; top-k per doc has no global window") {
     val plan = finalPlan(q("text_tfidf_topterms"))
     assert(plan.contains("BroadcastHashJoin"), plan)
