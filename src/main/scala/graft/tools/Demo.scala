@@ -172,6 +172,37 @@ object Demo {
         graft.operators.Multimodal.phashMedia(spark, docs)), maxDist = 2)
     println(s"pHash duplicate pairs (exact + brightness-shifted clones): ${phashDups.count()}")
 
+    println("=== CMS frequency sketch: one-pass aggregate + probes ===")
+    import graft.functions.SketchAggregates
+    val cmsRow = graft.operators.TextAnalysis.cmsSketch(docs, "text", 4, 256).head()
+    val sketch = cmsRow.getSeq[Long](0).toArray
+    for (w <- Seq("table", "spark", "the"))
+      println(s"cms estimate '$w': " +
+        SketchAggregates.cmsEstimate(sketch, 4, 256, w) +
+        s" (corpus tokens: ${cmsRow.getLong(1)})")
+
+    println("=== TF-IDF keywords + BM25 retrieval ===")
+    graft.operators.TextAnalysis
+      .tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id").show(3, false)
+    graft.operators.TextAnalysis
+      .bm25Rank(docs, "doc_id", "text", Seq("spark", "hash", "window"), topN = 3)
+      .orderBy("rk").show(3, false)
+
+    println("=== binary (1-bit) ANN: 16-byte index, Hamming shortlist, exact rerank ===")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val onesQ = Array.fill(64)(1.0)
+    val bqDir = java.nio.file.Files.createTempDirectory("demo_bq").toFile.getAbsolutePath
+    graft.operators.Bq.encodedTable(e, "vec_id", "embedding")
+      .drop("embedding", "label").write.mode("overwrite").parquet(bqDir)
+    graft.operators.Bq.bqTopKFromEncoded(
+        spark.read.parquet(bqDir), e, "vec_id", "embedding", onesQ, k = 3)
+      .show(3, false)
+
+    println("=== mixture design: temperature weights + per-source medians ===")
+    graft.SparkEntry.queries("sample_temperature")(spark, sf).show(5, false)
+    graft.SparkEntry.queries("sketch_hist_by_source")(spark, sf).show(5, false)
+
     spark.stop()
   }
 }
