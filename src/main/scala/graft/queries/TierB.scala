@@ -128,6 +128,35 @@ object TierB {
               |FROM graft_sessionize('graft_sess_ev', 'user_id', 'event_id', 100)
               |GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin)
+    }),
+    // the round-9 pipeline TVFs: BM25 / TF-IDF / exact-dedup drops
+    // callable from pure SQL, hash-matching the operator entries they wrap
+    "sql_tvf_bm25" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      graft.sources.Tables.load(s, dir, "documents")
+        .createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT doc_id, score_micro, rk
+              |FROM graft_bm25('graft_docs_v', 'doc_id', 'text', 'spark hash window', 20)
+              |ORDER BY rk""".stripMargin)
+    }),
+    "sql_tvf_tfidf" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      graft.sources.Tables.load(s, dir, "documents")
+        .createOrReplaceTempView("graft_docs_v")
+      s.sql("""SELECT doc_id, term, score_micro, rk
+              |FROM graft_tfidf('graft_docs_v', 'doc_id', 'text', 3)
+              |ORDER BY doc_id, rk""".stripMargin)
+    }),
+    "sql_tvf_dedup_drops" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      val d = graft.sources.Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      d.unionByName(d.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+        .createOrReplaceTempView("graft_docs_cloned_v")
+      s.sql("""SELECT drop_id, keep_id
+              |FROM graft_dedup_drops('graft_docs_cloned_v', 'doc_id', 'text')
+              |ORDER BY drop_id""".stripMargin)
     })
   )
 
@@ -171,6 +200,9 @@ object TierB {
     // is literally the operator entries' oracle
     "sql_tvf_asof" -> Relational.oracleSql("join_asof"),
     "sql_tvf_range" -> Relational.oracleSql("join_range"),
-    "sql_tvf_sessionize" -> Relational.oracleSql("sessionize")
+    "sql_tvf_sessionize" -> Relational.oracleSql("sessionize"),
+    "sql_tvf_bm25" -> Pipeline.oracleSql("text_bm25_rank"),
+    "sql_tvf_tfidf" -> Pipeline.oracleSql("text_tfidf_topterms"),
+    "sql_tvf_dedup_drops" -> Pipeline.oracleSql("dedup_drops")
   )
 }

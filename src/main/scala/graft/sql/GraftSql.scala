@@ -144,6 +144,43 @@ object GraftSql {
         val gap = longArg(fn, args(3))
         shim.logicalPlan(graft.operators.Sessions.sessionize(
           spark.table(strArg(fn, args(0))), key, ts, gap))
+      }),
+    (FunctionIdentifier("graft_bm25"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_bm25"),
+      (args: Seq[Expression]) => {
+        if (args.length != 5)
+          throw new IllegalArgumentException(
+            "graft_bm25('<view>', '<idCol>', '<textCol>', '<terms ws-separated>', <topN>)")
+        val spark = SparkSession.active
+        val fn = "graft_bm25"
+        val terms = strArg(fn, args(3)).trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        shim.logicalPlan(graft.operators.TextAnalysis.bm25Rank(
+          spark.table(strArg(fn, args(0))), strArg(fn, args(1)),
+          strArg(fn, args(2)), terms, intArg(fn, args(4))))
+      }),
+    (FunctionIdentifier("graft_tfidf"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_tfidf"),
+      (args: Seq[Expression]) => {
+        if (args.length != 4)
+          throw new IllegalArgumentException(
+            "graft_tfidf('<view>', '<idCol>', '<textCol>', <k>)")
+        val spark = SparkSession.active
+        val fn = "graft_tfidf"
+        shim.logicalPlan(graft.operators.TextAnalysis.tfIdfTopTerms(
+          spark.table(strArg(fn, args(0))), strArg(fn, args(1)),
+          strArg(fn, args(2)), intArg(fn, args(3))))
+      }),
+    (FunctionIdentifier("graft_dedup_drops"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_dedup_drops"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            "graft_dedup_drops('<view>', '<idCol>', '<textCol>')")
+        val spark = SparkSession.active
+        val fn = "graft_dedup_drops"
+        shim.logicalPlan(graft.operators.Dedup.exactDrops(
+          spark.table(strArg(fn, args(0))), strArg(fn, args(1)),
+          strArg(fn, args(2))))
       }))
 
   private def longArg(fn: String, e: Expression): Long = e match {

@@ -203,6 +203,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("pipeline TVFs reject wrong arity with their usage strings") {
+    val s = registered()
+    val e1 = intercept[Exception](s.sql("SELECT * FROM graft_bm25('v')").collect())
+    assert(e1.getMessage.contains("graft_bm25('<view>'"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql("SELECT * FROM graft_tfidf('v')").collect())
+    assert(e2.getMessage.contains("graft_tfidf('<view>'"), e2.getMessage)
+    val e3 = intercept[Exception](s.sql("SELECT * FROM graft_dedup_drops('v')").collect())
+    assert(e3.getMessage.contains("graft_dedup_drops('<view>'"), e3.getMessage)
+  }
+
+  test("graft_bm25 TVF empty term set fails loudly") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "a")).toDF("doc_id", "text").createOrReplaceTempView("t_bm25")
+    val e = intercept[Exception](
+      s.sql("SELECT * FROM graft_bm25('t_bm25', 'doc_id', 'text', '  ', 5)").collect())
+    assert(e.getMessage.contains("empty query-term set"), e.getMessage)
+  }
+
   test("graft_cms from SQL matches the Scala aggregate and probes exactly") {
     val s = registered()
     import s.implicits._
