@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Bq {
 
-  /** dims [lo, lo+32) packed as Σ 2^(d−lo) over dims where v[d] > 0. */
+  /** dims [lo, lo+32) packed as Σ 2^(d−lo) over dims where v[d] > 0 —
+    * the fused [[graft.functions.SignPack]] kernel (one codegen'd loop
+    * rather than 32 chained CASE/element_at terms; NativeParitySpec pins
+    * it equal to the composed form). */
   private def halfWord(vec: Column, lo: Int): Column =
-    (lo until lo + 32).map { d =>
-      when(element_at(vec, d + 1) > 0f, lit(1L << (d - lo))).otherwise(0L)
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.shim.column(
+      graft.functions.SignPack(
+        org.apache.spark.sql.graft.shim.expression(vec), lo))
 
   private def queryHalf(q: Array[Double], lo: Int): Long =
     (lo until lo + 32).foldLeft(0L) { (acc, d) =>

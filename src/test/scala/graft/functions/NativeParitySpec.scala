@@ -97,6 +97,32 @@ class NativeParitySpec extends SparkSpec {
     assert(perRow == batch)
   }
 
+  test("SignPack == 32-term CASE/element_at composition on hostile vectors") {
+    // vectors with exact zeros (sign = not positive), negatives, NULL
+    // elements, and short arrays (dims past the end pack as 0)
+    val rnd = new scala.util.Random(7L)
+    val vecs = (1L to 200L).map { id =>
+      val len = if (id % 5 == 0) rnd.nextInt(64) else 64
+      id -> Array.tabulate(len) { _ =>
+        rnd.nextInt(5) match {
+          case 0 => 0.0f
+          case 1 => -rnd.nextFloat()
+          case _ => rnd.nextFloat() - 0.4f
+        }
+      }
+    }.toDF("id", "v")
+    for (lo <- Seq(0, 32)) {
+      val composed = (lo until lo + 32).map { d =>
+        when(element_at(col("v"), d + 1) > 0f, lit(1L << (d - lo))).otherwise(0L)
+      }.reduce(_ + _)
+      val rows = vecs.select(
+        org.apache.spark.sql.graft.shim.column(
+          SignPack(org.apache.spark.sql.graft.shim.expression(col("v")), lo)).as("native"),
+        composed.as("composed")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"lo=$lo row=$r"))
+    }
+  }
+
   test("WinnowFingerprint invariant under case and internal-space doubling") {
     // (note: winnow(normalized(text)) is NOT the invariant — normalization
     // is deliberately single-pass, boundary `\t` becomes a boundary space
