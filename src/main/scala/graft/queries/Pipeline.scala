@@ -1424,6 +1424,23 @@ object Pipeline {
         .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
       counts.orderBy(col("c").desc, col("l_orderkey").asc).limit(10)
     }),
+    // ---- token-budget curriculum head: best-quality docs FIRST until a
+    // token budget fills — the "select the top slice worth B tokens"
+    // sampling shape. The composite (quality desc, doc_id) order encodes
+    // into ONE numeric key and the fill runs through WeightedCap —
+    // OrderedCap's block-bucket plan generalized to weights, so no
+    // full-set single-partition window exists (only the boundary block
+    // is ranked row-by-row).
+    "sample_token_budget" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("q_bp"))
+      val keyed = d.withColumn("__ord",
+        (lit(10000L) - col("q_bp")) * (1L << 40) + col("doc_id"))
+      graft.plans.WeightedCap.byKey(keyed, "__ord", "toks", budget = 5000L)
+        .select("doc_id", "q_bp", "toks").orderBy("doc_id")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2362,6 +2379,16 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "sample_token_budget" ->
+      s"""WITH q AS (SELECT doc_id,
+         |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp,
+         |             CAST($tokenCountSql AS BIGINT) AS toks FROM documents),
+         |c AS (SELECT doc_id, q_bp, toks,
+         |        sum(toks) OVER (ORDER BY (10000 - q_bp) * 1099511627776 + doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM q)
+         |SELECT doc_id, q_bp, toks FROM c
+         |WHERE cum - toks < 5000 ORDER BY doc_id""".stripMargin,
     "corpus_hll_by_source" ->
       s"""WITH h AS (SELECT source, md5($norm) AS h FROM documents),
          |r AS (SELECT source, ('0x' || substring(h, 1, 2))::INT AS bucket,
