@@ -930,6 +930,51 @@ object Pipeline {
         .select(col("doc_id"), col("n_dups"))
         .orderBy("doc_id")
     }),
+    // v4 = v3 + the round-9 gates: a character-entropy floor (cuts
+    // degenerate/low-diversity text the word-level gates miss) and the
+    // repeated-blocklist-offender cut (>= 3 blocklisted tokens). Both
+    // gates join KEYED on doc_id (never row-multiplying); the oracle is
+    // the v3 SQL with the gate CTEs spliced in (cleanV4Sql).
+    "pipeline_clean_corpus_v4" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("lm_micro_avg"))
+      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("dup_frac"))
+      val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
+      val pr = col("c").cast("double") / col("n")
+      val ent = chars.join(chn, "doc_id")
+        .select(col("doc_id"),
+          round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
+        .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
+      val heavy = d.select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok").isin("slow", "fail", "legacy"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 3).select("doc_id")
+      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("langp", TextAnalysis.langId(col("text")))
+        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
+        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
+          col("rep") <= 0.2)
+        .join(lm, Seq("doc_id"), "left_outer")
+        .filter(col("lm_micro_avg") >= -3450000L)
+        .join(dupF, "doc_id")
+        .filter(col("dup_frac") <= 0.5)
+        .join(ent, "doc_id")
+        .filter(col("entropy_nano") >= 2600000000L)
+        .join(heavy, Seq("doc_id"), "left_anti")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
@@ -1441,6 +1486,25 @@ object Pipeline {
       graft.plans.WeightedCap.byKey(keyed, "__ord", "toks", budget = 5000L)
         .select("doc_id", "q_bp", "toks").orderBy("doc_id")
     }),
+    // ---- per-source token budgets: each source contributes its best
+    // docs up to a 1,000-token quota — the balanced-mixture selection
+    // shape. The cumulative window is PARTITIONED BY SOURCE, so this is
+    // fully distributed (the global-budget form is what needs
+    // WeightedCap; the per-group form parallelizes by the group key).
+    "sample_budget_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("q_bp"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("q_bp").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("toks").over(w))
+        .filter(col("cum") - col("toks") < 1000)
+        .select("source", "doc_id", "q_bp", "toks")
+        .orderBy("source", "doc_id")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -1626,7 +1690,7 @@ object Pipeline {
        |SELECT $cols FROM scored WHERE jaccard >= $tau
        |ORDER BY id_a, id_b""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "text_token_count" ->
       (s"SELECT doc_id, $tokenCountSql AS n_tokens, " +
         "CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_subwords " +
@@ -2379,6 +2443,17 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "sample_budget_by_source" ->
+      s"""WITH q AS (SELECT source, doc_id,
+         |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp,
+         |             CAST($tokenCountSql AS BIGINT) AS toks FROM documents),
+         |c AS (SELECT source, doc_id, q_bp, toks,
+         |        sum(toks) OVER (PARTITION BY source
+         |          ORDER BY q_bp DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM q)
+         |SELECT source, doc_id, q_bp, toks FROM c
+         |WHERE cum - toks < 1000 ORDER BY source, doc_id""".stripMargin,
     "sample_token_budget" ->
       s"""WITH q AS (SELECT doc_id,
          |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp,
@@ -2603,4 +2678,41 @@ object Pipeline {
          |       JOIN sz sb ON i.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin
   )
+
+  /** v4 = the v3 cleaning stack + the round-9 gates (character-entropy
+    * floor, repeated-blocklist-offender cut). Expressed as SQL SURGERY on
+    * the v3 oracle — the gates' CTEs splice in before `kept` and their
+    * predicates join the WHERE — so the two oracles can never drift apart
+    * on the shared gate algebra. */
+  private val cleanV4Sql: String = {
+    val v3 = oracleSqlBase("pipeline_clean_corpus_v3")
+    val gateCtes =
+      s"""chx AS (SELECT doc_id, ch FROM (SELECT doc_id,
+         |         unnest(string_split(text, '')) AS ch FROM documents)
+         |        WHERE length(ch) > 0),
+         |chc AS (SELECT doc_id, ch, count(*) AS c FROM chx GROUP BY doc_id, ch),
+         |chn AS (SELECT doc_id, sum(c) AS n FROM chc GROUP BY doc_id),
+         |ent AS (SELECT chc.doc_id,
+         |          CAST(sum(CAST(round((CAST(c AS DOUBLE) / n)
+         |            * ln(CAST(c AS DOUBLE) / n) * -1000000000.0) AS BIGINT)) AS BIGINT) AS en
+         |        FROM chc JOIN chn ON chc.doc_id = chn.doc_id GROUP BY chc.doc_id),
+         |hv AS (SELECT id FROM (SELECT id, count(*) AS h FROM
+         |         (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok
+         |          FROM documents) t
+         |       WHERE tok IN ('slow', 'fail', 'legacy') GROUP BY id) g
+         |       WHERE h >= 3),
+         |""".stripMargin
+    val patched = v3
+      .replace("kept AS (SELECT d.doc_id", gateCtes + "kept AS (SELECT d.doc_id")
+      .replace("  JOIN fr USING (doc_id)",
+        "  JOIN fr USING (doc_id)\n  JOIN ent ON d.doc_id = ent.doc_id")
+      .replace("AND fr.dup_frac <= 0.5)",
+        "AND fr.dup_frac <= 0.5\n    AND ent.en >= 2600000000 " +
+          "AND d.doc_id NOT IN (SELECT id FROM hv))")
+    require(patched != v3, "v4 oracle surgery anchors did not match the v3 SQL")
+    patched
+  }
+
+  val oracleSql: Map[String, String] =
+    oracleSqlBase + ("pipeline_clean_corpus_v4" -> cleanV4Sql)
 }
