@@ -1505,6 +1505,25 @@ object Pipeline {
         .select("source", "doc_id", "q_bp", "toks")
         .orderBy("source", "doc_id")
     }),
+    // ---- Unicode NFC normalization: byte-different but canonically
+    // equal strings (e+COMBINING ACUTE vs precomposed é) must
+    // fingerprint/dedup/tokenize identically, so this runs BEFORE every
+    // hash kernel on a multilingual corpus. Non-NFC suffixes are planted
+    // deterministically from doc_id; DuckDB's engine-native
+    // nfc_normalize recomputes the same UAX #15 algorithm.
+    "text_nfc_normalize" -> ((s, dir) => {
+      val suffix = when(col("doc_id") % 3 === 0, lit("é"))
+        .when(col("doc_id") % 3 === 1, lit("Ä"))
+        .otherwise(lit(""))
+      docs(s, dir).select(col("doc_id"),
+          concat(col("text"), suffix).as("t"))
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize(col("t")).as("norm_text"),
+          (graft.functions.NfcNormalize(col("t")) =!= col("t")).as("changed"),
+          length(col("t")).as("len_raw"),
+          length(graft.functions.NfcNormalize(col("t"))).as("len_nfc"))
+        .orderBy("doc_id")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2443,6 +2462,15 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "text_nfc_normalize" ->
+      """WITH raw AS (SELECT doc_id, text ||
+        |  (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'e' || chr(769)
+        |        WHEN 1 THEN 'A' || chr(776) ELSE '' END) AS t FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm_text,
+        |       nfc_normalize(t) != t AS changed,
+        |       CAST(length(t) AS INTEGER) AS len_raw,
+        |       CAST(length(nfc_normalize(t)) AS INTEGER) AS len_nfc
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "sample_budget_by_source" ->
       s"""WITH q AS (SELECT source, doc_id,
          |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp,

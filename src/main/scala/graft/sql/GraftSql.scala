@@ -263,6 +263,7 @@ object GraftSql {
       viaColumn("graft_token_count", TextAnalysis.tokenCount),
       viaColumn("graft_fingerprint", TextAnalysis.fingerprint),
       viaColumn("graft_scrub_pii", TextAnalysis.scrubPii),
+      viaColumn("graft_nfc", graft.functions.NfcNormalize.apply),
       viaColumn("graft_simhash", c => shim.column(
         graft.functions.SimHashText(shim.expression(c)))),
       textInt("graft_top_gram_frac", (e, n) => graft.functions.TopGramFrac(e, n)),

@@ -123,6 +123,22 @@ class NativeParitySpec extends SparkSpec {
     }
   }
 
+  test("NfcNormalize: canonical equivalence, idempotence, ASCII identity") {
+    val decomposed = "é Ä plain ﬁ"   // combining marks + a ligature
+    val precomposed = "é Ä plain ﬁ"    // é Ä; ﬁ untouched (NFC != NFKC)
+    val rows = Seq((1L, decomposed), (2L, precomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+      .select(col("id"), NfcNormalize(col("t")).as("n"), col("t"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows(1L)._1 === precomposed, "decomposed must compose to NFC")
+    assert(rows(2L)._1 === rows(2L)._2, "already-NFC input unchanged")
+    assert(rows(3L)._1 === rows(3L)._2, "ASCII fast path is identity")
+    // idempotence: normalize twice == once
+    val twice = Seq((1L, decomposed)).toDF("id", "t")
+      .select(NfcNormalize(NfcNormalize(col("t")))).head().getString(0)
+    assert(twice === precomposed)
+  }
+
   test("WinnowFingerprint invariant under case and internal-space doubling") {
     // (note: winnow(normalized(text)) is NOT the invariant — normalization
     // is deliberately single-pass, boundary `\t` becomes a boundary space
