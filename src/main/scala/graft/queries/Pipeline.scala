@@ -1524,6 +1524,61 @@ object Pipeline {
           length(graft.functions.NfcNormalize(col("t"))).as("len_nfc"))
         .orderBy("doc_id")
     }),
+    // ---- blocked FUZZY near-dup pairs (edit distance): typo'd clones
+    // (one planted substitution at char 5) surface through a
+    // suffix-block equi-join + levenshtein <= 2 filter — the classic
+    // blocked fuzzy join: candidates come from a cheap exact block key,
+    // the O(len²) distance runs on CANDIDATES only, never all pairs.
+    "text_fuzzy_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val typod = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("X"),
+            substring(col("text"), 6, 1000000)).as("text"))
+      val all = base.unionByName(typod)
+        .withColumn("blk", substring(col("text"), 6, 16))
+      all.as("a").join(all.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.text"), col("b.text")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- event funnel: view -> click -> purchase conversion, strictly
+    // ordered per user (each step's first occurrence must FOLLOW the
+    // previous step's). Three keyed min-aggregations + broadcast joins.
+    "events_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("event_id").as("t0"))
+      val c = ev.filter(col("event_type") === "click").join(broadcast(v), "user_id")
+        .filter(col("event_id") > col("t0"))
+        .groupBy("user_id").agg(min("event_id").as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(broadcast(c), "user_id")
+        .filter(col("event_id") > col("t1"))
+        .groupBy("user_id").agg(min("event_id").as("t2"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase")))
+    }),
+    // ---- cohort retention: users bucketed by first-seen week ×
+    // activity-week offset — the engagement matrix. Weeks are pure
+    // integer day-arithmetic from a fixed epoch (no engine week-start
+    // convention in play).
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+      val firstDay = ev.groupBy("user_id").agg(min("d").as("d0"))
+      ev.join(broadcast(firstDay), "user_id")
+        .select(col("user_id"),
+          expr("CAST(datediff(d0, DATE '2024-01-01') DIV 7 AS INT)").as("cohort_w"),
+          expr("CAST(datediff(d, d0) DIV 7 AS INT)").as("offset_w"))
+        .distinct()
+        .groupBy("cohort_w", "offset_w").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_w", "offset_w")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2462,6 +2517,41 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "text_fuzzy_pairs" ->
+      """WITH typod AS (SELECT doc_id + 1000000 AS doc_id,
+        |         substr(text, 1, 4) || 'X' || substr(text, 6) AS text
+        |       FROM documents WHERE doc_id < 50),
+        |al AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM typod),
+        |b AS (SELECT doc_id, text, substr(text, 6, 16) AS blk FROM al),
+        |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |             CAST(levenshtein(a.text, bb.text) AS INTEGER) AS dist
+        |      FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(event_id) AS t0 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.event_id) AS t1 FROM events e
+        |      JOIN v ON e.user_id = v.user_id AND e.event_id > v.t0
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.event_id) AS t2 FROM events e
+        |      JOIN c ON e.user_id = c.user_id AND e.event_id > c.t1
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM d GROUP BY 1),
+        |o AS (SELECT DISTINCT d.user_id,
+        |        date_diff('day', DATE '2024-01-01', f.d0) // 7 AS cohort_w,
+        |        date_diff('day', f.d0, d.d) // 7 AS offset_w
+        |      FROM d JOIN f ON d.user_id = f.user_id)
+        |SELECT CAST(cohort_w AS INTEGER) AS cohort_w,
+        |       CAST(offset_w AS INTEGER) AS offset_w,
+        |       count(*) AS n_users
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_nfc_normalize" ->
       """WITH raw AS (SELECT doc_id, text ||
         |  (CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'e' || chr(769)
