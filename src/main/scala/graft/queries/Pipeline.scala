@@ -1579,6 +1579,28 @@ object Pipeline {
         .groupBy("cohort_w", "offset_w").agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_w", "offset_w")
     }),
+    // ---- event-rate anomaly detection: hours whose count deviates
+    // >= 50% from the trailing-24h mean — the ingest-monitoring panel.
+    // The hourly series is a METADATA-sized table (one row per hour), so
+    // its trailing window is deliberately single-partition (the
+    // OrderedCap block-table shape); deviation algebra is integer-micro.
+    "events_rate_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(lit(0)).orderBy("h").rowsBetween(-24, -1)
+      hourly
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .withColumn("sum_prev", sum("c").over(w))
+        .filter(col("n_prev") >= 12)
+        .withColumn("mean_micro",
+          round(col("sum_prev") * 1e6 / col("n_prev")).cast("long"))
+        .withColumn("dev_micro", col("c") * 1000000L - col("mean_micro"))
+        .filter(abs(col("dev_micro")) * 2 >= col("mean_micro"))
+        .select(col("h"), col("c"), col("mean_micro"), col("dev_micro"))
+        .orderBy("h")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2517,6 +2539,19 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "events_rate_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
+        |                FROM events GROUP BY 1),
+        |t AS (SELECT h, c,
+        |        count(*) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev,
+        |        sum(c) OVER (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sum_prev
+        |      FROM hourly),
+        |m AS (SELECT h, c,
+        |        CAST(round(sum_prev * 1000000.0 / n_prev) AS BIGINT) AS mean_micro
+        |      FROM t WHERE n_prev >= 12)
+        |SELECT h, c, mean_micro, c * 1000000 - mean_micro AS dev_micro
+        |FROM m WHERE abs(c * 1000000 - mean_micro) * 2 >= mean_micro
+        |ORDER BY h""".stripMargin,
     "text_fuzzy_pairs" ->
       """WITH typod AS (SELECT doc_id + 1000000 AS doc_id,
         |         substr(text, 1, 4) || 'X' || substr(text, 6) AS text
