@@ -1601,6 +1601,16 @@ object Pipeline {
         .select(col("h"), col("c"), col("mean_micro"), col("dev_micro"))
         .orderBy("h")
     }),
+    // ---- distributed POWER ITERATION: the dominant principal direction
+    // of the embedding table (top eigenvector of XᵀX — the first step of
+    // embedding whitening/ABTT). One distributed pass per iteration;
+    // the iterate is 64 numbers. Integer-quantized iterates (centi-unit
+    // per-row terms → exact BIGINT sums → one micro rounding per
+    // component) make the whole linear-algebra loop exactly reproducible
+    // in DuckDB's unrolled replay of the same algebra.
+    "emb_power_iteration" -> ((s, dir) =>
+      graft.operators.Spectral.powerIteration(embs(s, dir), "embedding")
+        .orderBy("d")),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2539,6 +2549,21 @@ object Pipeline {
          |SELECT vec_id, hamming FROM h
          |ORDER BY hamming ASC, vec_id ASC LIMIT 20""".stripMargin
     },
+    "emb_power_iteration" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM e),
+         |t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+         |       FROM sc1, ds GROUP BY d),
+         |n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t1),
+         |v1 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t1, n1),
+         |v1l AS (SELECT list(vm / 1000000.0 ORDER BY d) AS v FROM v1),
+         |sc2 AS (SELECT emb, list_inner_product(emb, v) AS sc FROM e, v1l),
+         |t2 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+         |       FROM sc2, ds GROUP BY d),
+         |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
+         |v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t2, n2)
+         |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM v2 ORDER BY d""".stripMargin,
     "events_rate_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
         |                FROM events GROUP BY 1),
