@@ -1611,6 +1611,29 @@ object Pipeline {
     "emb_power_iteration" -> ((s, dir) =>
       graft.operators.Spectral.powerIteration(embs(s, dir), "embedding")
         .orderBy("d")),
+    // ABTT ("all-but-the-top") retrieval: project the dominant component
+    // OUT of every embedding (e' = e − (e·v)v, v from the power
+    // iteration) and rank against the raw query — the post-processing
+    // shown to improve embedding isotropy. The projection is a per-row
+    // codegen'd expression; ranking stays TakeOrderedAndProject. The
+    // oracle replays the iteration AND the projection algebra.
+    "emb_abtt_topk" -> ((s, dir) => {
+      val v = graft.operators.Spectral.powerIteration(embs(s, dir), "embedding")
+        .orderBy("d").collect().map(_.getLong(1).toDouble / 1e6)
+      val scored = embs(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            graft.functions.VectorFunctions.vecLit(v)).as("sc"))
+        .select(col("vec_id"),
+          array((0 until 64).map(d =>
+            element_at(col("embedding"), d + 1) - col("sc") * lit(v(d))): _*)
+            .as("ep"))
+      scored.select(col("vec_id"),
+          round(graft.functions.VectorFunctions.cosine(col("ep"),
+            graft.functions.VectorFunctions.vecLit(onesQuery)), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(20)
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2564,6 +2587,30 @@ object Pipeline {
          |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
          |v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t2, n2)
          |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM v2 ORDER BY d""".stripMargin,
+    "emb_abtt_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM e),
+         |t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+         |       FROM sc1, ds GROUP BY d),
+         |n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t1),
+         |v1 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t1, n1),
+         |v1l AS (SELECT list(vm / 1000000.0 ORDER BY d) AS v FROM v1),
+         |sc2 AS (SELECT emb, list_inner_product(emb, v) AS sc FROM e, v1l),
+         |t2 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+         |       FROM sc2, ds GROUP BY d),
+         |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
+         |v2l AS (SELECT list(CAST(round(s * 1000000.0 / nrm) AS BIGINT) / 1000000.0
+         |                    ORDER BY d) AS v FROM t2, n2),
+         |pr AS (SELECT vec_id,
+         |         list_transform(generate_series(1, 64),
+         |           d -> emb[d] - list_inner_product(emb, v) * v[d]) AS ep
+         |       FROM e, v2l),
+         |sc AS (SELECT vec_id,
+         |         round(list_cosine_similarity(ep, $onesSqlList), 6) AS score
+         |       FROM pr)
+         |SELECT vec_id, score FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "events_rate_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
         |                FROM events GROUP BY 1),
