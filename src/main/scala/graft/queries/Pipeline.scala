@@ -1634,6 +1634,49 @@ object Pipeline {
         .orderBy(desc("score"), col("vec_id"))
         .limit(20)
     }),
+    // ---- kNN label propagation: the first 20 vectors are treated as
+    // UNLABELED queries and classified by majority vote of their 5
+    // nearest labeled neighbors — the semi-supervised labeling shape
+    // (brute-force here at validation scale; the ANN ladder is the
+    // candidate generator at corpus scale). Neighbor order and vote
+    // ties are integer-deterministic (rounded scores, min-label rule).
+    "emb_knn_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val train = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("tid"), col("label"), col("embedding").as("tv"))
+      val scored = train.crossJoin(broadcast(q))
+        .select(col("qid"), col("tid"), col("label"),
+          round(graft.functions.VectorFunctions.cosine(col("tv"), col("qv")), 6)
+            .as("score"))
+      val nn = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("tid").asc)))
+        .filter(col("rk") <= 5)
+      val votes = nn.groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+      votes.withColumn("vr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)))
+        .filter(col("vr") === 1)
+        .select(col("qid").as("vec_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy("vec_id")
+    }),
+    // ---- shingle-size dedup curve: duplicated-gram fraction for n-gram
+    // sizes 1..4 — the "pick your shingle width" panel (short grams
+    // saturate, long grams go unique); one scan per n, integer division
+    "corpus_dedup_curve" -> ((s, dir) => {
+      val perN = (1 to 4).map { n =>
+        docs(s, dir).select(
+            explode(graft.functions.WordGrams(col("text"), n)).as("g"))
+          .agg(lit(n).as("n"), count(lit(1)).as("total"),
+            countDistinct(col("g")).as("n_distinct"))
+      }
+      perN.reduce(_.unionByName(_))
+        .select(col("n"), col("total"), col("n_distinct"),
+          round((col("total") - col("n_distinct")) * 1e6 / col("total"))
+            .cast("long").as("dup_frac_micro"))
+        .orderBy("n")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2587,6 +2630,36 @@ object Pipeline {
          |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
          |v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t2, n2)
          |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM v2 ORDER BY d""".stripMargin,
+    "emb_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 20),
+         |tr AS (SELECT vec_id AS tid, label, CAST(embedding AS DOUBLE[]) AS tv
+         |       FROM embeddings WHERE vec_id >= 20),
+         |sc AS (SELECT qid, tid, label,
+         |         round(list_cosine_similarity(tv, qv), 6) AS score
+         |       FROM tr CROSS JOIN q),
+         |nn AS (SELECT qid, label,
+         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
+         |       FROM sc),
+         |vo AS (SELECT qid, label, count(*) AS votes FROM nn WHERE rk <= 5
+         |       GROUP BY qid, label),
+         |pick AS (SELECT qid, label, votes,
+         |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+         |         FROM vo)
+         |SELECT qid AS vec_id, label AS pred_label, votes
+         |FROM pick WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "corpus_dedup_curve" -> {
+      def one(n: Int) =
+        s"""SELECT $n AS n, count(*) AS total, count(DISTINCT g) AS n_distinct
+           |FROM (SELECT unnest(list_transform(generate_series(1, len(arr) - ${n - 1}),
+           |        i -> array_to_string(arr[i:i+${n - 1}], ' '))) AS g
+           |      FROM (SELECT string_split($norm, ' ') AS arr FROM documents)
+           |      WHERE len(arr) >= $n)""".stripMargin
+      s"""WITH u AS (${(1 to 4).map(one).mkString("\n UNION ALL \n")})
+         |SELECT CAST(n AS INTEGER) AS n, total, n_distinct,
+         |       CAST(round((total - n_distinct) * 1000000.0 / total) AS BIGINT) AS dup_frac_micro
+         |FROM u ORDER BY n""".stripMargin
+    },
     "emb_abtt_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
