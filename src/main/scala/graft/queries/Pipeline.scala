@@ -1661,6 +1661,32 @@ object Pipeline {
         .select(col("qid").as("vec_id"), col("label").as("pred_label"), col("votes"))
         .orderBy("vec_id")
     }),
+    // ---- label-noise detection (confident-learning-lite): labeled
+    // vectors whose leave-one-out 5-NN majority DISAGREES with their own
+    // label — the mislabeled-example audit before training on labels.
+    // Same deterministic machinery as emb_knn_classify.
+    "emb_label_noise" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val scored = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+        .join(e.select(col("vec_id").as("tid"), col("label").as("tlabel"),
+          col("embedding").as("tv")), col("qid") =!= col("tid"))
+        .select(col("qid"), col("qlabel"), col("tid"), col("tlabel"),
+          round(graft.functions.VectorFunctions.cosine(col("tv"), col("qv")), 6)
+            .as("score"))
+      val nn = scored.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("tid").asc)))
+        .filter(col("rk") <= 5)
+      val votes = nn.groupBy("qid", "qlabel", "tlabel")
+        .agg(count(lit(1)).as("votes"))
+      votes.withColumn("vr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("votes").desc, col("tlabel").asc)))
+        .filter(col("vr") === 1 && col("tlabel") =!= col("qlabel"))
+        .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+          col("tlabel").as("knn_label"), col("votes"))
+        .orderBy("vec_id")
+    }),
     // ---- shingle-size dedup curve: duplicated-gram fraction for n-gram
     // sizes 1..4 — the "pick your shingle width" panel (short grams
     // saturate, long grams go unique); one scan per n, integer division
@@ -2630,6 +2656,22 @@ object Pipeline {
          |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
          |v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t2, n2)
          |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM v2 ORDER BY d""".stripMargin,
+    "emb_label_noise" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
+        |              t.label AS tlabel,
+        |              round(list_cosine_similarity(t.v, q.v), 6) AS score
+        |       FROM e q JOIN e t ON q.vec_id != t.vec_id),
+        |nn AS (SELECT qid, qlabel, tlabel,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
+        |       FROM sc),
+        |vo AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM nn WHERE rk <= 5
+        |       GROUP BY qid, qlabel, tlabel),
+        |pick AS (SELECT qid, qlabel, tlabel, votes,
+        |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel ASC) AS vr
+        |         FROM vo)
+        |SELECT qid AS vec_id, qlabel AS label, tlabel AS knn_label, votes
+        |FROM pick WHERE vr = 1 AND tlabel != qlabel ORDER BY vec_id""".stripMargin,
     "emb_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 20),
