@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -70,6 +70,22 @@ object FluvioDsv2 {
     StructField("offset", LongType, nullable = false),
     StructField("timestamp", TimestampType, nullable = true),
     StructField("value", StringType, nullable = true)))
+
+  /** The advertised schema restricted to a `columns` option value
+    * (comma-separated record-column names, advertised-schema order
+    * preserved); unknown names fail loudly with the valid set. */
+  def prunedSchema(columns: Option[String]): StructType = columns match {
+    case None => Schema
+    case Some(spec) =>
+      val want = spec.split(",").map(_.trim).filter(_.nonEmpty)
+      require(want.nonEmpty, "fluvio `columns` option: empty column list")
+      val known = Schema.fieldNames.toSet
+      val bad = want.filterNot(known)
+      require(bad.isEmpty,
+        s"fluvio `columns` option: unknown column(s) ${bad.mkString(", ")} " +
+          s"(valid: ${Schema.fieldNames.mkString(", ")})")
+      StructType(Schema.fields.filter(f => want.contains(f.name)))
+  }
 
   /** partition id → its data directory/file. Hive `partition=N` subdirs
     * for multi-partition topics; partition 0 = the topic path itself
@@ -139,7 +155,7 @@ class FluvioTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "fluvio"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FluvioDsv2.Schema
+    FluvioDsv2.prunedSchema(Option(options.get("columns")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     // properties arrive with the user's original key casing; DSv2 options
@@ -150,11 +166,13 @@ class FluvioTableProvider extends TableProvider
       throw new IllegalArgumentException("fluvio source requires a `cmd` option"))
     val baseDir = Option(opts.get("baseDir")).getOrElse(
       throw new IllegalArgumentException("fluvio source requires a `baseDir` option"))
-    new FluvioTable(cmd, baseDir)
+    new FluvioTable(cmd, baseDir, Option(opts.get("columns")))
   }
 }
 
-class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead {
+class FluvioTable(cmd: String, baseDir: String,
+                  columns: Option[String] = None)
+    extends Table with SupportsRead {
   private val opt: ConsumeOpt = ConsumeOpt.parse(cmd) match {
     case Left(err) => throw new IllegalArgumentException(err)
     case Right(o)  => o
@@ -162,7 +180,7 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
   private val view: RecordView = TopicRegistry.requireRecordView(baseDir, opt.topic)
 
   override def name(): String = s"fluvio_consume(${opt.topic})"
-  override def schema(): StructType = FluvioDsv2.Schema
+  override def schema(): StructType = FluvioDsv2.prunedSchema(columns)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -175,12 +193,26 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
     // table properties.
     val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
     val maxBytesPerTrigger = options.getLong("maxBytesPerTrigger", 0L)
-    new ScanBuilder {
+    // COLUMN PRUNING, two routes to the same reader projection: the
+    // explicit `columns` option (a stream that needs only `offset` must
+    // not pay value-string materialization — on a fat-payload topic the
+    // value column IS the byte volume), and the engine's
+    // SupportsPushDownRequiredColumns hook for planners that apply
+    // pushdown to this scan (Spark 4.1's micro-batch planner does NOT —
+    // it plans streaming relations before V2ScanRelationPushDown — so
+    // the option is the operative route today; the hook costs nothing
+    // and picks up planner support when it lands). The pruned schema
+    // flows through the input partitions to the reader, which
+    // materializes ONLY those fields.
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = FluvioDsv2.prunedSchema(columns)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = FluvioDsv2.Schema
+        override def readSchema(): StructType = pruned
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger,
-            maxBytesPerTrigger)
+            maxBytesPerTrigger, pruned.fieldNames.toSeq)
       }
     }
   }
@@ -188,7 +220,9 @@ class FluvioTable(cmd: String, baseDir: String) extends Table with SupportsRead 
 
 class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
                              maxPerTrigger: Long = 0L,
-                             maxBytesPerTrigger: Long = 0L)
+                             maxBytesPerTrigger: Long = 0L,
+                             fields: Seq[String] =
+                               FluvioDsv2.Schema.fieldNames.toSeq)
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -433,7 +467,7 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
           if (hi > lo)
             parts += FluvioInputPartition(f.getAbsolutePath, p,
               skip = lo - fileStart, take = hi - lo,
-              view.offsetCol, view.timestampCol, view.valueCol)
+              view.offsetCol, view.timestampCol, view.valueCol, fields)
           cum = fileEnd
         }
       }
@@ -456,7 +490,8 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
 case class FluvioInputPartition(path: String, partitionId: Int,
                                 skip: Long, take: Long,
                                 offsetCol: String, tsCol: String,
-                                valueCol: String) extends InputPartition
+                                valueCol: String,
+                                fields: Seq[String]) extends InputPartition
 
 /** Executor-side reader: parquet example API (Group) — record-at-a-time
   * over one segment slice, no Spark-internal reader dependencies. The
@@ -534,13 +569,20 @@ class FluvioPartitionReader(p: FluvioInputPartition)
     // offsets are dense by the log model — a null offset is corrupt data
     // and must fail loudly; timestamp/value are nullable in the advertised
     // schema, so null cells pass through as nulls (the example-API getters
-    // throw on absent fields instead of returning null)
-    val offset = longOf(p.offsetCol)
-    val micros: Any = if (present(p.tsCol)) tsMicrosOf(g) else null
-    val value: Any =
-      if (present(p.valueCol)) UTF8String.fromString(g.getString(p.valueCol, 0))
-      else null
-    new GenericInternalRow(Array[Any](p.partitionId, offset, micros, value))
+    // throw on absent fields instead of returning null). Only the PRUNED
+    // fields materialize: a `SELECT offset` stream never builds the value
+    // string (SupportsPushDownRequiredColumns).
+    val vals: Array[Any] = p.fields.map {
+      case "partition" => p.partitionId: Any
+      case "offset"    => longOf(p.offsetCol): Any
+      case "timestamp" => if (present(p.tsCol)) tsMicrosOf(g): Any else null
+      case "value" =>
+        if (present(p.valueCol)) UTF8String.fromString(g.getString(p.valueCol, 0))
+        else null
+      case other =>
+        throw new IllegalStateException(s"unknown pruned field `$other`")
+    }.toArray
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = reader.close()

@@ -517,4 +517,51 @@ class FluvioDsv2Spec extends SparkSpec {
         .option("baseDir", dir.getAbsolutePath).load())
     assert(e2.toString.contains("cmd"), e2.toString)
   }
+
+  test("`columns` option prunes the stream schema and the reader projection") {
+    val (dir, _) = mkTopic("dsv2_prune", 60)
+    val df = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      .option("columns", "offset").load()
+    // the STREAM's schema is already pruned — the value string is never
+    // materialized by the reader, not merely projected away afterwards
+    assert(df.schema.fieldNames.toSeq == Seq("offset"), df.schema.treeString)
+    val name = s"dsv2_prune_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 60L))
+    } finally q.stop()
+  }
+
+  test("`columns` option preserves advertised order and rejects unknown names") {
+    val (dir, _) = mkTopic("dsv2_prune_bad", 10)
+    // order in the option does not matter: advertised order is canonical
+    val df = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      .option("columns", "value, partition").load()
+    assert(df.schema.fieldNames.toSeq == Seq("partition", "value"))
+    val e = intercept[Exception](
+      spark.readStream.format(fmt)
+        .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+        .option("columns", "offset, nope").load())
+    assert(e.getMessage.contains("unknown column(s) nope"), e.getMessage)
+  }
+
+  test("full-schema streams are unaffected by the pruning path") {
+    val (dir, _) = mkTopic("dsv2_prune_full", 30)
+    val name = s"dsv2_full_${System.nanoTime()}"
+    val q = spark.readStream.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("partition", "offset", "timestamp", "value").collect()
+      assert(rows.length == 30)
+      assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(3)))
+    } finally q.stop()
+  }
 }
