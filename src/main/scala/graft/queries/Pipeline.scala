@@ -1611,6 +1611,25 @@ object Pipeline {
     "emb_power_iteration" -> ((s, dir) =>
       graft.operators.Spectral.powerIteration(embs(s, dir), "embedding")
         .orderBy("d")),
+    // SECOND principal component via DEFLATION: run the power iteration
+    // AGAIN on the corpus with the first PC projected out — top-2 PCA,
+    // fully distributed, same integer-quantized reproducibility (the
+    // oracle composes the shared powerChainSql generator twice around
+    // the projection)
+    "emb_power_pc2" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val v1 = graft.operators.Spectral.powerIteration(e, "embedding")
+        .orderBy("d").collect().map(_.getLong(1).toDouble / 1e6)
+      val projected = e
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.dot(col("embedding"),
+            graft.functions.VectorFunctions.vecLit(v1)).as("sc"))
+        .select(col("vec_id"),
+          array((0 until 64).map(d =>
+            element_at(col("embedding"), d + 1) - col("sc") * lit(v1(d))): _*)
+            .as("ep"))
+      graft.operators.Spectral.powerIteration(projected, "ep").orderBy("d")
+    }),
     // ABTT ("all-but-the-top") retrieval: project the dominant component
     // OUT of every embedding (e' = e − (e·v)v, v from the power
     // iteration) and rank against the raw query — the post-processing
@@ -1774,6 +1793,26 @@ object Pipeline {
        |FROM embeddings e JOIN short ON e.vec_id = short.vec_id
        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, e.vec_id
        |LIMIT 20""".stripMargin
+
+  /** The two-iteration integer-quantized power chain over CTE `src`
+    * (must expose an `emb` DOUBLE[] column; a `ds` 1..64 CTE must be in
+    * scope) with CTE-name prefix `p` — ends in `${p}v2` (d, vm) and
+    * `${p}v2l` (the iterate as a list). ONE generator feeds the
+    * power-iteration, ABTT and deflated-PC2 oracles so the shared
+    * algebra can never drift between them. */
+  private def powerChainSql(src: String, p: String): String =
+    s"""${p}sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM $src),
+       |${p}t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+       |       FROM ${p}sc1, ds GROUP BY d),
+       |${p}n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM ${p}t1),
+       |${p}v1l AS (SELECT list(CAST(round(s * 1000000.0 / nrm) AS BIGINT) / 1000000.0
+       |                        ORDER BY d) AS v FROM ${p}t1, ${p}n1),
+       |${p}sc2 AS (SELECT emb, list_inner_product(emb, v) AS sc FROM $src, ${p}v1l),
+       |${p}t2 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
+       |       FROM ${p}sc2, ds GROUP BY d),
+       |${p}n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM ${p}t2),
+       |${p}v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM ${p}t2, ${p}n2),
+       |${p}v2l AS (SELECT list(vm / 1000000.0 ORDER BY d) AS v FROM ${p}v2)""".stripMargin
 
   private def stopHits(words: Seq[String]) =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
@@ -2644,18 +2683,17 @@ object Pipeline {
     "emb_power_iteration" ->
       s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
-         |sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM e),
-         |t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
-         |       FROM sc1, ds GROUP BY d),
-         |n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t1),
-         |v1 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t1, n1),
-         |v1l AS (SELECT list(vm / 1000000.0 ORDER BY d) AS v FROM v1),
-         |sc2 AS (SELECT emb, list_inner_product(emb, v) AS sc FROM e, v1l),
-         |t2 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
-         |       FROM sc2, ds GROUP BY d),
-         |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
-         |v2 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t2, n2)
-         |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM v2 ORDER BY d""".stripMargin,
+         |${powerChainSql("e", "p")}
+         |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM pv2 ORDER BY d""".stripMargin,
+    "emb_power_pc2" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+         |${powerChainSql("e", "a")},
+         |e2 AS (SELECT list_transform(generate_series(1, 64),
+         |         d -> emb[d] - list_inner_product(emb, v) * v[d]) AS emb
+         |       FROM e, av2l),
+         |${powerChainSql("e2", "b")}
+         |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM bv2 ORDER BY d""".stripMargin,
     "emb_label_noise" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
@@ -2705,22 +2743,11 @@ object Pipeline {
     "emb_abtt_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
-         |sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM e),
-         |t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
-         |       FROM sc1, ds GROUP BY d),
-         |n1 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t1),
-         |v1 AS (SELECT d, CAST(round(s * 1000000.0 / nrm) AS BIGINT) AS vm FROM t1, n1),
-         |v1l AS (SELECT list(vm / 1000000.0 ORDER BY d) AS v FROM v1),
-         |sc2 AS (SELECT emb, list_inner_product(emb, v) AS sc FROM e, v1l),
-         |t2 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
-         |       FROM sc2, ds GROUP BY d),
-         |n2 AS (SELECT sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM t2),
-         |v2l AS (SELECT list(CAST(round(s * 1000000.0 / nrm) AS BIGINT) / 1000000.0
-         |                    ORDER BY d) AS v FROM t2, n2),
+         |${powerChainSql("e", "a")},
          |pr AS (SELECT vec_id,
          |         list_transform(generate_series(1, 64),
          |           d -> emb[d] - list_inner_product(emb, v) * v[d]) AS ep
-         |       FROM e, v2l),
+         |       FROM e, av2l),
          |sc AS (SELECT vec_id,
          |         round(list_cosine_similarity(ep, $onesSqlList), 6) AS score
          |       FROM pr)

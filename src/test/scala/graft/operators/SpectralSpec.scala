@@ -41,6 +41,27 @@ class SpectralSpec extends SparkSpec {
     assert(offMass < 0.01, s"off-dimension mass $offMass")
   }
 
+  test("deflated second component is near-orthogonal to the first") {
+    val v1 = Spectral.powerIteration(embs, "embedding")
+      .orderBy("d").as[(Int, Long)].collect().map(_._2.toDouble / 1e6)
+    val projected = embs
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.dot(col("embedding"),
+          graft.functions.VectorFunctions.vecLit(v1)).as("sc"))
+      .select(col("vec_id"),
+        array((0 until 64).map(d =>
+          element_at(col("embedding"), d + 1) - col("sc") * lit(v1(d))): _*)
+          .as("ep"))
+    val v2 = Spectral.powerIteration(projected, "ep")
+      .orderBy("d").as[(Int, Long)].collect().map(_._2.toDouble / 1e6)
+    val dot12 = v1.zip(v2).map { case (a, b) => a * b }.sum
+    // micro quantization + 2 iterations leave a small residue; the
+    // directions must still be essentially orthogonal
+    assert(math.abs(dot12) < 0.05, s"v1·v2 = $dot12")
+    val n2 = v2.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-3, s"|v2|^2 = $n2")
+  }
+
   test("iteration-count bounds are enforced") {
     assertThrows[IllegalArgumentException] {
       Spectral.powerIteration(embs, "embedding", iters = 0)
