@@ -518,6 +518,31 @@ class FluvioDsv2Spec extends SparkSpec {
     assert(e2.toString.contains("cmd"), e2.toString)
   }
 
+  test("backfill handoff: batch [0, X) + stream --start X covers the log exactly once") {
+    // the lambda-architecture handoff: bounded batch processing up to a
+    // chosen offset, then the stream takes over FROM that offset — the
+    // offset algebra is shared (bind-time --start/--end), so the union
+    // must equal one full batch read with no seam
+    val (dir, _) = mkTopic("dsv2_handoff", 120)
+    val batchPart = graft.sources.FluvioDuck
+      .consume(spark, "events --start 0 --end 69", dir.getAbsolutePath)
+      .select("offset").collect().map(_.getLong(0))
+    assert(batchPart.sorted.toSeq == (0L until 70L))
+    val name = s"dsv2_handoff_${System.nanoTime()}"
+    val q = spark.readStream.format(fmt)
+      .option("cmd", "events --start 70")
+      .option("baseDir", dir.getAbsolutePath).load()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamPart = spark.table(name).select("offset")
+        .collect().map(_.getLong(0))
+      assert(streamPart.sorted.toSeq == (70L until 120L))
+      val union = (batchPart ++ streamPart).sorted.toSeq
+      assert(union == (0L until 120L), "handoff must cover the log exactly once")
+    } finally q.stop()
+  }
+
   test("`columns` option prunes the stream schema and the reader projection") {
     val (dir, _) = mkTopic("dsv2_prune", 60)
     val df = spark.readStream.format(fmt)
