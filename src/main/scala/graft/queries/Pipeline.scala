@@ -1722,6 +1722,67 @@ object Pipeline {
             .cast("long").as("dup_frac_micro"))
         .orderBy("n")
     }),
+    // ---- lexical diversity (type-token ratio) per doc — the classic
+    // "is this text repetitive" signal complementary to topGramFrac
+    "text_ttr" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("n_types"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          round(col("n_types") * 1e6 / col("n_tokens")).cast("long").as("ttr_micro"))
+        .orderBy("doc_id")
+    }),
+    // ---- numeric telemetry summary with EXACT integer algebra: the
+    // events value column (2-decimal payload) summarized per event type —
+    // cents-quantized sums and sums-of-squares make count/mean/variance
+    // pure BIGINT until one rounded division each
+    "stats_value_summary" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), cents.as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_c"),
+          sum(col("c") * col("c")).as("sumsq_c"))
+        .select(col("event_type"), col("n"),
+          round(col("sum_c") * 10.0 / col("n")).cast("long").as("mean_milli"),
+          round((col("sumsq_c") * col("n") - col("sum_c") * col("sum_c"))
+            * 100.0 / (col("n") * col("n"))).cast("long").as("var_micro"))
+        .orderBy("event_type")
+    }),
+    // ---- minhash ACCURACY check: estimated vs exact Jaccard on a
+    // deterministic pair set (consecutive doc ids) — the sketch-quality
+    // report; estimate = matching md5-min components / 8, both sides
+    // recomputed end-to-end in DuckDB
+    "dedup_minhash_estcheck" -> ((s, dir) => {
+      val sigs = Dedup.portableMinhashSigs(docs(s, dir), "doc_id", "text")
+      val a = sigs.filter(col("id") < 50)
+      val b = sigs.withColumnRenamed("id", "id_b")
+      val matches = (0 until 8).map(i =>
+        when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val est = a.as("a").join(b.as("b"), col("a.id") + 1 === col("b.id_b"))
+        .select(col("a.id").as("id_a"), col("b.id_b").as("id_b"),
+          round(matches * 1e6 / 8).cast("long").as("est_micro"))
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3).distinct()
+      val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x").join(sh.as("y"),
+          col("x.shingle") === col("y.shingle") &&
+            col("x.id") + 1 === col("y.id") && col("x.id") < 50)
+        .groupBy(col("x.id").as("id_a")).agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, Seq("id_a"), "left_outer")
+        .join(sz.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sz.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("est_micro"),
+          round(coalesce(col("inter"), lit(0L)) * 1e6 /
+            (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L))))
+            .cast("long").as("jac_micro"))
+        .withColumn("err_micro", col("est_micro") - col("jac_micro"))
+        .orderBy("id_a")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2694,6 +2755,47 @@ object Pipeline {
          |       FROM e, av2l),
          |${powerChainSql("e2", "b")}
          |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM bv2 ORDER BY d""".stripMargin,
+    "text_ttr" ->
+      s"""WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       count(DISTINCT tok) AS n_types,
+         |       CAST(round(count(DISTINCT tok) * 1000000.0 / count(*)) AS BIGINT) AS ttr_micro
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "stats_value_summary" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |a AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_c,
+        |             CAST(sum(c * c) AS BIGINT) AS sumsq_c
+        |      FROM c GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(round(sum_c * 10.0 / n) AS BIGINT) AS mean_milli,
+        |       CAST(round((sumsq_c * n - sum_c * sum_c) * 100.0 / (n * n)) AS BIGINT) AS var_micro
+        |FROM a ORDER BY event_type""".stripMargin,
+    "dedup_minhash_estcheck" -> {
+      val sigCols = (0 until 8)
+        .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      val matchSum = (0 until 8)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$shinglesCte,
+         |sigs AS (SELECT doc_id AS id, $sigCols FROM sh GROUP BY doc_id),
+         |est AS (SELECT a.id AS id_a, b.id AS id_b,
+         |          CAST(round(($matchSum) * 1000000.0 / 8) AS BIGINT) AS est_micro
+         |        FROM sigs a JOIN sigs b ON a.id + 1 = b.id WHERE a.id < 50),
+         |sz AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (SELECT x.doc_id AS id_a, count(*) AS inter
+         |      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id + 1 = y.doc_id
+         |      WHERE x.doc_id < 50 GROUP BY x.doc_id)
+         |SELECT est.id_a, est.id_b, est.est_micro,
+         |       CAST(round(coalesce(i.inter, 0) * 1000000.0 /
+         |         (sa.sz + sb.sz - coalesce(i.inter, 0))) AS BIGINT) AS jac_micro,
+         |       est.est_micro - CAST(round(coalesce(i.inter, 0) * 1000000.0 /
+         |         (sa.sz + sb.sz - coalesce(i.inter, 0))) AS BIGINT) AS err_micro
+         |FROM est LEFT JOIN i ON est.id_a = i.id_a
+         |     JOIN sz sa ON est.id_a = sa.id
+         |     JOIN sz sb ON est.id_b = sb.id
+         |ORDER BY est.id_a""".stripMargin
+    },
     "emb_label_noise" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
