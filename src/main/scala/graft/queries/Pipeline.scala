@@ -1783,6 +1783,31 @@ object Pipeline {
         .withColumn("err_micro", col("est_micro") - col("jac_micro"))
         .orderBy("id_a")
     }),
+    // ---- RFM customer segmentation (recency / frequency / monetary)
+    // with FIXED thresholds (value-based banding, not ntile — no global
+    // order anywhere): per-customer aggregates band into 27 segments,
+    // output = segment sizes + cents-exact monetary totals
+    "orders_rfm_segments" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+      per.select(col("o_custkey"),
+          expr("datediff(DATE '2001-09-01', last_d)").as("rec_days"),
+          col("f"), col("m_cents"))
+        .select(
+          when(col("rec_days") <= 365, 3).when(col("rec_days") <= 1095, 2)
+            .otherwise(1).as("r"),
+          when(col("f") >= 15, 3).when(col("f") >= 8, 2).otherwise(1).as("f_band"),
+          when(col("m_cents") >= 300000000L, 3)
+            .when(col("m_cents") >= 150000000L, 2).otherwise(1).as("m_band"),
+          col("m_cents"))
+        .groupBy("r", "f_band", "m_band")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("m_cents").as("segment_cents"))
+        .orderBy("r", "f_band", "m_band")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2755,6 +2780,22 @@ object Pipeline {
          |       FROM e, av2l),
          |${powerChainSql("e2", "b")}
          |SELECT CAST(d - 1 AS INTEGER) AS d, vm AS v_micro FROM bv2 ORDER BY d""".stripMargin,
+    "orders_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |              count(*) AS f,
+        |              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+        |             FROM orders GROUP BY o_custkey),
+        |b AS (SELECT CASE WHEN date_diff('day', last_d, DATE '2001-09-01') <= 365 THEN 3
+        |                  WHEN date_diff('day', last_d, DATE '2001-09-01') <= 1095 THEN 2
+        |                  ELSE 1 END AS r,
+        |             CASE WHEN f >= 15 THEN 3 WHEN f >= 8 THEN 2 ELSE 1 END AS f_band,
+        |             CASE WHEN m_cents >= 300000000 THEN 3
+        |                  WHEN m_cents >= 150000000 THEN 2 ELSE 1 END AS m_band,
+        |             m_cents
+        |      FROM per)
+        |SELECT r, f_band, m_band, count(*) AS n_customers,
+        |       CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "text_ttr" ->
       s"""WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id,
          |             unnest(string_split($norm, ' ')) AS tok FROM documents)
