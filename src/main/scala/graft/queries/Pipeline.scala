@@ -1683,11 +1683,17 @@ object Pipeline {
     // ---- label-noise detection (confident-learning-lite): labeled
     // vectors whose leave-one-out 5-NN majority DISAGREES with their own
     // label — the mislabeled-example audit before training on labels.
-    // Same deterministic machinery as emb_knn_classify.
+    // Same deterministic machinery as emb_knn_classify. The audited
+    // QUERY side is a md5 quarter-sample (the winnow-proof pattern):
+    // the audit extrapolates from a sample by design, and the sample
+    // keeps the n×m pair cost bounded as the corpus grows.
     "emb_label_noise" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val scored = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      val scored = e
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("embedding").as("qv"))
         .join(e.select(col("vec_id").as("tid"), col("label").as("tlabel"),
           col("embedding").as("tv")), col("qid") =!= col("tid"))
@@ -2839,10 +2845,12 @@ object Pipeline {
     },
     "emb_label_noise" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qs AS (SELECT * FROM e
+        |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
         |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
         |              t.label AS tlabel,
         |              round(list_cosine_similarity(t.v, q.v), 6) AS score
-        |       FROM e q JOIN e t ON q.vec_id != t.vec_id),
+        |       FROM qs q JOIN e t ON q.vec_id != t.vec_id),
         |nn AS (SELECT qid, qlabel, tlabel,
         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
         |       FROM sc),
