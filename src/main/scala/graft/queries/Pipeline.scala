@@ -1819,6 +1819,55 @@ object Pipeline {
           sum("m_cents").as("segment_cents"))
         .orderBy("r", "f_band", "m_band")
     }),
+    // ---- embedding DRIFT monitor: per-label centroid shift between
+    // the first and second half of the id space (proxy for "old vs new
+    // batch") — the model-ops panel that catches a pipeline change
+    // moving the embedding distribution. Per-row dims quantize to micro
+    // BEFORE the mean sums (order-free integers); the shift is the L2
+    // distance between micro-centroids, one sqrt per label.
+    "emb_drift_by_label" -> ((s, dir) => {
+      val mid = 250L // sf-scaled fixtures double the id space per SF step;
+                     // the gate runs sf0.01 (500 vectors)
+      val dims = embs(s, dir).select(col("label"),
+          (col("vec_id") >= mid).cast("int").as("half"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("half"), col("pos").as("d"),
+          round(col("col") * 1e6).cast("long").as("v_micro"))
+      val cent = dims.groupBy("label", "half", "d")
+        .agg(sum("v_micro").as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("half"), col("d"),
+          round(col("s") / col("n")).cast("long").as("c_micro"))
+      val a = cent.filter(col("half") === 0)
+        .select(col("label"), col("d"), col("c_micro").as("c0"))
+      val b = cent.filter(col("half") === 1)
+        .select(col("label"), col("d"), col("c_micro").as("c1"))
+      a.join(b, Seq("label", "d"))
+        .select(col("label"),
+          ((col("c0") - col("c1")) * (col("c0") - col("c1"))).as("sq"))
+        .groupBy("label").agg(sum("sq").as("sumsq"))
+        .select(col("label"),
+          round(sqrt(col("sumsq").cast("double"))).cast("long")
+            .as("shift_micro"))
+        .orderBy("label")
+    }),
+    // ---- corpus length inequality (Gini over token counts) per source
+    // — "is this source a few huge docs or many small ones". The rank
+    // window is PARTITIONED BY SOURCE (distributed); the Gini sum is
+    // exact integer algebra with one rounded division.
+    "corpus_length_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("x"))
+      val w = Window.partitionBy("source").orderBy(col("x").asc, col("doc_id").asc)
+      t.withColumn("i", row_number().over(w))
+        .groupBy("source").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum((col("i") * 2 - 1) * col("x")).as("swx"))
+        // gini = (Σ(2i−n−1)x) / (nΣx) = (swx − (n+1)Σx + Σx) / (nΣx)
+        .select(col("source"), col("n"),
+          round((col("swx") - col("n") * col("sx")) * 1e6 /
+            (col("n") * col("sx"))).cast("long").as("gini_micro"))
+        .orderBy("source")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2848,6 +2897,32 @@ object Pipeline {
          |     JOIN sz sb ON est.id_b = sb.id
          |ORDER BY est.id_a""".stripMargin
     },
+    "emb_drift_by_label" ->
+      """WITH e AS (SELECT label, CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END AS half,
+        |                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |dm AS (SELECT label, half, d, CAST(round(emb[d] * 1000000) AS BIGINT) AS v
+        |       FROM e, ds),
+        |c AS (SELECT label, half, d,
+        |        CAST(round(CAST(sum(v) AS BIGINT) / count(*)) AS BIGINT) AS cm
+        |      FROM dm GROUP BY 1, 2, 3),
+        |p AS (SELECT a.label, (a.cm - b.cm) * (a.cm - b.cm) AS sq
+        |      FROM c a JOIN c b ON a.label = b.label AND a.d = b.d
+        |      WHERE a.half = 0 AND b.half = 1)
+        |SELECT label, CAST(round(sqrt(CAST(sum(sq) AS DOUBLE))) AS BIGINT) AS shift_micro
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
+    "corpus_length_gini" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST($tokenCountSql AS BIGINT) AS x
+         |           FROM documents),
+         |r AS (SELECT source, x,
+         |        row_number() OVER (PARTITION BY source ORDER BY x ASC, doc_id ASC) AS i
+         |      FROM t),
+         |a AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum((i * 2 - 1) * x) AS BIGINT) AS swx
+         |      FROM r GROUP BY source)
+         |SELECT source, n,
+         |       CAST(round((swx - n * sx) * 1000000.0 / (n * sx)) AS BIGINT) AS gini_micro
+         |FROM a ORDER BY source""".stripMargin,
     "emb_label_noise" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qs AS (SELECT * FROM e
