@@ -1868,6 +1868,21 @@ object Pipeline {
             (col("n") * col("sx"))).cast("long").as("gini_micro"))
         .orderBy("source")
     }),
+    // ---- event-type transition matrix (first-order Markov counts):
+    // per-user ordered sequences, lag window PARTITIONED BY USER
+    // (distributed), one keyed count shuffle — the behavioral-model
+    // panel behind session prediction and bot detection
+    "events_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2897,6 +2912,13 @@ object Pipeline {
          |     JOIN sz sb ON est.id_b = sb.id
          |ORDER BY est.id_a""".stripMargin
     },
+    "events_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
+        |      FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "emb_drift_by_label" ->
       """WITH e AS (SELECT label, CASE WHEN vec_id >= 250 THEN 1 ELSE 0 END AS half,
         |                  CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
