@@ -1547,7 +1547,11 @@ object Pipeline {
           // carry the exact distance the oracle recomputes
           levenshtein(col("a.text"), col("b.text"), 3).as("dist"))
         .filter(col("dist").between(0, 2))
-        .orderBy("id_a", "id_b")
+        // repartition(1) + local sort instead of orderBy: RangePartitioning
+        // SAMPLING re-executes the whole join subtree to pick bounds — for
+        // a ~50-row result that doubles the query; one round-robin
+        // shuffle of the survivors costs nothing and sorts locally
+        .repartition(1).sortWithinPartitions("id_a", "id_b")
     }),
     // ---- event funnel: view -> click -> purchase conversion, strictly
     // ordered per user (each step's first occurrence must FOLLOW the
