@@ -1484,7 +1484,10 @@ object Pipeline {
       val keyed = d.withColumn("__ord",
         (lit(10000L) - col("q_bp")) * (1L << 40) + col("doc_id"))
       graft.plans.WeightedCap.byKey(keyed, "__ord", "toks", budget = 5000L)
-        .select("doc_id", "q_bp", "toks").orderBy("doc_id")
+        .select("doc_id", "q_bp", "toks")
+        // small output over the multi-pass WeightedCap subtree: skip the
+        // range-sampling pass (see text_fuzzy_pairs)
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
     // ---- per-source token budgets: each source contributes its best
     // docs up to a 1,000-token quota — the balanced-mixture selection
@@ -1719,7 +1722,9 @@ object Pipeline {
         .filter(col("vr") === 1 && col("tlabel") =!= col("qlabel"))
         .select(col("qid").as("vec_id"), col("qlabel").as("label"),
           col("tlabel").as("knn_label"), col("votes"))
-        .orderBy("vec_id")
+        // small output over an expensive subtree: skip the range-sampling
+        // pass (see text_fuzzy_pairs) — local sort of the survivors
+        .repartition(1).sortWithinPartitions("vec_id")
     }),
     // ---- shingle-size dedup curve: duplicated-gram fraction for n-gram
     // sizes 1..4 — the "pick your shingle width" panel (short grams
