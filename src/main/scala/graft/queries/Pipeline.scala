@@ -1892,6 +1892,16 @@ object Pipeline {
         .agg(count(lit(1)).as("n"))
         .orderBy("prev_type", "next_type")
     }),
+    // ---- session-length distribution: sessions from the sessionizer,
+    // histogrammed by event count — the engagement-shape panel composed
+    // ON TOP of the sessionize operator (user-partitioned windows, then
+    // one tiny count shuffle)
+    "sessionize_stats" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").select(col("user_id"), col("event_id"))
+      graft.operators.Sessions.sessionSummary(ev, "user_id", "event_id", gap = 100L)
+        .groupBy("n_events").agg(count(lit(1)).as("n_sessions"))
+        .orderBy("n_events")
+    }),
     // ---- cross-source vocabulary overlap: pairwise Jaccard of the
     // distinct normalized-token sets of every source pair — the corpus
     // diversity panel. Set sizes are exact; one integer-rounded division
@@ -2921,6 +2931,21 @@ object Pipeline {
          |     JOIN sz sb ON est.id_b = sb.id
          |ORDER BY est.id_a""".stripMargin
     },
+    "sessionize_stats" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN lag(event_id) OVER w IS NULL
+        |         OR event_id - lag(event_id) OVER w > 100 THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        |x AS (
+        |  SELECT user_id, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM b),
+        |s AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM x GROUP BY user_id, session_id)
+        |SELECT n_events, count(*) AS n_sessions
+        |FROM s GROUP BY n_events ORDER BY n_events""".stripMargin,
     "events_transitions" ->
       """WITH s AS (SELECT user_id, event_id, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type
