@@ -149,14 +149,15 @@ class GraftSqlSpec extends SparkSpec {
     val viaSql = s.sql(
       """SELECT id, graft_langid(text) AS lang, graft_token_count(text) AS n,
         |graft_fingerprint(text) AS fp, graft_top_gram_frac(text, 2) AS f,
-        |graft_simhash(text) AS sh
+        |graft_simhash(text) AS sh, graft_nfc(text) AS nfc
         |FROM t_kernels ORDER BY id""".stripMargin).collect()
     val viaApi = s.table("t_kernels").select(col("id"),
       graft.operators.TextAnalysis.langId(col("text")).as("lang"),
       graft.operators.TextAnalysis.tokenCount(col("text")).as("n"),
       graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
       graft.operators.TextAnalysis.topGramFrac(col("text"), 2).as("f"),
-      graft.functions.SimHashText(col("text")).as("sh"))
+      graft.functions.SimHashText(col("text")).as("sh"),
+      graft.functions.NfcNormalize(col("text")).as("nfc"))
       .orderBy("id").collect()
     assert(viaSql.toSeq == viaApi.toSeq)
     // plans as the native expression, not a UDF seat
