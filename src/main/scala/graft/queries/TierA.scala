@@ -31,6 +31,26 @@ object TierA {
 
   private val jk = "json_extract_string(props, '$.k')"
 
+  /** Pin the top-n boundary BELOW an expensive selector projection.
+    *
+    * `select(selectors).orderBy(k).limit(n)` plans as
+    * TakeOrderedAndProject whose CHILD is the selector Project — every
+    * jql selector evaluates corpus-wide and only then the n winners
+    * survive (Catalyst pushes limits down through projects, but never
+    * pulls a project up through a Sort, so the shape sticks). Taking
+    * the n winners on the narrow (__offset, value) record first and
+    * projecting after evaluates each selector n times instead of
+    * |topic| times — at 100 TB that is the difference between a bounded
+    * probe and a full-corpus JSON parse. The limit's single output
+    * partition makes the trailing local sort deterministic without a
+    * range-partitioning sampling pass. */
+  private def selectorsOverTopN(rec: DataFrame, n: Int)
+                               (cols: org.apache.spark.sql.Column*): DataFrame =
+    rec.orderBy("__offset").limit(n)
+      .select((col("__offset") +: cols): _*)
+      .sortWithinPartitions("__offset")
+      .drop("__offset")
+
   val queries: Map[String, Q] = Map(
     // ---- source scan + default projection
     "consume_scan" -> consume("events -B --rows 500"),
@@ -71,15 +91,14 @@ object TierA {
             lit("\"], \"k\": 7}")).as("value"))
       def m(name: String, ty: MappedType, path: String) =
         ColumnMapping(name, ty, path).toColumn(col("value"))
-      rec.select(col("__offset"),
-          m("a0", MappedType.I, "arr.0"),
-          m("bx", MappedType.L, "arr.1.x"),
-          m("bd", MappedType.D, "arr.1.x"),
-          m("s2", MappedType.S, "arr.2"),
-          m("oob", MappedType.S, "arr.5"),
-          m("oob_i", MappedType.I, "arr.5"),
-          m("nonarr", MappedType.S, "k.0"))
-        .orderBy("__offset").limit(300).drop("__offset")
+      selectorsOverTopN(rec, 300)(
+        m("a0", MappedType.I, "arr.0"),
+        m("bx", MappedType.L, "arr.1.x"),
+        m("bd", MappedType.D, "arr.1.x"),
+        m("s2", MappedType.S, "arr.2"),
+        m("oob", MappedType.S, "arr.5"),
+        m("oob_i", MappedType.I, "arr.5"),
+        m("nonarr", MappedType.S, "k.0"))
     }),
     // Quoted-selector matrix (the jql quoted-key grammar,
     // JsonField.splitPath): dotted TOP-LEVEL key ("a.b"), dotted NESTED
@@ -99,16 +118,15 @@ object TierA {
             lit("}")).as("value"))
       def m(name: String, ty: MappedType, path: String) =
         ColumnMapping(name, ty, path).toColumn(col("value"))
-      rec.select(col("__offset"),
-          m("ab", MappedType.L, "\"a.b\""),
-          m("xy", MappedType.S, "m.\"x.y\""),
-          m("k7", MappedType.I, "m.\"7\""),
-          m("akey", MappedType.S, "arr.\"0\""),
-          m("akey_i", MappedType.I, "arr.\"0\""),
-          m("a0", MappedType.L, "arr.0"),
-          m("qk", MappedType.I, "\"q\\\"k\""),
-          m("missz", MappedType.S, "\"a.b\".z"))
-        .orderBy("__offset").limit(300).drop("__offset")
+      selectorsOverTopN(rec, 300)(
+        m("ab", MappedType.L, "\"a.b\""),
+        m("xy", MappedType.S, "m.\"x.y\""),
+        m("k7", MappedType.I, "m.\"7\""),
+        m("akey", MappedType.S, "arr.\"0\""),
+        m("akey_i", MappedType.I, "arr.\"0\""),
+        m("a0", MappedType.L, "arr.0"),
+        m("qk", MappedType.I, "\"q\\\"k\""),
+        m("missz", MappedType.S, "\"a.b\".z"))
     }),
     // Array-slice selectors (jql `[lo:hi]`, INCLUSIVE bounds): leading /
     // trailing / open / clamped / inverted-empty slices, traversal INTO a
@@ -125,16 +143,15 @@ object TierA {
             lit("}")).as("value"))
       def m(name: String, ty: MappedType, path: String) =
         ColumnMapping(name, ty, path).toColumn(col("value"))
-      rec.select(col("__offset"),
-          m("s01", MappedType.S, "arr.[0:1]"),
-          m("stail", MappedType.S, "arr.[2:]"),
-          m("sopen", MappedType.S, "arr.[:]"),
-          m("sclamp", MappedType.S, "arr.[2:99]"),
-          m("sempty", MappedType.S, "arr.[3:2]"),
-          m("into", MappedType.I, "arr.[1:2].1"),
-          m("snon", MappedType.S, "k.[0:1]"),
-          m("qkey", MappedType.I, "\"[0:2]\""))
-        .orderBy("__offset").limit(300).drop("__offset")
+      selectorsOverTopN(rec, 300)(
+        m("s01", MappedType.S, "arr.[0:1]"),
+        m("stail", MappedType.S, "arr.[2:]"),
+        m("sopen", MappedType.S, "arr.[:]"),
+        m("sclamp", MappedType.S, "arr.[2:99]"),
+        m("sempty", MappedType.S, "arr.[3:2]"),
+        m("into", MappedType.I, "arr.[1:2].1"),
+        m("snon", MappedType.S, "k.[0:1]"),
+        m("qkey", MappedType.I, "\"[0:2]\""))
     }),
     // Multi-selection (jql top-level `,`): the serialized ARRAY of every
     // selector's value — nested/quoted/indexed/sliced selectors compose,
@@ -155,17 +172,16 @@ object TierA {
             lit(", \"n\": null}")).as("value"))
       def m(name: String, ty: MappedType, path: String) =
         ColumnMapping(name, ty, path).toColumn(col("value"))
-      rec.select(col("__offset"),
-          m("ab", MappedType.S, "a,b.c"),
-          m("aidx", MappedType.S, "a,arr.1"),
-          m("qm", MappedType.S, "b.\"x.y\",a"),
-          m("kl", MappedType.I, "\"k,l\""),
-          m("missm", MappedType.S, "a,b.zz"),
-          m("missi", MappedType.I, "a,b.zz"),
-          m("slicem", MappedType.S, "arr.[0:1],a"),
-          m("whole", MappedType.S, "a,b"),
-          m("withnull", MappedType.S, "n,a"))
-        .orderBy("__offset").limit(300).drop("__offset")
+      selectorsOverTopN(rec, 300)(
+        m("ab", MappedType.S, "a,b.c"),
+        m("aidx", MappedType.S, "a,arr.1"),
+        m("qm", MappedType.S, "b.\"x.y\",a"),
+        m("kl", MappedType.I, "\"k,l\""),
+        m("missm", MappedType.S, "a,b.zz"),
+        m("missi", MappedType.I, "a,b.zz"),
+        m("slicem", MappedType.S, "arr.[0:1],a"),
+        m("whole", MappedType.S, "a,b"),
+        m("withnull", MappedType.S, "n,a"))
     }),
     // :t parse of an RFC3339 string synthesized from ts, through the same
     // ColumnMapping compiler the -c path uses.
@@ -175,9 +191,8 @@ object TierA {
           concat(lit("{\"t\":\""),
             date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
             lit("\"}")).as("value"))
-      rec.select(col("__offset"),
-          ColumnMapping("time", MappedType.T, "t").toColumn(col("value")))
-        .orderBy("__offset").limit(200).drop("__offset")
+      selectorsOverTopN(rec, 200)(
+        ColumnMapping("time", MappedType.T, "t").toColumn(col("value")))
     }),
     // JSON null → 0 (numeric) / "null" (varchar); engineered nulls on
     // event_id % 5 == 0, through the ColumnMapping compiler.
@@ -186,10 +201,9 @@ object TierA {
         .select(col("event_id").as("__offset"),
           when(pmod(col("event_id"), lit(5)) === 0, lit("{\"k\": null}"))
             .otherwise(col("props")).as("value"))
-      rec.select(col("__offset"),
-          ColumnMapping("k", MappedType.I, "k").toColumn(col("value")),
-          ColumnMapping("ks", MappedType.S, "k").toColumn(col("value")))
-        .orderBy("__offset").limit(500).drop("__offset")
+      selectorsOverTopN(rec, 500)(
+        ColumnMapping("k", MappedType.I, "k").toColumn(col("value")),
+        ColumnMapping("ks", MappedType.S, "k").toColumn(col("value")))
     }),
 
     // ---- offset windowing
