@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph centrality over an edge table.
+  *
+  * [[pagerank]] is weighted PageRank with dangling-mass redistribution and
+  * an optional personalization (teleport) set — the ranking used for
+  * web-corpus quality weighting (Common Crawl-style host ranking: a page's
+  * crawl priority / quality prior is its link centrality) and, in its
+  * personalized form, for graph-based data selection around a trusted seed
+  * set. Every iteration is edge-table-sized relational work: one join of
+  * the current ranks onto the edges (shuffle on `src`), one aggregation of
+  * contributions (shuffle on `dst`), one left join back onto the node set —
+  * no adjacency matrices, no driver-side graph state, no actions. At 1000
+  * executors the iteration cost is two shuffles of the edge table, exactly
+  * like the connected-components rounds (Dedup.scala clusters).
+  *
+  * Cross-engine exact reproducibility (the repo's integer-quantization
+  * discipline — see Spectral.scala): ranks live in micro units as BIGINT;
+  * per-edge contributions are integer floor-divisions of positive values
+  * (`r*w DIV out_w`, identical truncation in Spark's DIV and DuckDB's //);
+  * per-node inflow is an exact order-free BIGINT sum; the damping split and
+  * the dangling/teleport share use the same integer expressions on both
+  * engines. The DuckDB oracle replays the identical unrolled algebra and
+  * hash-matches every node's rank to the micro digit.
+  */
+object Graphs {
+
+  /** Weighted PageRank. `edges` must carry (`src` Long, `dst` Long, `w`
+    * Long > 0). Ranks start at 1e6 micro per node (total mass N·1e6) and
+    * per iteration:
+    *
+    *   seed_share = ((15·N·1e6 + 85·dangling) DIV 100) DIV |S|
+    *   r'(v)      = [v ∈ S]·seed_share + (85·Σ_{u→v} (r(u)·w DIV out_w(u))) DIV 100
+    *
+    * where S is the teleport set (`seeds`, default = all nodes, giving
+    * standard PageRank) and `dangling` is the rank mass sitting on nodes
+    * with no out-edges (here mass conservation routes it to the teleport
+    * set, the textbook treatment). All quantities are BIGINT; with damping
+    * 85/100 fixed, `iters` in [1,4] keeps plans shallow (each iteration
+    * deepens the lineage by two shuffles; checkpoint beyond that).
+    *
+    * Returns (`id` Long, `r` Long) — final rank in micro units, one row
+    * per node. */
+  def pagerank(edges: DataFrame, iters: Int = 2,
+               seeds: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters must be in [1,4], got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outw = e.groupBy("src").agg(sum("w").as("ow"))
+    val seedSet = seeds.map(_.select(col("id").cast("long").as("id")).distinct())
+      .getOrElse(nodes)
+    // in-plan scalars (1-row aggregates, broadcast by size): node count,
+    // seed count — zero driver actions across the whole iteration chain
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
+    val seedMark = seedSet.withColumn("is_seed", lit(1))
+
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("id"), expr("r * w DIV ow").as("c"))
+      val inflow = contrib.groupBy("id").agg(sum("c").as("infl"))
+      val dang = ranks.join(outw.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      ranks = nodes
+        .join(inflow, Seq("id"), "left")
+        .join(seedMark, Seq("id"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(ns))
+        .crossJoin(broadcast(dang))
+        .select(col("id"), expr(
+          """CASE WHEN is_seed = 1
+            |  THEN ((15 * n_nodes * 1000000 + 85 * dang) DIV 100) DIV n_seeds
+            |  ELSE CAST(0 AS BIGINT) END
+            | + (85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100""".stripMargin)
+          .as("r"))
+    }
+    ranks
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AnnModels, Bq, Dedup, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
+import graft.operators.{AnnModels, Bq, Dedup, Graphs, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
 import graft.sources.Tables
 
 /** The training-data-pipeline operator suite (dedup, similarity search,
@@ -1828,6 +1828,33 @@ object Pipeline {
           sum("m_cents").as("segment_cents"))
         .orderBy("r", "f_band", "m_band")
     }),
+    // ---- graph centrality: weighted PageRank over the purchase graph
+    // (customer→supplier edges from orders⋈lineitem, weight = lineitem
+    // count) — the link-centrality quality prior of web-corpus curation
+    // (host ranking), expressed as edge-table relational iterations
+    // (Graphs.pagerank: two shuffles per round, zero driver state).
+    // repartition(1) local sort: the iterative subtree is multi-join
+    // deep — a range-partitioned orderBy would re-execute it for bound
+    // sampling (the text_fuzzy_pairs note).
+    "graph_pagerank" -> ((s, dir) =>
+      Graphs.pagerank(purchaseEdges(s, dir), iters = 2)
+        .select(col("id").as("node_id"), col("r").as("rank_micro"))
+        .repartition(1)
+        .sortWithinPartitions(col("rank_micro").desc, col("node_id"))),
+    // personalized variant: teleport + dangling mass pinned to
+    // BUILDING-segment customers — graph-based data selection around a
+    // trusted seed set (rank concentrates in the seeds' neighborhood).
+    // Seeds that never ordered stay rankless (outside the node set);
+    // they still count in |S|, identically on both engines.
+    "graph_ppr_building" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("id"))
+      Graphs.pagerank(purchaseEdges(s, dir), iters = 2, seeds = Some(seeds))
+        .select(col("id").as("node_id"), col("r").as("rank_micro"))
+        .repartition(1)
+        .sortWithinPartitions(col("rank_micro").desc, col("node_id"))
+    }),
     // ---- embedding DRIFT monitor: per-label centroid shift between
     // the first and second half of the id space (proxy for "old vs new
     // batch") — the model-ops panel that catches a pipeline change
@@ -1980,6 +2007,55 @@ object Pipeline {
     * `${p}v2l` (the iterate as a list). ONE generator feeds the
     * power-iteration, ABTT and deflated-PC2 oracles so the shared
     * algebra can never drift between them. */
+  /** customer→supplier purchase edges from orders⋈lineitem: node ids are
+    * parity-tagged (customer = 2·custkey, supplier = 2·suppkey + 1, so one
+    * BIGINT id space holds both sides collision-free), weight = number of
+    * lineitems that customer bought from that supplier. Edge-table-sized;
+    * the groupBy is the only shuffle. */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** Unrolled PageRank CTE chain (the powerChainSql pattern applied to
+    * graph iteration): replays Graphs.pagerank's integer algebra exactly —
+    * DuckDB `//` and Spark `DIV` truncate identically on positive BIGINTs,
+    * BIGINT sums are order-free. `seedsSql` selects the teleport set. */
+  private def pagerankSql(iters: Int, seedsSql: String): String = {
+    val head =
+      s"""WITH edges AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |               CAST(count(*) AS BIGINT) AS w
+         |               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |               GROUP BY 1, 2),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+         |seeds AS ($seedsSql),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM seeds),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { k =>
+      val p = k - 1
+      s"""d$k AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang FROM r$p
+         |        WHERE id NOT IN (SELECT src FROM outw)),
+         |i$k AS (SELECT e.dst AS id, CAST(sum((r.r * e.w) // o.ow) AS BIGINT) AS infl
+         |        FROM edges e JOIN r$p r ON e.src = r.id JOIN outw o ON e.src = o.src
+         |        GROUP BY 1),
+         |r$k AS (SELECT n.id,
+         |          CAST(CASE WHEN s.id IS NOT NULL
+         |            THEN ((15 * nn.n_nodes * 1000000 + 85 * d$k.dang) // 100) // ns.n_seeds
+         |            ELSE 0 END
+         |           + (85 * coalesce(i$k.infl, 0)) // 100 AS BIGINT) AS r
+         |        FROM nodes n
+         |        LEFT JOIN i$k ON n.id = i$k.id
+         |        LEFT JOIN seeds s ON n.id = s.id, nn, ns, d$k)""".stripMargin
+    }
+    (head +: its).mkString(",\n") +
+      s"\nSELECT id AS node_id, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node_id"
+  }
+
   private def powerChainSql(src: String, p: String): String =
     s"""${p}sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM $src),
        |${p}t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
@@ -2890,6 +2966,9 @@ object Pipeline {
         |SELECT r, f_band, m_band, count(*) AS n_customers,
         |       CAST(sum(m_cents) AS BIGINT) AS segment_cents
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "graph_pagerank" -> pagerankSql(2, "SELECT id FROM nodes"),
+    "graph_ppr_building" -> pagerankSql(2,
+      "SELECT c_custkey * 2 AS id FROM customer WHERE c_mktsegment = 'BUILDING'"),
     "text_ttr" ->
       s"""WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id,
          |             unnest(string_split($norm, ' ')) AS tok FROM documents)
