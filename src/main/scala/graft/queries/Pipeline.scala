@@ -1726,6 +1726,36 @@ object Pipeline {
         // pass (see text_fuzzy_pairs) — local sort of the survivors
         .repartition(1).sortWithinPartitions("vec_id")
     }),
+    // ---- hard-negative mining: for each probe vector, the top-5 most
+    // similar vectors with a DIFFERENT label — the contrastive-training
+    // negative-sampling shape (in-batch random negatives are easy;
+    // training signal comes from near-but-wrong neighbors). Brute-force
+    // with a broadcast probe set at validation scale; at corpus scale
+    // the ANN ladder generates the shortlist and this exact ranking
+    // runs on candidates only (the emb_pq_topk rerank pattern).
+    "emb_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val scored = e.select(col("vec_id").as("tid"), col("label").as("tlabel"),
+          col("embedding").as("tv"))
+        .crossJoin(broadcast(q))
+        .filter(col("tlabel") =!= col("qlabel"))
+        .select(col("qid"), col("qlabel"), col("tid"), col("tlabel"),
+          round(graft.functions.VectorFunctions.cosine(col("tv"), col("qv")), 6)
+            .as("score"))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("score").desc, col("tid").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+          col("tid").as("neg_id"), col("tlabel").as("neg_label"),
+          col("score"), col("rk"))
+        // small output over the broadcast-scored subtree: skip the
+        // range-sampling pass (see text_fuzzy_pairs)
+        .repartition(1).sortWithinPartitions("vec_id", "rk")
+    }),
     // ---- shingle-size dedup curve: duplicated-gram fraction for n-gram
     // sizes 1..4 — the "pick your shingle width" panel (short grams
     // saturate, long grams go unique); one scan per n, integer division
@@ -3094,6 +3124,21 @@ object Pipeline {
          |         FROM vo)
          |SELECT qid AS vec_id, label AS pred_label, votes
          |FROM pick WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "emb_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+        |             CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS tid, label AS tlabel,
+        |        CAST(embedding AS DOUBLE[]) AS tv FROM embeddings),
+        |sc AS (SELECT qid, qlabel, tid, tlabel,
+        |         round(list_cosine_similarity(tv, qv), 6) AS score
+        |       FROM c CROSS JOIN q WHERE tlabel <> qlabel),
+        |rk AS (SELECT *, row_number() OVER
+        |         (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
+        |       FROM sc)
+        |SELECT qid AS vec_id, qlabel AS label, tid AS neg_id,
+        |       tlabel AS neg_label, score, rk
+        |FROM rk WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     "corpus_dedup_curve" -> {
       def one(n: Int) =
         s"""SELECT $n AS n, count(*) AS total, count(DISTINCT g) AS n_distinct

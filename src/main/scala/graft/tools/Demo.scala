@@ -211,6 +211,12 @@ object Demo {
       .orderBy(org.apache.spark.sql.functions.abs(col("v_micro")).desc)
       .show(5, false)
 
+    println("=== graph centrality: PageRank over the purchase graph ===")
+    graft.SparkEntry.queries("graph_pagerank")(spark, sf).show(5, false)
+
+    println("=== hard-negative mining: nearest wrong-label neighbors ===")
+    graft.SparkEntry.queries("emb_hard_negatives")(spark, sf).show(5, false)
+
     spark.stop()
   }
 }
