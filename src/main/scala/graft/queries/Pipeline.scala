@@ -1785,6 +1785,30 @@ object Pipeline {
           round(col("n_types") * 1e6 / col("n_tokens")).cast("long").as("ttr_micro"))
         .orderBy("doc_id")
     }),
+    // ---- hashed linear quality classifier (fasttext-style): tokens
+    // hash into 64 shared weight buckets (the hashing trick) and the
+    // doc logit is the bucket-weight sum — the CCNet/GPT-3 quality-
+    // filter wiring with ENGINE-PORTABLE md5-derived weights (the
+    // cms_portable pattern: both engines recompute bucket AND weight
+    // from md5 hex, all-integer algebra, order-free BIGINT sum).
+    // Production swaps the derived weights for a trained table
+    // (broadcast join on bucket) — the plan shape is identical.
+    "text_quality_lr" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val bucket = (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long") % 64).as("b")
+      toks.select(col("doc_id"), bucket)
+        .select(col("doc_id"),
+          ((conv(substring(md5(concat(lit("w:"), col("b").cast("string"))), 1, 8),
+            16, 10).cast("long") % 2001) - 1000).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("logit"))
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          (col("logit") > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
     // ---- numeric telemetry summary with EXACT integer algebra: the
     // events value column (2-decimal payload) summarized per event type —
     // cents-quantized sums and sums-of-squares make count/mean/variance
@@ -3007,6 +3031,18 @@ object Pipeline {
          |       count(DISTINCT tok) AS n_types,
          |       CAST(round(count(DISTINCT tok) * 1000000.0 / count(*)) AS BIGINT) AS ttr_micro
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_quality_lr" ->
+      s"""WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |b AS (SELECT doc_id,
+         |        ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS b FROM t),
+         |w AS (SELECT doc_id,
+         |        (('0x' || substring(md5('w:' || CAST(b AS VARCHAR)), 1, 8))::BIGINT
+         |         % 2001) - 1000 AS w FROM b)
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS logit,
+         |       CAST(sum(w) AS BIGINT) > 0 AS keep
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "stats_value_summary" ->
       """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |a AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_c,
