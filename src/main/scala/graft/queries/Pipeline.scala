@@ -1527,6 +1527,56 @@ object Pipeline {
           length(graft.functions.NfcNormalize(col("t"))).as("len_nfc"))
         .orderBy("doc_id")
     }),
+    // ---- deterministic proportional interleave (stride scheduling /
+    // weighted fair queueing): the i-th doc of source s gets virtual
+    // time (i · 1e6 · W) DIV w_s where w_s = the source's token count
+    // and W = corpus tokens — sorting by it yields a training order
+    // where every window of the stream holds each source in proportion
+    // to its weight (the "don't front-load one source" mixing rule).
+    // Fully distributed: per-source ranks are source-partitioned
+    // windows; no global row_number (consumers sort by the key — at
+    // scale, a repartitionByRange write). All-integer, order-free.
+    "sample_interleave" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+      val w = d.groupBy("source").agg(sum("toks").as("w_s"))
+      val tot = d.agg(sum("toks").as("w_tot"))
+      d.withColumn("i", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .join(w, "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("doc_id"),
+          expr("i * 1000000 * w_tot DIV w_s").as("vtime"))
+        // the vtime sort is the deliverable; output is corpus-sized but
+        // the subtree holds a window — local sort of the small fixture
+        // (see text_fuzzy_pairs); at scale: repartitionByRange(vtime)
+        .repartition(1).sortWithinPartitions("vtime", "source", "doc_id")
+    }),
+    // ---- corpus version diff: the dataset-release audit (what changed
+    // between corpus v1 and v2) as one full-outer join on doc_id with
+    // md5 content compare — added / removed / changed rows surface,
+    // unchanged rows drop. v2 is synthesized deterministically (every
+    // 13th doc edited, every 19th dropped, 20 new ids planted) so both
+    // engines reconstruct it identically.
+    "corpus_version_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      v1.select(col("doc_id"), md5(col("text")).as("h1"))
+        .join(v2.select(col("doc_id"), md5(col("text")).as("h2")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") =!= col("h2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    }),
     // ---- blocked FUZZY near-dup pairs (edit distance): typo'd clones
     // (one planted substitution at char 5) surface through a
     // suffix-block equi-join + levenshtein <= 2 filter — the classic
@@ -3213,6 +3263,33 @@ object Pipeline {
         |SELECT h, c, mean_micro, c * 1000000 - mean_micro AS dev_micro
         |FROM m WHERE abs(c * 1000000 - mean_micro) * 2 >= mean_micro
         |ORDER BY h""".stripMargin,
+    "sample_interleave" ->
+      s"""WITH d AS (SELECT source, doc_id, CAST($tokenCountSql AS BIGINT) AS toks
+         |           FROM documents),
+         |w AS (SELECT source, CAST(sum(toks) AS BIGINT) AS w_s FROM d GROUP BY source),
+         |t AS (SELECT CAST(sum(toks) AS BIGINT) AS w_tot FROM d),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+         |      FROM d)
+         |SELECT r.source, r.doc_id,
+         |       CAST((r.i * 1000000 * t.w_tot) // w.w_s AS BIGINT) AS vtime
+         |FROM r JOIN w ON r.source = w.source, t
+         |ORDER BY vtime, r.source, r.doc_id""".stripMargin,
+    "corpus_version_diff" ->
+      """WITH v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 19 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |       WHERE doc_id < 20),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |        CASE WHEN a.doc_id IS NULL THEN 'added'
+        |             WHEN b.doc_id IS NULL THEN 'removed'
+        |             WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
     "text_fuzzy_pairs" ->
       """WITH typod AS (SELECT doc_id + 1000000 AS doc_id,
         |         substr(text, 1, 4) || 'X' || substr(text, 6) AS text
