@@ -1742,6 +1742,66 @@ object Pipeline {
         .select(col("qid").as("vec_id"), col("label").as("pred_label"), col("votes"))
         .orderBy("vec_id")
     }),
+    // ---- nearest-centroid classification (Rocchio): train = per-label
+    // micro-quantized centroids (the drift-panel algebra: per-row dims
+    // round to micro, order-free BIGINT sums, ONE rounded division per
+    // (label, d)), classify = argmax cosine against the 10 centroids.
+    // Model-sized intermediate (labels × dims rows), never n×n; the
+    // centroid table broadcasts at any corpus scale.
+    "emb_centroid_classify" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+      val tr = e.filter(col("vec_id") >= 20)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("d"),
+          round(col("col") * 1e6).cast("long").as("vm"))
+      val cent = tr.groupBy("label", "d")
+        .agg(round(sum("vm") * 1.0 / count(lit(1))).cast("long").as("cm"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), posexplode(col("embedding")))
+        .select(col("qid"), (col("pos") + 1).as("d"),
+          round(col("col") * 1e6).cast("long").as("qm"))
+      val sc = q.join(broadcast(cent), "d")
+        .groupBy("qid", "label")
+        .agg(sum(col("qm") * col("cm")).as("dot"),
+          sum(col("qm") * col("qm")).as("qq"),
+          sum(col("cm") * col("cm")).as("cc"))
+      sc.select(col("qid"), col("label"),
+          round(col("dot") * 1e6 /
+            (sqrt(col("qq").cast("double")) * sqrt(col("cc").cast("double"))))
+            .cast("long").as("cos_micro"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos_micro").desc, col("label").asc)))
+        .filter(col("rk") === 1)
+        .select(col("qid").as("vec_id"), col("label").as("pred_label"),
+          col("cos_micro"))
+        .orderBy("vec_id")
+    }),
+    // ---- co-purchase similarity (market-basket co-occurrence): supplier
+    // pairs ranked by Jaccard over the orders they co-supply — the
+    // item-item collaborative-filtering shape behind retrieval-training
+    // pair mining. The basket join fans out ≤ C(items-per-order, 2)
+    // pairs per order (bounded by schema, ~21 here), never corpus²;
+    // the distinct basket subtree is self-joined (exchange reuse).
+    "graph_cobasket_sim" -> ((s, dir) => {
+      val b = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val deg = b.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("s1"), col("y.sk").as("s2"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 5)
+      pairs
+        .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
+        .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
+        .select(col("s1"), col("s2"), col("common"),
+          round(col("common") * 1e6 / (col("d1") + col("d2") - col("common")))
+            .cast("long").as("jaccard_micro"))
+        .orderBy(col("jaccard_micro").desc, col("s1"), col("s2"))
+        .limit(100)
+    }),
     // ---- label-noise detection (confident-learning-lite): labeled
     // vectors whose leave-one-out 5-NN majority DISAGREES with their own
     // label — the mislabeled-example audit before training on labels.
@@ -3210,6 +3270,43 @@ object Pipeline {
          |         FROM vo)
          |SELECT qid AS vec_id, label AS pred_label, votes
          |FROM pick WHERE vr = 1 ORDER BY vec_id""".stripMargin,
+    "emb_centroid_classify" ->
+      """WITH ds AS (SELECT unnest(generate_series(1, 64)) AS d),
+        |tr AS (SELECT label, d, CAST(round(emb[d] * 1000000) AS BIGINT) AS vm
+        |       FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |             FROM embeddings WHERE vec_id >= 20), ds),
+        |cent AS (SELECT label, d,
+        |           CAST(round(sum(vm) * 1.0 / count(*)) AS BIGINT) AS cm
+        |         FROM tr GROUP BY label, d),
+        |q AS (SELECT vec_id AS qid, d, CAST(round(emb[d] * 1000000) AS BIGINT) AS qm
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings WHERE vec_id < 20), ds),
+        |sc AS (SELECT q.qid, c.label,
+        |         CAST(sum(q.qm * c.cm) AS BIGINT) AS dot,
+        |         CAST(sum(q.qm * q.qm) AS BIGINT) AS qq,
+        |         CAST(sum(c.cm * c.cm) AS BIGINT) AS cc
+        |       FROM q JOIN cent c ON q.d = c.d GROUP BY q.qid, c.label),
+        |cosd AS (SELECT qid, label,
+        |           CAST(round(dot * 1000000.0 /
+        |             (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))) AS BIGINT)
+        |             AS cos_micro
+        |         FROM sc),
+        |rk AS (SELECT qid, label, cos_micro, row_number() OVER
+        |         (PARTITION BY qid ORDER BY cos_micro DESC, label ASC) AS rk
+        |       FROM cosd)
+        |SELECT qid AS vec_id, label AS pred_label, cos_micro
+        |FROM rk WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    "graph_cobasket_sim" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+        |deg AS (SELECT sk, count(*) AS deg FROM b GROUP BY sk),
+        |p AS (SELECT x.sk AS s1, y.sk AS s2, count(*) AS common
+        |      FROM b x JOIN b y ON x.ok = y.ok AND x.sk < y.sk
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.s1, p.s2, p.common,
+        |       CAST(round(p.common * 1000000.0 / (d1.deg + d2.deg - p.common))
+        |         AS BIGINT) AS jaccard_micro
+        |FROM p JOIN deg d1 ON p.s1 = d1.sk JOIN deg d2 ON p.s2 = d2.sk
+        |ORDER BY jaccard_micro DESC, s1, s2 LIMIT 100""".stripMargin,
     "emb_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
         |             CAST(embedding AS DOUBLE[]) AS qv

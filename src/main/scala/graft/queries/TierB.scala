@@ -147,6 +147,21 @@ object TierB {
               |FROM graft_tfidf('graft_docs_v', 'doc_id', 'text', 3)
               |ORDER BY doc_id, rk""".stripMargin)
     }),
+    "sql_tvf_pagerank" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      graft.sources.Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(graft.sources.Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("w"))
+        .createOrReplaceTempView("graft_edges_v")
+      s.sql("""SELECT node_id, rank_micro
+              |FROM graft_pagerank('graft_edges_v', 2)
+              |ORDER BY rank_micro DESC, node_id""".stripMargin)
+    }),
     "sql_tvf_dedup_drops" -> ((s, dir) => {
       graft.sql.GraftSql.register(s)
       val d = graft.sources.Tables.load(s, dir, "documents")
@@ -203,6 +218,7 @@ object TierB {
     "sql_tvf_sessionize" -> Relational.oracleSql("sessionize"),
     "sql_tvf_bm25" -> Pipeline.oracleSql("text_bm25_rank"),
     "sql_tvf_tfidf" -> Pipeline.oracleSql("text_tfidf_topterms"),
-    "sql_tvf_dedup_drops" -> Pipeline.oracleSql("dedup_drops")
+    "sql_tvf_dedup_drops" -> Pipeline.oracleSql("dedup_drops"),
+    "sql_tvf_pagerank" -> Pipeline.oracleSql("graph_pagerank")
   )
 }

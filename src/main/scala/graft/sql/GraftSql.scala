@@ -158,6 +158,21 @@ object GraftSql {
           spark.table(strArg(fn, args(0))), strArg(fn, args(1)),
           strArg(fn, args(2)), terms, intArg(fn, args(4))))
       }),
+    (FunctionIdentifier("graft_pagerank"),
+      new ExpressionInfo(GraftSql.getClass.getName, "graft_pagerank"),
+      (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            "graft_pagerank('<edgesView(src,dst,w)>', <iters> [, '<seedsView(id)>'])")
+        val spark = SparkSession.active
+        val fn = "graft_pagerank"
+        val seeds =
+          if (args.length > 2) Some(spark.table(strArg(fn, args(2)))) else None
+        shim.logicalPlan(graft.operators.Graphs.pagerank(
+            spark.table(strArg(fn, args(0))), intArg(fn, args(1)), seeds)
+          .select(org.apache.spark.sql.functions.col("id").as("node_id"),
+            org.apache.spark.sql.functions.col("r").as("rank_micro")))
+      }),
     (FunctionIdentifier("graft_tfidf"),
       new ExpressionInfo(GraftSql.getClass.getName, "graft_tfidf"),
       (args: Seq[Expression]) => {
