@@ -13,9 +13,18 @@ import org.apache.spark.sql.functions._
   * set. Every iteration is edge-table-sized relational work: one join of
   * the current ranks onto the edges (shuffle on `src`), one aggregation of
   * contributions (shuffle on `dst`), one left join back onto the node set —
-  * no adjacency matrices, no driver-side graph state, no actions. At 1000
-  * executors the iteration cost is two shuffles of the edge table, exactly
-  * like the connected-components rounds (Dedup.scala clusters).
+  * no adjacency matrices, no driver-side graph state. At 1000 executors the
+  * iteration cost is two shuffles of the edge table, exactly like the
+  * connected-components rounds (Dedup.scala clusters).
+  *
+  * The prepared edge table is materialized ONCE up front
+  * (`localCheckpoint`, the GraphFrames recipe): the edge subtree feeds
+  * ≥6 consumers (node set ×2, out-weights, per-iteration contributions
+  * and dangling scans) whose differing column pruning defeats exchange
+  * reuse — without the checkpoint the executed plan re-scans the edge
+  * SOURCE per consumer (measured: 90 file scans at iters=2), which at
+  * 100 TB is the whole job several times over. One eager action, one
+  * scan, truncated lineage; the iterations themselves stay lazy.
   *
   * Cross-engine exact reproducibility (the repo's integer-quantization
   * discipline — see Spectral.scala): ranks live in micro units as BIGINT;
@@ -49,13 +58,14 @@ object Graphs {
     require(iters >= 1 && iters <= 4, s"iters must be in [1,4], got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     val seedSet = seeds.map(_.select(col("id").cast("long").as("id")).distinct())
       .getOrElse(nodes)
     // in-plan scalars (1-row aggregates, broadcast by size): node count,
-    // seed count — zero driver actions across the whole iteration chain
+    // seed count — no data ever returns to the driver
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
     val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
     val seedMark = seedSet.withColumn("is_seed", lit(1))
@@ -79,6 +89,11 @@ object Graphs {
             |  ELSE CAST(0 AS BIGINT) END
             | + (85 * coalesce(infl, CAST(0 AS BIGINT))) DIV 100""".stripMargin)
           .as("r"))
+        // node-sized materialization per round (the e checkpoint's
+        // rationale applied to the iterate): ranks feed three consumers
+        // next round — contributions, the dangling sum, and the final
+        // join — which would otherwise re-execute the whole prior chain
+        .localCheckpoint()
     }
     ranks
   }
