@@ -1541,7 +1541,9 @@ object Pipeline {
       val d = docs(s, dir).select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
       val w = d.groupBy("source").agg(sum("toks").as("w_s"))
-      val tot = d.agg(sum("toks").as("w_tot"))
+      // derive the grand total from the per-source totals (exact — BIGINT
+      // sums are associative): one fewer corpus-wide consumer of `d`
+      val tot = w.agg(sum("w_s").as("w_tot"))
       d.withColumn("i", row_number().over(
           Window.partitionBy("source").orderBy("doc_id")))
         .join(w, "source").crossJoin(broadcast(tot))

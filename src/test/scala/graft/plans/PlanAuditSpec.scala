@@ -264,4 +264,36 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
+
+  test("pagerank iterations run off materialized inputs — zero file scans, no cartesian") {
+    // Graphs.pagerank localCheckpoints the prepared edge table and each
+    // round's ranks (column-pruning differences across its >=6 consumers
+    // defeat exchange reuse otherwise — 90 executed source scans at
+    // iters=2 before the fix). The returned plan must read ONLY
+    // checkpointed RDDs: a FileScan here means an iteration leaked back
+    // to the source.
+    val plan = finalPlan(q("graph_pagerank"))
+    assert(!plan.contains("FileScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("co-basket similarity: basket self-join reuses an exchange, bounded fan-out join only") {
+    val plan = finalPlan(q("graph_cobasket_sim"))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in the basket self-join\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("proportional interleave: the rank window is source-partitioned") {
+    // single-partition exchanges DO appear — the 1-row grand-total
+    // aggregate and the final repartition(1) local sort, both
+    // metadata-sized — but the corpus-wide rank must never be one: the
+    // only Window is partitioned by source, fed by a source hash
+    // exchange.
+    val plan = finalPlan(q("sample_interleave"))
+    assert(plan.contains("windowspecdefinition(source"), plan)
+    assert(plan.contains("Exchange hashpartitioning(source"), plan)
+    assert(!"windowspecdefinition\\((?!source)".r.findFirstIn(plan).isDefined,
+      s"a window not partitioned by source leaked into the interleave\n$plan")
+  }
 }
