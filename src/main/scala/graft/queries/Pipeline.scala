@@ -2177,14 +2177,22 @@ object Pipeline {
     * parity-tagged (customer = 2·custkey, supplier = 2·suppkey + 1, so one
     * BIGINT id space holds both sides collision-free), weight = number of
     * lineitems that customer bought from that supplier. Edge-table-sized;
-    * the groupBy is the only shuffle. */
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(count(lit(1)).as("w"))
+    * the groupBy is the only shuffle. Built ONCE per (session, dir) and
+    * localCheckpoint-materialized (the artifactDir index-once-query-many
+    * shape): three entries (pagerank, ppr, the TVF) walk the same graph,
+    * and the join+groupBy is the expensive part of each. */
+  private val edgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private[queries] def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    edgesCache.computeIfAbsent((s, dir), { _ =>
+      Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+    })
 
   /** Unrolled PageRank CTE chain (the powerChainSql pattern applied to
     * graph iteration): replays Graphs.pagerank's integer algebra exactly —

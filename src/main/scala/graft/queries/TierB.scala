@@ -149,15 +149,7 @@ object TierB {
     }),
     "sql_tvf_pagerank" -> ((s, dir) => {
       graft.sql.GraftSql.register(s)
-      graft.sources.Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-        .join(graft.sources.Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("w"))
-        .createOrReplaceTempView("graft_edges_v")
+      Pipeline.purchaseEdges(s, dir).createOrReplaceTempView("graft_edges_v")
       s.sql("""SELECT node_id, rank_micro
               |FROM graft_pagerank('graft_edges_v', 2)
               |ORDER BY rank_micro DESC, node_id""".stripMargin)
