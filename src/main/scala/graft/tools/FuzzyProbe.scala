@@ -33,6 +33,29 @@ object FuzzyProbe {
     time("per-row self-levenshtein")(docs
       .select(levenshtein(col("text"), reverse(col("text"))).as("d"))
       .filter(col("d") >= 0).count())
+    // the ENTRY shape and its bisection: thresholded lev vs no lev at all
+    time("entry: lev(_,_,3)+filter")(joined
+      .select(levenshtein(col("a.text"), col("b.text"), 3).as("d"))
+      .filter(col("d").between(0, 2)).count())
+    time("entry: no-lev control")(joined
+      .select((length(col("a.text")) - length(col("b.text"))).as("d"))
+      .filter(col("d").between(-2, 2)).count())
+    time("thresholded lev x5050")(docs
+      .select(levenshtein(col("text"), reverse(col("text")), 3).as("d"))
+      .filter(col("d") >= -1).count())
+    // how many times does the join context actually EVALUATE the scorer?
+    val acc = spark.sparkContext.longAccumulator("calls")
+    val counting = udf((a: String, b: String) => { acc.add(1); 0 })
+    time("entry: counting udf")(joined
+      .select(counting(col("a.text"), col("b.text")).as("d"))
+      .filter(col("d") >= 0).count())
+    println(s"[probe] scorer invocations in join context: ${acc.value}")
+    // same thresholded lev, same 504 pairs, but MATERIALIZED first
+    val mat = joined.select(col("a.text").as("ta"), col("b.text").as("tb"))
+      .localCheckpoint()
+    time("lev(_,_,3) on materialized 504")(mat
+      .select(levenshtein(col("ta"), col("tb"), 3).as("d"))
+      .filter(col("d").between(0, 2)).count())
     spark.stop()
   }
 }
