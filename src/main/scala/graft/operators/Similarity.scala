@@ -60,7 +60,15 @@ object Similarity {
     val b = withNorm.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b"))).as("score"))
+        // the id-inequality CASE guard: the threshold filter is pushed
+        // into the join condition, which evaluates on every candidate
+        // pair BEFORE the id< conjunct can drop it — without the guard
+        // the dot product runs on all n² ordered pairs (self + both
+        // orders) instead of the n²/2 the join keeps (the
+        // text_fuzzy_pairs finding, FuzzyProbe)
+        when(col("id_a") < col("id_b"),
+          dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("score"))
       .filter(col("score") >= threshold)
   }
 
