@@ -114,8 +114,14 @@ object Similarity {
       l2Norm(col(vecCol)).as("__nrm"))
     cells.as("l").hint("shuffle_hash").join(cells.as("r"), Seq("__cell"))
       .filter(col("l.__id") < col("r.__id"))
-      .filter(dot(col("l.__vec"), col("r.__vec")) /
-        (col("l.__nrm") * col("r.__nrm")) >= threshold)
+      // id-inequality CASE guard (the text_fuzzy_pairs finding): both
+      // filters are pushed into the join condition, and the cosine
+      // conjunct would otherwise evaluate on every within-cell ordered
+      // pair — self-matches and both orders — before the id< conjunct
+      // drops them; the guard short-circuits the dot to the kept half
+      .filter(when(col("l.__id") < col("r.__id"),
+        dot(col("l.__vec"), col("r.__vec")) /
+          (col("l.__nrm") * col("r.__nrm"))) >= threshold)
       .select(col("r.__id").as("dropped_id"))
       .distinct()
   }
