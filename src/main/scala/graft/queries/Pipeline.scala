@@ -376,6 +376,19 @@ object Pipeline {
       Dedup.ngramContaminated(corpus, test, "doc_id", "text", n = 13)
         .orderBy("drop_id")
     }),
+    // the BLOOM-accelerated form of the same check: the eval-gram bloom
+    // filter (codegen'd BloomMightContainExpr) prunes the corpus gram
+    // stream BEFORE the semi-join shuffle — at 100 TB the filter drops
+    // ~all uncontaminated grams map-side for the cost of a broadcast
+    // bitset; the trailing semi-join makes the RESULT exact (bloom false
+    // positives never escape), so the oracle is the exact check's oracle
+    "dedup_contam_bloom" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val test = corpus.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.ngramContaminatedBloom(corpus, test, "doc_id", "text", n = 13)
+        .orderBy("drop_id")
+    }),
     // the actionable output of decontamination: the DISTINCT corpus ids
     // to drop before training (a doc leaking into ANY test doc goes)
     "dedup_decontaminate_drops" -> ((s, dir) => {
@@ -2239,6 +2252,28 @@ object Pipeline {
       s"\nSELECT id AS node_id, r AS rank_micro FROM r$iters ORDER BY rank_micro DESC, node_id"
   }
 
+  /** GPT-3-style exact 13-gram contamination oracle — shared by the
+    * exact entry and its bloom-accelerated form (identical results by
+    * construction: the bloom is a pre-filter, the semi-join is exact). */
+  private lazy val contamNgramSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+       |grams AS (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
+       |                 i -> array_to_string(arr[i:i+12], ' '))) AS shingle
+       |          FROM toks),
+       |sh13 AS (SELECT DISTINCT doc_id, shingle FROM grams),
+       |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |         WHERE doc_id < 100),
+       |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
+       |gramsT AS (SELECT doc_id,
+       |           unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
+       |                  i -> array_to_string(arr[i:i+12], ' '))) AS shingle
+       |           FROM toksT),
+       |shT13 AS (SELECT DISTINCT shingle FROM gramsT)
+       |SELECT DISTINCT c.doc_id AS drop_id
+       |FROM sh13 c JOIN shT13 t ON c.shingle = t.shingle
+       |ORDER BY drop_id""".stripMargin
+
   private def powerChainSql(src: String, p: String): String =
     s"""${p}sc1 AS (SELECT emb, list_inner_product(emb, $onesSqlList) AS sc FROM $src),
        |${p}t1 AS (SELECT d, CAST(sum(CAST(round(emb[d] * sc * 100) AS BIGINT)) AS BIGINT) AS s
@@ -2707,24 +2742,11 @@ object Pipeline {
          |ORDER BY id_l, id_r""".stripMargin,
     // 13-gram grammar mirrors the Scala WordShingles contract exactly,
     // incl. the short-doc whole-text fallback (greatest(len-12, 1))
-    "dedup_contam_ngram" ->
-      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
-         |grams AS (SELECT doc_id,
-         |          unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
-         |                 i -> array_to_string(arr[i:i+12], ' '))) AS shingle
-         |          FROM toks),
-         |sh13 AS (SELECT DISTINCT doc_id, shingle FROM grams),
-         |test AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
-         |         WHERE doc_id < 100),
-         |toksT AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM test),
-         |gramsT AS (SELECT doc_id,
-         |           unnest(list_transform(generate_series(1, greatest(len(arr) - 12, 1)),
-         |                  i -> array_to_string(arr[i:i+12], ' '))) AS shingle
-         |           FROM toksT),
-         |shT13 AS (SELECT DISTINCT shingle FROM gramsT)
-         |SELECT DISTINCT c.doc_id AS drop_id
-         |FROM sh13 c JOIN shT13 t ON c.shingle = t.shingle
-         |ORDER BY drop_id""".stripMargin,
+    "dedup_contam_ngram" -> contamNgramSql,
+    // the bloom form is a pre-filter over the SAME exact semantics — the
+    // trailing semi-join discards bloom false positives, so both engines
+    // must produce the identical drop list
+    "dedup_contam_bloom" -> contamNgramSql,
     "dedup_decontaminate_drops" ->
       s"""$crossJaccardCte
          |SELECT DISTINCT id_l AS drop_id FROM crossScored

@@ -135,6 +135,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 2L), got.toString)
   }
 
+  test("ngramContaminatedBloom equals the exact check — the bloom is a pre-filter, never the verdict") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val evalSet = Seq((900L, evalDoc),
+      (901L, "spark shuffle exchange broadcast partition codegen catalyst " +
+        "tungsten dataset column row schema plan")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, evalDoc),
+      (2L, "unrelated preamble goes here then " + evalDoc + " and a long tail"),
+      (3L, "completely different content with no overlap whatsoever in any window"),
+      (4L, "alpha beta gamma delta epsilon but then it diverges entirely from here on")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.ngramContaminated(corpus, evalSet, "doc_id", "text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    // a high-fpp filter (50%) forces real false positives through the
+    // bloom stage; the trailing semi-join must still discard them
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Dedup.ngramContaminatedBloom(corpus, evalSet, "doc_id", "text",
+          n = 13, fpp = fpp)
+        .collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp: $bloom != $exact")
+    }
+  }
+
   test("duplicatedSpans finds maximal duplicated regions, 1-based inclusive") {
     // k=3 grams. Docs 1 and 2 share the 5-word run "one two three four
     // five" (grams at doc-1 positions 2,3,4 → one maximal span), and the
