@@ -893,6 +893,66 @@ object Pipeline {
         .select(col("doc_id"), col("n_dups"))
         .orderBy("doc_id")),
 
+    // ---- cleaning-funnel ablation: docs and tokens surviving each
+    // stage of the clean-corpus rule set — the panel a pipeline engineer
+    // reads before touching a threshold (which gate is doing the work,
+    // which is dead weight). ONE conditional-aggregation pass computes
+    // stages 0-3 (sum(when(...)) per stage — no per-stage rescan); the
+    // exact-dedup stage pays the one fingerprint shuffle it needs, with
+    // min_by picking each group's representative deterministically.
+    "pipeline_funnel" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        (TextAnalysis.qualityScore(col("text")) >= 0.5).as("q"),
+        (TextAnalysis.langId(col("text")) === "en").as("en"),
+        (TextAnalysis.topGramFrac(col("text"), 2) <= 0.2).as("rep_ok"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      def stage(ord: Int, name: String, cond: org.apache.spark.sql.Column) =
+        d.agg(sum(when(cond, 1L).otherwise(0L)).as("docs_kept"),
+            coalesce(sum(when(cond, col("toks"))), lit(0L)).as("tokens_kept"))
+          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col("docs_kept"), col("tokens_kept"))
+      val surv = col("q") && col("en") && col("rep_ok")
+      val ded = d.filter(surv)
+        .groupBy("fp").agg(min_by(col("toks"), col("doc_id")).as("tk"))
+        .agg(count(lit(1)).as("docs_kept"),
+          coalesce(sum("tk"), lit(0L)).as("tokens_kept"))
+        .select(lit(4).as("stage_ord"), lit("exact_dedup").as("stage"),
+          col("docs_kept"), col("tokens_kept"))
+      stage(0, "raw", lit(true))
+        .unionByName(stage(1, "quality", col("q")))
+        .unionByName(stage(2, "language", col("q") && col("en")))
+        .unionByName(stage(3, "repetition", surv))
+        .unionByName(ded)
+        .orderBy("stage_ord")
+    }),
+    // ---- quality-signal correlation matrix: Pearson between token
+    // count, quality score (bp) and raw char count — the redundancy
+    // check before adding a filter signal (two signals at r≈1 gate the
+    // same docs twice). EXACT integer moment sums (the
+    // stats_value_summary algebra): n, Σa, Σb, Σab, Σa², Σb² are
+    // order-free BIGINTs; one double division + sqrt per pair.
+    "stats_signal_corr" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        round(TextAnalysis.qualityScore(col("text")) * 10000)
+          .cast("long").as("q_bp"),
+        col("n_chars"))
+      def corr(na: String, nb: String) = {
+        val (a, b) = (col(na), col(nb))
+        d.agg(count(lit(1)).as("n"), sum(a).as("sa"), sum(b).as("sb"),
+            sum(a * b).as("sab"), sum(a * a).as("saa"), sum(b * b).as("sbb"))
+          .select(lit(na).as("sig_a"), lit(nb).as("sig_b"),
+            round((col("n") * col("sab") - col("sa") * col("sb")) * 1e6 /
+              (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+               sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+              .cast("long").as("corr_micro"))
+      }
+      corr("toks", "q_bp")
+        .unionByName(corr("toks", "n_chars"))
+        .unionByName(corr("q_bp", "n_chars"))
+        .orderBy("sig_a", "sig_b")
+    }),
     // v2 of the composite pipeline: the full Gopher/C4-style rule set —
     // quality + language + REPETITION gates, PII scrub (a no-op on the
     // digit-free fixture, but part of the plan and of the oracle), then
@@ -2840,6 +2900,61 @@ object Pipeline {
          |WHERE quality >= 0.5 AND lang = 'en'
          |GROUP BY md5($norm)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_funnel" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |bg AS (SELECT doc_id,
+         |       unnest(list_transform(generate_series(1, greatest(len(arr) - 1, 1)),
+         |              i -> array_to_string(arr[i:i+1], ' '))) AS g
+         |       FROM toks),
+         |bc AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS rep
+         |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |       GROUP BY doc_id),
+         |d AS (SELECT dd.doc_id, CAST($tokenCountSql AS BIGINT) AS toks2,
+         |        (($qualitySql) >= 0.5) AS q, (($langIdSql) = 'en') AS en,
+         |        (bc.rep <= 0.2) AS rep_ok, md5($norm) AS fp
+         |      FROM documents dd JOIN bc ON bc.doc_id = dd.doc_id),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS d0,
+         |        CAST(coalesce(sum(toks2), 0) AS BIGINT) AS t0,
+         |        CAST(count(*) FILTER (WHERE q) AS BIGINT) AS d1,
+         |        CAST(coalesce(sum(toks2) FILTER (WHERE q), 0) AS BIGINT) AS t1,
+         |        CAST(count(*) FILTER (WHERE q AND en) AS BIGINT) AS d2,
+         |        CAST(coalesce(sum(toks2) FILTER (WHERE q AND en), 0) AS BIGINT) AS t2,
+         |        CAST(count(*) FILTER (WHERE q AND en AND rep_ok) AS BIGINT) AS d3,
+         |        CAST(coalesce(sum(toks2) FILTER (WHERE q AND en AND rep_ok), 0) AS BIGINT) AS t3
+         |        FROM d),
+         |ded AS (SELECT CAST(count(*) AS BIGINT) AS d4,
+         |        CAST(coalesce(sum(tk), 0) AS BIGINT) AS t4
+         |        FROM (SELECT arg_min(toks2, doc_id) AS tk FROM d
+         |              WHERE q AND en AND rep_ok GROUP BY fp))
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_ord, 'raw' AS stage, d0 AS docs_kept, t0 AS tokens_kept FROM agg
+         |  UNION ALL SELECT 1, 'quality', d1, t1 FROM agg
+         |  UNION ALL SELECT 2, 'language', d2, t2 FROM agg
+         |  UNION ALL SELECT 3, 'repetition', d3, t3 FROM agg
+         |  UNION ALL SELECT 4, 'exact_dedup', d4, t4 FROM ded)
+         |ORDER BY stage_ord""".stripMargin,
+    "stats_signal_corr" -> {
+      def pair(a: String, b: String) =
+        s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+           |  CAST(round((m.n * m.sab - m.sa * m.sb) * 1000000.0 /
+           |    (sqrt(CAST(m.n * m.saa - m.sa * m.sa AS DOUBLE)) *
+           |     sqrt(CAST(m.n * m.sbb - m.sb * m.sb AS DOUBLE)))) AS BIGINT) AS corr_micro
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum($a) AS BIGINT) AS sa, CAST(sum($b) AS BIGINT) AS sb,
+           |        CAST(sum($a * $b) AS BIGINT) AS sab,
+           |        CAST(sum($a * $a) AS BIGINT) AS saa,
+           |        CAST(sum($b * $b) AS BIGINT) AS sbb FROM sigd) m""".stripMargin
+      s"""WITH sigd AS (SELECT CAST($tokenCountSql AS BIGINT) AS toks,
+         |        CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp,
+         |        n_chars FROM documents)
+         |SELECT * FROM (
+         |${pair("toks", "q_bp")}
+         |UNION ALL
+         |${pair("toks", "n_chars")}
+         |UNION ALL
+         |${pair("q_bp", "n_chars")})
+         |ORDER BY sig_a, sig_b""".stripMargin
+    },
     "pipeline_clean_corpus_v2" -> {
       val email = TextAnalysis.emailPattern
       val phone = TextAnalysis.phonePattern
