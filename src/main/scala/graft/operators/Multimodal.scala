@@ -236,9 +236,18 @@ object Multimodal {
     def plantedFrames(id: Long): Int = (id % 4).toInt + 2          // 2..5
     def plantedWidth(id: Long): Int = (id % 6).toInt + 2
     def plantedHeight(id: Long): Int = (id % 3).toInt + 2
-    /** frame `f` is solid (bR+f, bG+f, bB+f), bases < 200 ⇒ no wrap. */
-    def plantedColor(id: Long, f: Int): (Int, Int, Int) =
-      (((id % 200) + f).toInt, ((id * 7 % 200) + f).toInt, ((id * 13 % 200) + f).toInt)
+    /** every clip has ONE planted scene cut, at a frame in [1, n-1] —
+      * the ground truth for shot-boundary detection (multimodal_scenecut) */
+    def plantedCut(id: Long): Int = (id % (plantedFrames(id) - 1)).toInt + 1
+    /** frame `f` is solid (bR+f, bG+f, bB+f) with a +40 jump per channel
+      * from the planted cut onward; bases < 200, f ≤ 4, jump 40 ⇒ ≤ 243,
+      * no wrap. Adjacent-frame channel delta is 1 within a shot and 41
+      * across the cut. */
+    def plantedColor(id: Long, f: Int): (Int, Int, Int) = {
+      val jump = if (f >= plantedCut(id)) 40 else 0
+      (((id % 200) + f + jump).toInt, ((id * 7 % 200) + f + jump).toInt,
+        ((id * 13 % 200) + f + jump).toInt)
+    }
     def plantedDelayCs(id: Long): Int = ((id % 10) + 1).toInt * 25 // 25..250 cs
     def plantedDurationMs(id: Long): Long =
       plantedFrames(id).toLong * plantedDelayCs(id) * 10L

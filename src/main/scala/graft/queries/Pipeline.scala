@@ -1095,6 +1095,31 @@ object Pipeline {
         Multimodal.realMedia(s, docs(s, dir)))
         .toDF()
         .orderBy("media_id", "frame_idx")),
+    // ---- shot-boundary (scene-cut) detection over REAL decoded frames:
+    // per-frame channel-mean deltas via a lag window per clip, cut where
+    // the mean absolute delta crosses the threshold — the keyframe
+    // selection step of a video training pipeline (sample around cuts,
+    // not uniformly). Every clip carries ONE planted cut (+40/channel
+    // from VideoCodec.plantedCut onward; within-shot delta is 1), so the
+    // oracle recomputes the exact cut set from the planted formula.
+    "multimodal_scenecut" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      Multimodal.decodeVideo(Multimodal.realMedia(s, docs(s, dir))).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .withColumn("dr", col("mean_r") - lag("mean_r", 1).over(w))
+        .withColumn("dg", col("mean_g") - lag("mean_g", 1).over(w))
+        .withColumn("db", col("mean_b") - lag("mean_b", 1).over(w))
+        .filter(col("dr").isNotNull)
+        .withColumn("diff_milli",
+          round((abs(col("dr")) + abs(col("dg")) + abs(col("db"))) * 1000 / 3)
+            .cast("long"))
+        .filter(col("diff_milli") >= 20000)
+        .select(col("media_id"), col("frame_idx").as("cut_frame"),
+          col("diff_milli"))
+        .orderBy("media_id", "cut_frame")
+    }),
     // frame sampling is metadata math (1 fps over the clip duration), so
     // unlike the decode features it IS oracle-checkable
     "multimodal_framesample" -> ((s, dir) =>
@@ -3061,7 +3086,8 @@ object Pipeline {
         |  THEN (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 13 % 256 AS DOUBLE)) / 3.0
         |  WHEN doc_id % 3 = 1 THEN CAST(doc_id * 37 % 30000 + 500 AS DOUBLE)
         |  ELSE CAST((doc_id % 4 + 2) * (doc_id % 200 + doc_id * 7 % 200 + doc_id * 13 % 200)
-        |            + 3 * (((doc_id % 4 + 2) * (doc_id % 4 + 1)) // 2) AS DOUBLE)
+        |            + 3 * (((doc_id % 4 + 2) * (doc_id % 4 + 1)) // 2)
+        |            + 120 * ((doc_id % 4 + 2) - (doc_id % (doc_id % 4 + 1) + 1)) AS DOUBLE)
         |       / (3.0 * (doc_id % 4 + 2)) END AS mean_level,
         |CAST(CASE WHEN doc_id % 3 = 2
         |  THEN greatest(1, CAST(floor((doc_id % 4 + 2) * (doc_id % 10 + 1) * 25 * 10 / 1000.0) AS INTEGER))
@@ -3082,17 +3108,25 @@ object Pipeline {
     // planted GCE delayTime
     "multimodal_video" ->
       """WITH v AS (SELECT doc_id,
-        |                  unnest(range(0, CAST(doc_id % 4 + 2 AS BIGINT))) AS f
+        |                  unnest(range(0, CAST(doc_id % 4 + 2 AS BIGINT))) AS f,
+        |                  doc_id % (doc_id % 4 + 1) + 1 AS cut
         |           FROM documents WHERE doc_id % 3 = 2)
         |SELECT doc_id AS media_id,
         |CAST(f AS INTEGER) AS frame_idx,
         |CAST(doc_id % 6 + 2 AS INTEGER) AS width,
         |CAST(doc_id % 3 + 2 AS INTEGER) AS height,
-        |CAST(doc_id % 200 + f AS DOUBLE) AS mean_r,
-        |CAST(doc_id * 7 % 200 + f AS DOUBLE) AS mean_g,
-        |CAST(doc_id * 13 % 200 + f AS DOUBLE) AS mean_b,
+        |CAST(doc_id % 200 + f + CASE WHEN f >= cut THEN 40 ELSE 0 END AS DOUBLE) AS mean_r,
+        |CAST(doc_id * 7 % 200 + f + CASE WHEN f >= cut THEN 40 ELSE 0 END AS DOUBLE) AS mean_g,
+        |CAST(doc_id * 13 % 200 + f + CASE WHEN f >= cut THEN 40 ELSE 0 END AS DOUBLE) AS mean_b,
         |CAST((doc_id % 10 + 1) * 25 AS INTEGER) AS delay_cs
         |FROM v ORDER BY media_id, frame_idx""".stripMargin,
+    // exactly one planted cut per clip: within-shot channel delta is 1
+    // (→ 1000 milli, below threshold), the cut's is 41 (→ 41000)
+    "multimodal_scenecut" ->
+      """SELECT doc_id AS media_id,
+        |CAST(doc_id % (doc_id % 4 + 1) + 1 AS INTEGER) AS cut_frame,
+        |CAST(41000 AS BIGINT) AS diff_milli
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, cut_frame""".stripMargin,
     "multimodal_decode" ->
       """SELECT doc_id AS media_id,
         |CAST(doc_id % 8 + 2 AS INTEGER) AS width,
