@@ -149,13 +149,34 @@ object Multimodal {
     /** duration in ms — exact because samples are a multiple of rate/1000. */
     def plantedDurationMs(id: Long): Long =
       plantedSamples(id) * 1000L / plantedRate(id)
+    /** the clip in 80-sample analysis windows (its planted unit). */
+    def plantedWindows(id: Long): Int = (id % 50 + 1).toInt
+    /** every clip has ONE planted silent gap (all-zero samples), aligned
+      * to 80-sample windows — the ground truth for voice-activity
+      * segmentation (multimodal_vad). Start in [0, nw); length clamped to
+      * the clip end (a 1-window clip is fully silent). */
+    def plantedGapStartWin(id: Long): Int = (id % plantedWindows(id)).toInt
+    def plantedGapWins(id: Long): Int =
+      math.min((id / 3 % 4).toInt + 1, plantedWindows(id) - plantedGapStartWin(id))
+    /** decoded mean |sample| with the gap: A·(n − 80·gap)/n, an exact
+      * integer product over an exact double division in both engines. */
+    def plantedMeanAbs(id: Long): Double = {
+      val n = plantedSamples(id)
+      plantedAmplitude(id).toDouble * (n - 80L * plantedGapWins(id)) / n
+    }
+    def plantedPeak(id: Long): Int =
+      if (plantedGapWins(id) == plantedWindows(id)) 0 else plantedAmplitude(id)
 
     def encodeWav(id: Long): Array[Byte] = {
       val (rate, n, a) = (plantedRate(id), plantedSamples(id), plantedAmplitude(id))
+      val (gs, gl) = (plantedGapStartWin(id), plantedGapWins(id))
       val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
       var i = 0
       while (i < n) {
-        val s = if (i % 2 == 0) a else -a
+        val win = i / 80
+        val s =
+          if (win >= gs && win < gs + gl) 0
+          else if (i % 2 == 0) a else -a
         pcm(2 * i) = (s & 0xff).toByte
         pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
         i += 1
@@ -170,11 +191,11 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Real decode: format and frames come from the WAV bytes, nothing is
-      * assumed from the id. |amplitude| sums are exact in Long; `sum / n`
-      * is an exact double for the planted square wave (sum = n * A), so
-      * the oracle comparison is bit-exact. */
-    def decode(mediaId: Long, wav: Array[Byte]): DecodedAudio = {
+    /** Real WAV parse shared by every audio decode path: format checks,
+      * endianness, 16-bit mono PCM samples. Nothing is assumed from the
+      * id. */
+    private[graft] def readSamples(
+        mediaId: Long, wav: Array[Byte]): (Int, Array[Int]) = {
       val ais =
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(wav))
@@ -192,18 +213,57 @@ object Multimodal {
       val n = bytes.length / 2
       require(n > 0, s"media_id=$mediaId: empty audio stream")
       val big = fmt.isBigEndian
-      var (sumAbs, peak, i) = (0L, 0, 0)
+      val out = new Array[Int](n)
+      var i = 0
       while (i < n) {
-        val s =
+        out(i) =
           if (big) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
           else (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
-        val abs = math.abs(s)
+        i += 1
+      }
+      (fmt.getSampleRate.round, out)
+    }
+
+    /** Real decode: |amplitude| sums are exact in Long; `sum / n` is an
+      * exact double for the planted gapped square wave (sum = (n−gap)·A),
+      * so the oracle comparison is bit-exact. */
+    def decode(mediaId: Long, wav: Array[Byte]): DecodedAudio = {
+      val (rate, samples) = readSamples(mediaId, wav)
+      var (sumAbs, peak, i) = (0L, 0, 0)
+      while (i < samples.length) {
+        val abs = math.abs(samples(i))
         sumAbs += abs
         if (abs > peak) peak = abs
         i += 1
       }
-      DecodedAudio(mediaId, fmt.getSampleRate.round, n.toLong,
-        sumAbs.toDouble / n, peak)
+      DecodedAudio(mediaId, rate, samples.length.toLong,
+        sumAbs.toDouble / samples.length, peak)
+    }
+  }
+
+  /** One analysis window of a REAL decoded audio clip: the |sample| sum
+    * over `winSamples` consecutive samples — the energy series VAD
+    * segmentation runs on (multimodal_vad). */
+  final case class AudioFrame(media_id: Long, win_idx: Int, sum_abs: Long)
+
+  /** Windowed-energy decode over the audio-kind rows: executor-side
+    * `mapPartitions`-class work (flatMap), one row per 80-sample window.
+    * At corpus scale this is the embarrassingly-parallel front of the
+    * audio pipeline; the segmentation that follows is relational. */
+  def decodeAudioFrames(media: Dataset[MediaRecord],
+                        winSamples: Int = 80): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    require(winSamples > 0, s"winSamples must be positive, got $winSamples")
+    media.filter(col("kind") === "audio").flatMap { m =>
+      val (_, samples) = AudioCodec.readSamples(m.media_id, m.payload)
+      val nw = (samples.length + winSamples - 1) / winSamples
+      val sums = new Array[Long](nw)
+      var i = 0
+      while (i < samples.length) {
+        sums(i / winSamples) += math.abs(samples(i))
+        i += 1
+      }
+      (0 until nw).iterator.map(wi => AudioFrame(m.media_id, wi, sums(wi)))
     }
   }
 

@@ -1120,6 +1120,27 @@ object Pipeline {
           col("diff_milli"))
         .orderBy("media_id", "cut_frame")
     }),
+    // ---- voice-activity segmentation over REAL decoded audio: one
+    // windowed-energy decode pass (80-sample windows, executor-side),
+    // then gaps-and-islands over the zero-energy windows — the
+    // silence-trimming / segmentation front of an audio training
+    // pipeline. Every clip carries ONE planted window-aligned silent
+    // gap (AudioCodec.plantedGapStartWin/Wins), so the oracle
+    // recomputes the exact run set from the planted formula.
+    "multimodal_vad" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("win_idx")
+      Multimodal.decodeAudioFrames(Multimodal.realMedia(s, docs(s, dir))).toDF()
+        .filter(col("sum_abs") === 0)
+        .withColumn("grp", col("win_idx") - row_number().over(w))
+        .groupBy("media_id", "grp")
+        .agg(min("win_idx").as("silence_start_win"),
+          max("win_idx").as("silence_end_win"),
+          count(lit(1)).as("n_silent"))
+        .select(col("media_id"), col("silence_start_win"),
+          col("silence_end_win"), col("n_silent"))
+        .orderBy("media_id", "silence_start_win")
+    }),
     // frame sampling is metadata math (1 fps over the clip duration), so
     // unlike the decode features it IS oracle-checkable
     "multimodal_framesample" -> ((s, dir) =>
@@ -3085,6 +3106,10 @@ object Pipeline {
         |CASE WHEN doc_id % 3 = 0
         |  THEN (CAST(doc_id % 256 AS DOUBLE) + CAST(doc_id * 7 % 256 AS DOUBLE) + CAST(doc_id * 13 % 256 AS DOUBLE)) / 3.0
         |  WHEN doc_id % 3 = 1 THEN CAST(doc_id * 37 % 30000 + 500 AS DOUBLE)
+        |    * ((doc_id % 50 + 1) * 80
+        |       - 80 * least((doc_id // 3) % 4 + 1,
+        |                    (doc_id % 50 + 1) - doc_id % (doc_id % 50 + 1)))
+        |    / ((doc_id % 50 + 1) * 80)
         |  ELSE CAST((doc_id % 4 + 2) * (doc_id % 200 + doc_id * 7 % 200 + doc_id * 13 % 200)
         |            + 3 * (((doc_id % 4 + 2) * (doc_id % 4 + 1)) // 2)
         |            + 120 * ((doc_id % 4 + 2) - (doc_id % (doc_id % 4 + 1) + 1)) AS DOUBLE)
@@ -3093,15 +3118,33 @@ object Pipeline {
         |  THEN greatest(1, CAST(floor((doc_id % 4 + 2) * (doc_id % 10 + 1) * 25 * 10 / 1000.0) AS INTEGER))
         |  ELSE 1 END AS INTEGER) AS frames_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
-    // rate 8000*(doc_id%2+1); frames (doc_id%50+1)*80; square-wave
-    // amplitude doc_id*37%30000+500 => mean_abs and peak_abs are both A
+    // rate 8000*(doc_id%2+1); samples (doc_id%50+1)*80; gapped square
+    // wave amplitude A = doc_id*37%30000+500 with one planted silent gap
+    // of gl 80-sample windows => mean_abs = A*(n-80*gl)/n, peak = A
+    // (0 for an all-gap clip)
     "multimodal_audio" ->
-      """SELECT doc_id AS media_id,
-        |CAST(8000 * (doc_id % 2 + 1) AS INTEGER) AS sample_rate,
-        |CAST((doc_id % 50 + 1) * 80 AS BIGINT) AS n_samples,
-        |CAST(doc_id * 37 % 30000 + 500 AS DOUBLE) AS mean_abs,
-        |CAST(doc_id * 37 % 30000 + 500 AS INTEGER) AS peak_abs
-        |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin,
+      s"""WITH a AS (SELECT doc_id, doc_id % 50 + 1 AS nw,
+         |             (doc_id % 50 + 1) * 80 AS n,
+         |             doc_id * 37 % 30000 + 500 AS amp,
+         |             doc_id % (doc_id % 50 + 1) AS gs
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |b AS (SELECT *, least((doc_id // 3) % 4 + 1, nw - gs) AS gl FROM a)
+         |SELECT doc_id AS media_id,
+         |CAST(8000 * (doc_id % 2 + 1) AS INTEGER) AS sample_rate,
+         |CAST(n AS BIGINT) AS n_samples,
+         |CAST(amp AS DOUBLE) * (n - 80 * gl) / n AS mean_abs,
+         |CAST(CASE WHEN gl = nw THEN 0 ELSE amp END AS INTEGER) AS peak_abs
+         |FROM b ORDER BY media_id""".stripMargin,
+    "multimodal_vad" ->
+      s"""WITH a AS (SELECT doc_id, doc_id % 50 + 1 AS nw,
+         |             doc_id % (doc_id % 50 + 1) AS gs
+         |           FROM documents WHERE doc_id % 3 = 1),
+         |b AS (SELECT doc_id, gs,
+         |        least((doc_id // 3) % 4 + 1, nw - gs) AS gl FROM a)
+         |SELECT doc_id AS media_id, CAST(gs AS INTEGER) AS silence_start_win,
+         |       CAST(gs + gl - 1 AS INTEGER) AS silence_end_win,
+         |       CAST(gl AS BIGINT) AS n_silent
+         |FROM b ORDER BY media_id, silence_start_win""".stripMargin,
     // one row per planted frame (unnest over 0..n-1): frame f of clip
     // doc_id is solid (base + f) per channel; the decoded per-frame
     // channel means are exactly those ints, the decoded delay is the

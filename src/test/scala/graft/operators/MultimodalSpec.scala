@@ -85,7 +85,7 @@ class MultimodalSpec extends SparkSpec {
       f.mean_level == t / (3.0 * n)
     })
     assert(byKind("audio").forall { f =>
-      f.mean_level == Multimodal.AudioCodec.plantedAmplitude(f.media_id).toDouble
+      f.mean_level == Multimodal.AudioCodec.plantedMeanAbs(f.media_id)
     })
     assert(byKind("image").forall { f =>
       val (r, g, b) = Multimodal.ImageCodec.plantedColor(f.media_id)
@@ -142,11 +142,28 @@ class MultimodalSpec extends SparkSpec {
   test("AudioCodec: a planted WAV decodes back to its exact planted waveform") {
     for (id <- Seq(1L, 4L, 7L, 100L, 255L, 4999L)) {
       val d = Multimodal.AudioCodec.decode(id, Multimodal.AudioCodec.encodeWav(id))
-      val a = Multimodal.AudioCodec.plantedAmplitude(id)
       assert(d.sample_rate == Multimodal.AudioCodec.plantedRate(id))
       assert(d.n_samples == Multimodal.AudioCodec.plantedSamples(id).toLong)
-      // square wave: mean |amplitude| and peak are EXACTLY the amplitude
-      assert(d.mean_abs == a.toDouble && d.peak_abs == a, s"id=$id: $d vs A=$a")
+      // gapped square wave: mean |amplitude| is exactly A·(n−gap)/n and
+      // the peak is A (0 when the clip is all gap)
+      assert(d.mean_abs == Multimodal.AudioCodec.plantedMeanAbs(id) &&
+        d.peak_abs == Multimodal.AudioCodec.plantedPeak(id), s"id=$id: $d")
+    }
+  }
+
+  test("decodeAudioFrames: window energies localize the planted silent gap exactly") {
+    for (id <- Seq(1L, 4L, 7L, 100L, 255L, 4999L)) {
+      val (_, samples) = (Multimodal.AudioCodec.plantedRate(id),
+        Multimodal.AudioCodec.encodeWav(id))
+      val frames = Multimodal.AudioCodec.readSamples(id, samples)._2
+        .grouped(80).map(_.map(s => math.abs(s).toLong).sum).toArray
+      val gs = Multimodal.AudioCodec.plantedGapStartWin(id)
+      val gl = Multimodal.AudioCodec.plantedGapWins(id)
+      frames.zipWithIndex.foreach { case (sum, wi) =>
+        val silent = wi >= gs && wi < gs + gl
+        assert((sum == 0L) == silent, s"id=$id win=$wi sum=$sum")
+      }
+      assert(frames.length == Multimodal.AudioCodec.plantedWindows(id))
     }
   }
 
@@ -164,8 +181,8 @@ class MultimodalSpec extends SparkSpec {
       d.media_id % 3 == 1 &&
         d.sample_rate == Multimodal.AudioCodec.plantedRate(d.media_id) &&
         d.n_samples == Multimodal.AudioCodec.plantedSamples(d.media_id).toLong &&
-        d.mean_abs == Multimodal.AudioCodec.plantedAmplitude(d.media_id).toDouble &&
-        d.peak_abs == Multimodal.AudioCodec.plantedAmplitude(d.media_id)
+        d.mean_abs == Multimodal.AudioCodec.plantedMeanAbs(d.media_id) &&
+        d.peak_abs == Multimodal.AudioCodec.plantedPeak(d.media_id)
     })
   }
 
