@@ -47,15 +47,17 @@ object Graphs {
     * where S is the teleport set (`seeds`, default = all nodes, giving
     * standard PageRank) and `dangling` is the rank mass sitting on nodes
     * with no out-edges (here mass conservation routes it to the teleport
-    * set, the textbook treatment). All quantities are BIGINT; with damping
-    * 85/100 fixed, `iters` in [1,4] keeps plans shallow (each iteration
-    * deepens the lineage by two shuffles; checkpoint beyond that).
+    * set, the textbook treatment). All quantities are BIGINT. Each round
+    * starts from the previous round's MATERIALIZED ranks (localCheckpoint
+    * below), so lineage never deepens with `iters` — the [1,32] bound is
+    * a cost sanity check (PageRank at damping 0.85 is numerically settled
+    * long before 32 rounds), not a plan-depth limit.
     *
     * Returns (`id` Long, `r` Long) — final rank in micro units, one row
     * per node. */
   def pagerank(edges: DataFrame, iters: Int = 2,
                seeds: Option[DataFrame] = None): DataFrame = {
-    require(iters >= 1 && iters <= 4, s"iters must be in [1,4], got $iters")
+    require(iters >= 1 && iters <= 32, s"iters must be in [1,32], got $iters")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint()

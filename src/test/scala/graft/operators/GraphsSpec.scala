@@ -64,7 +64,22 @@ class GraphsSpec extends SparkSpec {
 
   test("pagerank: iters out of range raises loudly") {
     val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
-    val ex = intercept[IllegalArgumentException](Graphs.pagerank(e, iters = 9))
+    val ex = intercept[IllegalArgumentException](Graphs.pagerank(e, iters = 33))
     assert(ex.getMessage.contains("iters"))
+  }
+
+  test("pagerank: deep iteration converges (per-round materialization keeps it cheap)") {
+    // 2-cycle with a weighted branch: successive-round movement decays
+    // like damping^k (~0.85^k), so by round 8 each rank moves < 0.5% —
+    // and the run completes quickly because each round starts from
+    // materialized ranks, not lineage
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r8 = ranks(Graphs.pagerank(e, iters = 8))
+    val r9 = ranks(Graphs.pagerank(e, iters = 9))
+    r8.keys.foreach { k =>
+      assert(math.abs(r8(k) - r9(k)) <= math.max(r8(k) / 200, 1500),
+        s"node $k: ${r8(k)} vs ${r9(k)}")
+    }
   }
 }
