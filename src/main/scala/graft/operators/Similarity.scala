@@ -126,6 +126,37 @@ object Similarity {
       .distinct()
   }
 
+  /** Cross-corpus SEMANTIC decontamination: corpus rows whose embedding
+    * is near-identical (cosine ≥ `threshold`) to ANY eval-set embedding —
+    * the semantic face of [[graft.operators.Dedup.ngramContaminated]]
+    * (paraphrased eval leakage that no n-gram check can see). Same
+    * architecture as [[semanticDedup]]: k-means cells trained on the
+    * CORPUS, both sides assigned with the same deterministic centroids,
+    * pairs formed within shared cells only — the eval side is test-set
+    * sized, so the join cost is Σ_cell |corpus_cell|·|eval_cell|, never
+    * corpus². Identical vectors share a cell by construction
+    * (NearestCell is deterministic), which is what lets a planted-clone
+    * oracle pin the pipeline. Zero-norm rows are exempt (no direction —
+    * the semanticDedup contract). Returns distinct corpus `drop_id`s. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            idCol: String, vecCol: String, nCells: Int = 16,
+                            threshold: Double = 0.999,
+                            seed: Long = 42L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val cents = Ivf.centroidsRefined(corpus, idCol, vecCol, nCells, seed)
+    def cells(df: DataFrame) = df.select(
+      Ivf.assignCell(col(vecCol), cents).as("__cell"),
+      col(idCol).as("__id"), col(vecCol).as("__vec"),
+      l2Norm(col(vecCol)).as("__nrm"))
+    cells(corpus).as("c").hint("shuffle_hash")
+      .join(cells(evalSet).as("e"), Seq("__cell"))
+      .filter(dot(col("c.__vec"), col("e.__vec")) /
+        (col("c.__nrm") * col("e.__nrm")) >= threshold)
+      .select(col("c.__id").as("drop_id"))
+      .distinct()
+  }
+
   /** SemDeDup's cluster-count recipe, made executable: k ≈ n/⟨cluster⟩.
     * The paper's operating points (50k clusters over 100M+ LAION
     * embeddings ≈ 2k vectors per cluster; smaller corpora proportionally)

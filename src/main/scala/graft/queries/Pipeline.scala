@@ -780,6 +780,20 @@ object Pipeline {
         nCells = 16, threshold = 0.999)
         .orderBy("dropped_id")
     }),
+    // ---- cross-corpus SEMANTIC decontamination: corpus vectors
+    // near-identical to any eval-set vector — paraphrased eval leakage
+    // no n-gram check can see. Eval side = planted clones of corpus
+    // ids < 25 (offset past the corpus id space), so the ground-truth
+    // drop set is exactly those corpus ids.
+    "semdedup_decontaminate" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val evalSet = e.filter(col("vec_id") < 25)
+        .withColumn("vec_id", col("vec_id") + offset)
+      Similarity.semanticDecontaminate(e, evalSet, "vec_id", "embedding",
+        nCells = 16, threshold = 0.999)
+        .orderBy("drop_id")
+    }),
     // the self-tuning form: the cell count derives from the corpus size
     // (k ≈ n/⟨cluster⟩, SemDeDup's recipe via nCellsFor) instead of a
     // caller-remembered constant — same planted-clone oracle, because
@@ -2919,6 +2933,12 @@ object Pipeline {
     "semdedup_auto_drops" ->
       """SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS BIGINT) AS dropped_id
         |FROM embeddings WHERE vec_id < 40 ORDER BY dropped_id""".stripMargin,
+    // planted-clone ground truth: only exact clones reach cosine 0.999
+    // on this corpus (the semdedup_drops argument), and clones share a
+    // cell by construction — the flagged CORPUS ids are exactly 0..24
+    "semdedup_decontaminate" ->
+      """SELECT CAST(vec_id AS BIGINT) AS drop_id FROM embeddings
+        |WHERE vec_id < 25 ORDER BY drop_id""".stripMargin,
     "emb_ann_portable" ->
       """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
         |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),

@@ -155,4 +155,18 @@ class SimilaritySpec extends SparkSpec {
       Similarity.semanticDedup(bad, "vec_id", "embedding"))
     assert(e.getMessage.contains("reserved"))
   }
+
+  test("semanticDecontaminate flags only corpus rows cloned into the eval set") {
+    import org.apache.spark.sql.functions.max
+    val offset = embs.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    // eval = clones of corpus ids < 25, shifted past the corpus id space
+    val evalSet = embs.filter(col("vec_id") < 25)
+      .withColumn("vec_id", col("vec_id") + offset)
+    val dropped = Similarity.semanticDecontaminate(
+        embs, evalSet, "vec_id", "embedding", nCells = 16, threshold = 0.999)
+      .collect().map(_.getLong(0)).toSet
+    // the CORPUS side is flagged (train-set rows to drop), never the
+    // eval ids; random non-clone pairs stay far below 0.999
+    assert(dropped == (0L until 25L).toSet, dropped.toString)
+  }
 }
