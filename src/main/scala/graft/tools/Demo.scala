@@ -217,6 +217,16 @@ object Demo {
     println("=== hard-negative mining: nearest wrong-label neighbors ===")
     graft.SparkEntry.queries("emb_hard_negatives")(spark, sf).show(5, false)
 
+    println("=== cleaning funnel: docs/tokens surviving each gate ===")
+    graft.SparkEntry.queries("pipeline_funnel")(spark, sf).show(5, false)
+
+    println("=== video scene cuts + audio silence runs (real decode) ===")
+    graft.SparkEntry.queries("multimodal_scenecut")(spark, sf).show(3, false)
+    graft.SparkEntry.queries("multimodal_vad")(spark, sf).show(3, false)
+
+    println("=== semantic decontamination: corpus rows cloned into eval ===")
+    graft.SparkEntry.queries("semdedup_decontaminate")(spark, sf).show(3, false)
+
     spark.stop()
   }
 }
