@@ -284,6 +284,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("semantic decontamination: within-cell hash join, never a cross-corpus cartesian") {
+    val plan = finalPlan(q("semdedup_decontaminate"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a hash join on __cell\n$plan")
+  }
+
+  test("bloom contamination: the bloom pre-filter sits on the corpus gram stream") {
+    val plan = finalPlan(q("dedup_contam_bloom"))
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("proportional interleave: the rank window is source-partitioned") {
     // single-partition exchanges DO appear — the 1-row grand-total
     // aggregate and the final repartition(1) local sort, both
