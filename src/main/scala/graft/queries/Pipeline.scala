@@ -1660,6 +1660,23 @@ object Pipeline {
           length(graft.functions.NfcNormalize(col("t"))).as("len_nfc"))
         .orderBy("doc_id")
     }),
+    // ---- duplicate-aware SOFT dedup: keep every copy but weight each
+    // example at 1/n_copies (micro units, truncating DIV) — the
+    // down-weighting alternative to dropping (preserves distributional
+    // mass while removing duplication bias). One fingerprint shuffle;
+    // group sizes join back on the fingerprint key.
+    "sample_dedup_weighted" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val cloned = base.unionByName(base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      val fp = cloned.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val sz = fp.groupBy("fp").agg(count(lit(1)).as("n_copies"))
+      fp.join(sz, "fp")
+        .select(col("doc_id"), col("n_copies"),
+          expr("1000000 DIV n_copies").as("weight_micro"))
+        .orderBy("doc_id")
+    }),
     // ---- deterministic proportional interleave (stride scheduling /
     // weighted fair queueing): the i-th doc of source s gets virtual
     // time (i · 1e6 · W) DIV w_s where w_s = the source's token count
@@ -3613,6 +3630,17 @@ object Pipeline {
         |SELECT h, c, mean_micro, c * 1000000 - mean_micro AS dev_micro
         |FROM m WHERE abs(c * 1000000 - mean_micro) * 2 >= mean_micro
         |ORDER BY h""".stripMargin,
+    "sample_dedup_weighted" ->
+      s"""WITH al AS (SELECT doc_id, text FROM documents
+         |            UNION ALL
+         |            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |            WHERE doc_id < 50),
+         |fp AS (SELECT doc_id, md5($norm) AS fp FROM al),
+         |sz AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies FROM fp GROUP BY fp)
+         |SELECT f.doc_id, s.n_copies,
+         |       CAST(1000000 // s.n_copies AS BIGINT) AS weight_micro
+         |FROM fp f JOIN sz s ON f.fp = s.fp
+         |ORDER BY f.doc_id""".stripMargin,
     "sample_interleave" ->
       s"""WITH d AS (SELECT source, doc_id, CAST($tokenCountSql AS BIGINT) AS toks
          |           FROM documents),
