@@ -675,19 +675,25 @@ object Dedup {
   /** Per-document duplicated-text budget from [[duplicatedSpans]]: the
     * fraction of each doc's tokens covered by corpus-duplicated spans —
     * the number Lee et al. threshold to pick which documents (or spans)
-    * to cut. Docs with no duplicated span report 0.0; the token count is
+    * to cut. Docs with no duplicated span report 0; the token count is
     * the same `split(normalized, ' ')` contract the grams tokenize under.
-    * Returns (id, n_tokens, dup_words, dup_frac). */
+    * The fraction ships as exact integer micro-units
+    * (`dup_words * 1e6 DIV n_tokens` — pure BIGINT algebra, no IEEE
+    * rounding anywhere), so every engine computes the identical value:
+    * the r07 `round(x, 6)`-double version was the repo's own banned
+    * pattern and is gone. Returns (id, n_tokens, dup_words,
+    * dup_frac_micro). */
   def duplicatedSpanFrac(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8): DataFrame = {
     val spans = duplicatedSpans(df, idCol, textCol, k)
       .groupBy("id").agg(sum("span_words").as("dup_words"))
     df.select(col(idCol).as("id"),
-        size(split(TextAnalysis.normalized(col(textCol)), " ", -1)).as("n_tokens"))
+        size(split(TextAnalysis.normalized(col(textCol)), " ", -1))
+          .cast("long").as("n_tokens"))
       .join(spans, Seq("id"), "left_outer")
       .select(col("id"), col("n_tokens"),
-        coalesce(col("dup_words"), lit(0L)).as("dup_words"),
-        round(coalesce(col("dup_words"), lit(0L)).cast("double") /
-          col("n_tokens"), 6).as("dup_frac"))
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+      .withColumn("dup_frac_micro",
+        expr("dup_words * 1000000 DIV n_tokens"))
   }
 }

@@ -83,12 +83,13 @@ object Pipeline {
           (sum(col("q")).cast("double") / count(lit(1))).as("mean_quality"))
         .orderBy("lang")),
     // per-SOURCE corpus health report — the observability face of the
-    // round-8 signals, the table a data-mix owner watches: doc/token
+    // pipeline signals, the table a data-mix owner watches: doc/token
     // volume, the duplicated-token budget (summed as integers, ONE
-    // division per source — no mean-of-rounded drift), and the LM
+    // integer DIV per source — no mean-of-rounded drift), and the LM
     // quality level (integer micro-nat sums, floored ratio). Every
-    // column is integer algebra or a single IEEE division, so DuckDB
-    // recomputes the whole report
+    // column is exact integer algebra (the one floor() sits on an
+    // IEEE-exact quotient of exact ints), so DuckDB recomputes the
+    // whole report bit-identically on any host
     "corpus_report" -> ((s, dir) => {
       val d = docs(s, dir)
       val frac = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
@@ -104,10 +105,12 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("n_tokens"),
           sum("dup_words").as("dup_words"),
-          round(sum("dup_words").cast("double") / sum("n_tokens"), 6)
-            .as("dup_frac"),
           floor(sum("lm_micro_sum").cast("double") /
             sum("n_bigrams")).cast("long").as("lm_micro_avg"))
+        .withColumn("dup_frac_micro",
+          expr("dup_words * 1000000 DIV n_tokens"))
+        .select("source", "n_docs", "n_tokens", "dup_words",
+          "dup_frac_micro", "lm_micro_avg")
         .orderBy("source")
     }),
     "text_fingerprint" -> ((s, dir) =>
@@ -1001,7 +1004,7 @@ object Pipeline {
           "doc_id", "text", "is_tgt")
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
       val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("dup_frac"))
+        .select(col("id").as("doc_id"), col("dup_frac_micro"))
       d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("langp", TextAnalysis.langId(col("text")))
         .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
@@ -1010,7 +1013,7 @@ object Pipeline {
         .join(lm, Seq("doc_id"), "left_outer")
         .filter(col("lm_micro_avg") >= -3450000L)
         .join(dupF, "doc_id")
-        .filter(col("dup_frac") <= 0.5)
+        .filter(col("dup_frac_micro") <= 500000L)
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .groupBy("fp")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
@@ -1029,7 +1032,7 @@ object Pipeline {
           "doc_id", "text", "is_tgt")
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
       val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("dup_frac"))
+        .select(col("id").as("doc_id"), col("dup_frac_micro"))
       val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .filter(length(col("ch")) > 0)
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -1052,7 +1055,7 @@ object Pipeline {
         .join(lm, Seq("doc_id"), "left_outer")
         .filter(col("lm_micro_avg") >= -3450000L)
         .join(dupF, "doc_id")
-        .filter(col("dup_frac") <= 0.5)
+        .filter(col("dup_frac_micro") <= 500000L)
         .join(ent, "doc_id")
         .filter(col("entropy_nano") >= 2600000000L)
         .join(heavy, Seq("doc_id"), "left_anti")
@@ -2039,8 +2042,8 @@ object Pipeline {
       }
       perN.reduce(_.unionByName(_))
         .select(col("n"), col("total"), col("n_distinct"),
-          round((col("total") - col("n_distinct")) * 1e6 / col("total"))
-            .cast("long").as("dup_frac_micro"))
+          expr("(total - n_distinct) * 1000000 DIV total")
+            .as("dup_frac_micro"))
         .orderBy("n")
     }),
     // ---- lexical diversity (type-token ratio) per doc — the classic
@@ -2538,6 +2541,15 @@ object Pipeline {
        |SELECT $cols FROM scored WHERE jaccard >= $tau
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Engine-portable TYPE discipline (the r07 driver-host lesson): every
+    * aggregate reaching an oracle's output list must be CAST to a type
+    * Spark also has. DuckDB types an uncast `sum(BIGINT)` as HUGEINT
+    * (int128): a fetchall()-based compare coerces it to a Python int and
+    * passes, but an arrow-path hash represents int128 differently and
+    * fails — r07's only four hash-fails were exactly the four entries
+    * with uncast sums. `tools/audit_oracle_types.py` DESCRIBEs every
+    * entry here and flags any non-portable result column; keep it at
+    * zero. */
   private val oracleSqlBase: Map[String, String] = Map(
     "text_token_count" ->
       (s"SELECT doc_id, $tokenCountSql AS n_tokens, " +
@@ -2616,8 +2628,10 @@ object Pipeline {
          |rep AS (SELECT t.doc_id, t.source, len(t.arr) AS nt, coalesce(p.dw, 0) AS dw
          |        FROM toks t LEFT JOIN perdoc p USING (doc_id))
          |SELECT r.source, count(*) AS n_docs,
-         |       sum(r.nt) AS n_tokens, sum(r.dw) AS dup_words,
-         |       round(CAST(sum(r.dw) AS DOUBLE) / sum(r.nt), 6) AS dup_frac,
+         |       CAST(sum(r.nt) AS BIGINT) AS n_tokens,
+         |       CAST(sum(r.dw) AS BIGINT) AS dup_words,
+         |       CAST(sum(r.dw) AS BIGINT) * 1000000 // CAST(sum(r.nt) AS BIGINT)
+         |         AS dup_frac_micro,
          |       CAST(floor(CAST(sum(l.ssum) AS DOUBLE) / sum(l.nb)) AS BIGINT) AS lm_micro_avg
          |FROM rep r LEFT JOIN lmdoc l USING (doc_id)
          |GROUP BY r.source ORDER BY r.source""".stripMargin,
@@ -2661,7 +2675,8 @@ object Pipeline {
          |           LEFT JOIN bsc b ON d.b = b.b
          |           LEFT JOIN wsc w ON string_split(d.b, ' ')[2] = w.w
          |           CROSS JOIN dflt)
-         |SELECT id, count(*) AS n_bigrams, sum(s) AS lm_micro_sum,
+         |SELECT id, count(*) AS n_bigrams,
+         |       CAST(sum(s) AS BIGINT) AS lm_micro_sum,
          |       CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS lm_micro_avg
          |FROM scored GROUP BY id ORDER BY id""".stripMargin,
     "sql_fn_kernels" ->
@@ -2768,7 +2783,7 @@ object Pipeline {
          |           FROM stats, tot),
          |w AS (SELECT id, sum(score_micro) AS weight_micro
          |      FROM grams JOIN scores USING (b) GROUP BY id)
-         |SELECT id, weight_micro FROM w
+         |SELECT id, CAST(weight_micro AS BIGINT) AS weight_micro FROM w
          |ORDER BY weight_micro DESC, id LIMIT 100""".stripMargin,
     "chunk_overlap" ->
       s"""WITH toks AS (SELECT doc_id AS id, string_split($norm, ' ') AS arr FROM documents),
@@ -2920,8 +2935,9 @@ object Pipeline {
          |alln AS (SELECT doc_id AS id, len(string_split($norm, ' ')) AS n_tokens
          |         FROM documents)
          |SELECT a.id, a.n_tokens,
-         |       coalesce(s.dup_words, 0) AS dup_words,
-         |       round(CAST(coalesce(s.dup_words, 0) AS DOUBLE) / a.n_tokens, 6) AS dup_frac
+         |       CAST(coalesce(s.dup_words, 0) AS BIGINT) AS dup_words,
+         |       CAST(coalesce(s.dup_words, 0) AS BIGINT) * 1000000 // a.n_tokens
+         |         AS dup_frac_micro
          |FROM alln a LEFT JOIN spansum s USING (id)
          |ORDER BY id""".stripMargin,
     // every ANN variant that is EXACT at its shipped operating point
@@ -3111,7 +3127,7 @@ object Pipeline {
          |spans AS (SELECT doc_id, max(pos) - min(pos) + 8 AS span_words
          |          FROM isl_ GROUP BY doc_id, island),
          |fr AS (SELECT t.doc_id,
-         |       round(CAST(coalesce(s.dw, 0) AS DOUBLE) / len(t.arr), 6) AS dup_frac
+         |       CAST(coalesce(s.dw, 0) AS BIGINT) * 1000000 // len(t.arr) AS dup_frac_micro
          |       FROM toks t
          |       LEFT JOIN (SELECT doc_id, sum(span_words) AS dw FROM spans GROUP BY doc_id) s
          |       USING (doc_id)),
@@ -3121,7 +3137,7 @@ object Pipeline {
          |  JOIN lmsc USING (doc_id)
          |  JOIN fr USING (doc_id)
          |  WHERE ($qualitySql) >= 0.5 AND ($langIdSql) = 'en' AND bc.rep <= 0.2
-         |    AND lmsc.lm_avg >= -3450000 AND fr.dup_frac <= 0.5)
+         |    AND lmsc.lm_avg >= -3450000 AND fr.dup_frac_micro <= 500000)
          |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_dups
          |FROM kept
@@ -3601,7 +3617,7 @@ object Pipeline {
            |      WHERE len(arr) >= $n)""".stripMargin
       s"""WITH u AS (${(1 to 4).map(one).mkString("\n UNION ALL \n")})
          |SELECT CAST(n AS INTEGER) AS n, total, n_distinct,
-         |       CAST(round((total - n_distinct) * 1000000.0 / total) AS BIGINT) AS dup_frac_micro
+         |       (total - n_distinct) * 1000000 // total AS dup_frac_micro
          |FROM u ORDER BY n""".stripMargin
     },
     "emb_abtt_topk" ->
@@ -3975,8 +3991,8 @@ object Pipeline {
       .replace("kept AS (SELECT d.doc_id", gateCtes + "kept AS (SELECT d.doc_id")
       .replace("  JOIN fr USING (doc_id)",
         "  JOIN fr USING (doc_id)\n  JOIN ent ON d.doc_id = ent.doc_id")
-      .replace("AND fr.dup_frac <= 0.5)",
-        "AND fr.dup_frac <= 0.5\n    AND ent.en >= 2600000000 " +
+      .replace("AND fr.dup_frac_micro <= 500000)",
+        "AND fr.dup_frac_micro <= 500000\n    AND ent.en >= 2600000000 " +
           "AND d.doc_id NOT IN (SELECT id FROM hv))")
     require(patched != v3, "v4 oracle surgery anchors did not match the v3 SQL")
     patched

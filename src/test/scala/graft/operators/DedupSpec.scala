@@ -213,9 +213,10 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = Dedup.duplicatedSpanFrac(df, "doc_id", "text", k = 3)
       .orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq(
-      (1L, 5, 5L, 1.0), (2L, 5, 5L, 1.0), (3L, 7, 0L, 0.0)), got.toSeq.toString)
+      (1L, 5L, 5L, 1000000L), (2L, 5L, 5L, 1000000L), (3L, 7L, 0L, 0L)),
+      got.toSeq.toString)
   }
 
   test("minhash store lifecycle: persist, reload, dedup a new batch, append") {
