@@ -43,8 +43,10 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      histogram: Array[Double], // 16-bin byte-value histogram (fake "decode")
-      brightness: Double,       // mean byte value / 255 (fake luminance)
+      histogram: Array[Double], // 16-bin byte-value histogram (byteStats —
+                                // the opaque-payload demo path; REAL codec
+                                // decodes live in decodeImages/Audio/Video)
+      brightness: Double,       // mean byte value / 255 (byteStats, ditto)
       frames_sampled: Int)
 
   val mediaSchema: StructType = StructType(Seq(

@@ -913,10 +913,14 @@ object Pipeline {
     // ---- cleaning-funnel ablation: docs and tokens surviving each
     // stage of the clean-corpus rule set — the panel a pipeline engineer
     // reads before touching a threshold (which gate is doing the work,
-    // which is dead weight). ONE conditional-aggregation pass computes
-    // stages 0-3 (sum(when(...)) per stage — no per-stage rescan); the
-    // exact-dedup stage pays the one fingerprint shuffle it needs, with
-    // min_by picking each group's representative deterministically.
+    // which is dead weight). Stages 0-3 are ONE wide conditional
+    // aggregation (every sum(when(...)) in a single d.agg → one corpus
+    // scan, one row) stacked into rows with explode — sibling d.agg()s
+    // unioned would each rescan the corpus and re-evaluate the text
+    // kernels, which Catalyst does NOT merge (the r07 advisory finding).
+    // The exact-dedup stage pays the one extra scan + fingerprint
+    // shuffle it needs, with min_by picking each group's representative
+    // deterministically: 2 corpus scans total, not 5.
     "pipeline_funnel" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
@@ -924,24 +928,26 @@ object Pipeline {
         (TextAnalysis.langId(col("text")) === "en").as("en"),
         (TextAnalysis.topGramFrac(col("text"), 2) <= 0.2).as("rep_ok"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
-      def stage(ord: Int, name: String, cond: org.apache.spark.sql.Column) =
-        d.agg(sum(when(cond, 1L).otherwise(0L)).as("docs_kept"),
-            coalesce(sum(when(cond, col("toks"))), lit(0L)).as("tokens_kept"))
-          .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-            col("docs_kept"), col("tokens_kept"))
       val surv = col("q") && col("en") && col("rep_ok")
+      val conds = Seq(
+        (0, "raw", lit(true)), (1, "quality", col("q")),
+        (2, "language", col("q") && col("en")), (3, "repetition", surv))
+      val aggs = conds.flatMap { case (ord, _, cond) => Seq(
+        sum(when(cond, 1L).otherwise(0L)).as(s"d$ord"),
+        coalesce(sum(when(cond, col("toks"))), lit(0L)).as(s"t$ord")) }
+      val wide = d.agg(aggs.head, aggs.tail: _*)
+      val stages = wide.select(explode(array(conds.map { case (ord, name, _) =>
+          struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+            col(s"d$ord").as("docs_kept"), col(s"t$ord").as("tokens_kept"))
+        }: _*)).as("s"))
+        .select("s.stage_ord", "s.stage", "s.docs_kept", "s.tokens_kept")
       val ded = d.filter(surv)
         .groupBy("fp").agg(min_by(col("toks"), col("doc_id")).as("tk"))
         .agg(count(lit(1)).as("docs_kept"),
           coalesce(sum("tk"), lit(0L)).as("tokens_kept"))
         .select(lit(4).as("stage_ord"), lit("exact_dedup").as("stage"),
           col("docs_kept"), col("tokens_kept"))
-      stage(0, "raw", lit(true))
-        .unionByName(stage(1, "quality", col("q")))
-        .unionByName(stage(2, "language", col("q") && col("en")))
-        .unionByName(stage(3, "repetition", surv))
-        .unionByName(ded)
-        .orderBy("stage_ord")
+      stages.unionByName(ded).orderBy("stage_ord")
     }),
     // ---- quality-signal correlation matrix: Pearson between token
     // count, quality score (bp) and raw char count — the redundancy
@@ -957,12 +963,18 @@ object Pipeline {
         col("n_chars"))
       def corr(na: String, nb: String) = {
         val (a, b) = (col(na), col(nb))
+        // zero-variance guard: the variance terms are exact BIGINTs, so
+        // `=== 0` is a precise degenerate-signal test — without it Spark
+        // (ANSI off) yields NULL from 0-division where DuckDB's IEEE
+        // default gives inf/nan, a silent cross-engine divergence
+        val va = col("n") * col("saa") - col("sa") * col("sa")
+        val vb = col("n") * col("sbb") - col("sb") * col("sb")
         d.agg(count(lit(1)).as("n"), sum(a).as("sa"), sum(b).as("sb"),
             sum(a * b).as("sab"), sum(a * a).as("saa"), sum(b * b).as("sbb"))
           .select(lit(na).as("sig_a"), lit(nb).as("sig_b"),
-            round((col("n") * col("sab") - col("sa") * col("sb")) * 1e6 /
-              (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
-               sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+            when(va === 0 || vb === 0, lit(null))
+              .otherwise(round((col("n") * col("sab") - col("sa") * col("sb")) * 1e6 /
+                (sqrt(va.cast("double")) * sqrt(vb.cast("double")))))
               .cast("long").as("corr_micro"))
       }
       corr("toks", "q_bp")
@@ -1700,8 +1712,11 @@ object Pipeline {
       d.withColumn("i", row_number().over(
           Window.partitionBy("source").orderBy("doc_id")))
         .join(w, "source").crossJoin(broadcast(tot))
+        // i is row_number()'s IntegerType: promote BEFORE multiplying —
+        // with ANSI off, `i * 1000000` wraps 32-bit at >= 2148 docs per
+        // source while the oracle computes BIGINT, a silent divergence
         .select(col("source"), col("doc_id"),
-          expr("i * 1000000 * w_tot DIV w_s").as("vtime"))
+          expr("CAST(i AS BIGINT) * 1000000 * w_tot DIV w_s").as("vtime"))
         // the vtime sort is the deliverable; output is corpus-sized but
         // the subtree holds a window — local sort of the small fixture
         // (see text_fuzzy_pairs); at scale: repartitionByRange(vtime)
@@ -2345,7 +2360,13 @@ object Pipeline {
     * and the join+groupBy is the expensive part of each. */
   private val edgesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[queries] def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    // evict entries whose session has stopped: a cached DataFrame over a
+    // stopped session's freed checkpoint RDDs would fail any later lookup
+    // that hash-collides into it, and the dead session object would stay
+    // pinned for the JVM lifetime (same single-long-lived-session contract
+    // as artifactDirs, but self-healing instead of documented-only)
+    edgesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     edgesCache.computeIfAbsent((s, dir), { _ =>
       Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
         .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -2355,6 +2376,7 @@ object Pipeline {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint()
     })
+  }
 
   /** Unrolled PageRank CTE chain (the powerChainSql pattern applied to
     * graph iteration): replays Graphs.pagerank's integer algebra exactly —
@@ -3035,9 +3057,11 @@ object Pipeline {
     "stats_signal_corr" -> {
       def pair(a: String, b: String) =
         s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
-           |  CAST(round((m.n * m.sab - m.sa * m.sb) * 1000000.0 /
+           |  CAST(CASE WHEN m.n * m.saa - m.sa * m.sa = 0
+           |              OR m.n * m.sbb - m.sb * m.sb = 0 THEN NULL
+           |       ELSE round((m.n * m.sab - m.sa * m.sb) * 1000000.0 /
            |    (sqrt(CAST(m.n * m.saa - m.sa * m.sa AS DOUBLE)) *
-           |     sqrt(CAST(m.n * m.sbb - m.sb * m.sb AS DOUBLE)))) AS BIGINT) AS corr_micro
+           |     sqrt(CAST(m.n * m.sbb - m.sb * m.sb AS DOUBLE)))) END AS BIGINT) AS corr_micro
            |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
            |        CAST(sum($a) AS BIGINT) AS sa, CAST(sum($b) AS BIGINT) AS sb,
            |        CAST(sum($a * $b) AS BIGINT) AS sab,

@@ -44,6 +44,9 @@ object FuzzyProbe {
       .select(levenshtein(col("text"), reverse(col("text")), 3).as("d"))
       .filter(col("d") >= -1).count())
     // how many times does the join context actually EVALUATE the scorer?
+    // Caveat: transformation-side accumulators double-count under task
+    // retries/speculation, so treat the printed number as an UPPER bound
+    // (local[*] with speculation off makes it exact in practice).
     val acc = spark.sparkContext.longAccumulator("calls")
     val counting = udf((a: String, b: String) => { acc.add(1); 0 })
     time("entry: counting udf")(joined
