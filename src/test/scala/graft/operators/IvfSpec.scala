@@ -108,6 +108,51 @@ class IvfSpec extends SparkSpec {
     assert(viaDouble == viaFloat)
   }
 
+  test("ivfBatchTopK at full probe equals per-query brute force; excludeSelf drops the identity hit") {
+    import org.apache.spark.sql.functions._
+    val cents = Ivf.centroidsRefined(embs, "vec_id", "embedding", nCells = 8)
+    val index = Ivf.indexTable(embs, "embedding", cents)
+    val q = embs.filter("vec_id < 3")
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val got = Ivf.ivfBatchTopK(index, "vec_id", "embedding",
+        q, "qid0", "qv0", cents, k = 5, nProbe = 8, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // brute force per query (exclude self), same rounding + tie-break
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      math.rint(d / math.sqrt(na * nb) * 1e6) / 1e6
+    }
+    for ((qid, qv) <- all.filter(_._1 < 3)) {
+      val want = all.filter(_._1 != qid)
+        .map { case (tid, tv) => (cos(tv, qv), tid) }
+        .sortBy { case (s, tid) => (-s, tid) }.take(5).map(_._2).toSeq
+      assert(got(qid) == want, s"qid=$qid got=${got(qid)} want=$want")
+      assert(!got(qid).contains(qid))
+    }
+  }
+
+  test("indexTableMulti depth-2 doubles rows, assigns distinct cells; batch dedup keeps top-k clean") {
+    import org.apache.spark.sql.functions._
+    val cents = Ivf.centroidsRefined(embs, "vec_id", "embedding", nCells = 8)
+    val multi = Ivf.indexTableMulti(embs, "vec_id", "embedding", cents, depth = 2)
+    assert(multi.count() == 2 * embs.count())
+    // each row's two cells are distinct, and the first equals assignCell
+    val cellsPerRow = multi.groupBy("vec_id")
+      .agg(countDistinct("cell").as("nc")).filter("nc != 2").count()
+    assert(cellsPerRow == 0)
+    val q = embs.filter("vec_id = 7")
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val nn = Ivf.ivfBatchTopK(multi, "vec_id", "embedding",
+        q, "qid0", "qv0", cents, k = 5, nProbe = 8,
+        excludeSelf = true, dedupCandidates = true)
+      .collect().map(_.getLong(1)).toSeq
+    assert(nn.distinct.size == 5, s"duplicate neighbor leaked: $nn")
+  }
+
   test("empty input raises a clear centroid error, not a kernel require") {
     val empty = embs.filter("vec_id < 0")
     val e = intercept[IllegalArgumentException](

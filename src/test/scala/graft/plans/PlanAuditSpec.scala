@@ -310,4 +310,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!"windowspecdefinition\\((?!source)".r.findFirstIn(plan).isDefined,
       s"a window not partitioned by source leaked into the interleave\n$plan")
   }
+
+  test("ANN label noise: candidates come from an equi-join on cell, never a query x corpus cartesian") {
+    val plan = finalPlan(q("emb_label_noise_ann"))
+    // the kNN candidate join must be a relational equi-join on `cell`
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin")
+      || plan.contains("SortMergeJoin"),
+      s"expected a hash/merge join on cell for kNN candidates\n$plan")
+    // the ONLY nested-loop joins allowed are the bounded broadcast
+    // centroid cross-joins (nCells-row tables: probe ranking + the
+    // depth-2 multi-assignment) — a third means the corpus leaked into
+    // a cartesian
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2, plan)
+    // per-query ranks stay qid-keyed — no corpus-wide single window
+    assert(plan.contains("windowspecdefinition(qid"), plan)
+  }
 }
