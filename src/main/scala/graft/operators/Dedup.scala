@@ -618,6 +618,17 @@ object Dedup {
       components, rowsPerBand)
       .write.mode("append").parquet(path)
 
+  /** Bin-pack a signature store grown by [[minhashStoreAppend]] (one
+    * file batch per append — the small-file accumulation the streaming
+    * lifecycle pays) into `numFiles` files clustered+sorted by
+    * (band, bkey), so incremental joins read few large files with
+    * band/bkey row-group locality. Candidates are IDENTICAL pre/post
+    * (row set preserved; spec: CompactionSpec). Offline maintenance op —
+    * see [[Compaction]] for the staged-swap crash contract. */
+  def minhashStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String, numFiles: Int = 1): Unit =
+    Compaction.compactClustered(spark, path, Seq("band", "bkey"), numFiles)
+
   /** INCREMENTAL dedup, query phase: candidate near-duplicate pairs
     * between a NEW batch and the persisted store at `path` — the batch's
     * signatures are computed fresh (it is the only text read), the store

@@ -219,6 +219,17 @@ object Ivf {
       .limit(k)
   }
 
+  /** Bin-pack an index directory grown by streaming/batch `append`
+    * writes (one small file per trigger inside every `cell=N` partition
+    * — the 100 TB small-file death) down to `filesPerCell` files per
+    * cell, preserving rows and the partition layout exactly, so probe
+    * pruning and query results are untouched (spec: CompactionSpec).
+    * Offline maintenance op — see [[Compaction]] for the staged-swap
+    * crash contract. */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                   filesPerCell: Int = 1, cellCol: String = "cell"): Unit =
+    Compaction.compactPartitioned(spark, path, cellCol, filesPerCell)
+
   /** BATCH kNN through the IVF index: for every row of `queries`, the
     * exact-cosine top-k among ONLY the index rows whose `cell` is one of
     * that query's `nProbe` nearest cells — the shortlist generator the
