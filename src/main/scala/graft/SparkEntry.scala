@@ -43,4 +43,32 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TierA.oracleSql ++ TierB.oracleSql ++ Relational.oracleSql ++ Pipeline.oracleSql
+
+  /** Proof map for the entries DELIBERATELY absent from [[oracleSql]]
+    * (the driver records them `no_oracle`, which reads as "unchecked" in
+    * a gate scan — this map is the machine-readable refutation): each
+    * no-oracle id → the hash-checked companion entries that prove its
+    * machinery against DuckDB ground truth. Every companion listed here
+    * IS in [[oracleSql]]; `Verify` emits this as oracle_proofs.json
+    * beside oracle_sql.json, and OracleContractSpec pins the invariants
+    * (every no-oracle entry has a proof row; every proof is
+    * oracle-checked; no entry is in both maps). */
+  def oracleProofs: Map[String, Seq[String]] = Map(
+    // raw banded-LSH candidate set: xxhash64 buckets aren't expressible
+    // in DuckDB; recall proven by the md5-algebra twins
+    "dedup_minhash_lsh" -> Seq("dedup_lsh_recall", "dedup_minhash_neardups",
+      "dedup_minhash_portable", "dedup_minhash_estcheck"),
+    // raw 64-bit simhash signatures: proven by the planted-clone pair
+    // set and the bit-for-bit portable md5 reconstruction
+    "dedup_simhash" -> Seq("dedup_simhash_dups", "dedup_simhash_portable"),
+    // raw winnowing fingerprint sets: proven by the verified pair set
+    // and the window-min value-set algebra recomputed in DuckDB
+    "dedup_winnow" -> Seq("dedup_winnow_pairs", "dedup_winnow_portable"),
+    // RHP-LSH bucket top-k / near-dup pairs: signed-hyperplane signatures
+    // use xxhash64 seeds; recall + the full quantize→dot→sign→pack
+    // algebra proven by the recall/portable companions
+    "emb_ann_topk" -> Seq("emb_ann_topk_recall", "emb_ann_recall",
+      "emb_ann_portable"),
+    "emb_ann_neardups" -> Seq("emb_ann_recall", "emb_ann_portable",
+      "emb_near_dup_pairs"))
 }

@@ -57,6 +57,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the no-oracle entries' proof map: id -> hash-checked companions
+    // (see SparkEntry.oracleProofs) — lets the driver/judge verify the
+    // `no_oracle` rows are proven-by-companion, not unchecked
+    val proofs = SparkEntry.oracleProofs.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"${q(k)}: ${v.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_proofs.json"), proofs)
     spark.stop()
   }
 }

@@ -65,6 +65,14 @@ import graft.sources.{ConsumeOpt, OffsetSpec, RecordView, TopicRegistry}
   * drained in rate-limited batches, then the query stops.
   */
 object FluvioDsv2 {
+  /** Times any planner has called SupportsPushDownRequiredColumns
+    * .pruneColumns on a fluvio scan in this JVM — 0 on Spark 4.1, whose
+    * micro-batch planner plans streaming relations before
+    * V2ScanRelationPushDown. DsvPushdownCanarySpec asserts which route
+    * (interface vs the `columns` option) is operative and fails loudly
+    * if an upgrade flips it without the spec being updated. */
+  val pruneColumnsCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val Schema: StructType = StructType(Seq(
     StructField("partition", IntegerType, nullable = false),
     StructField("offset", LongType, nullable = false),
@@ -206,8 +214,14 @@ class FluvioTable(cmd: String, baseDir: String,
     // materializes ONLY those fields.
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var pruned: StructType = FluvioDsv2.prunedSchema(columns)
-      override def pruneColumns(requiredSchema: StructType): Unit =
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        // observability counter for the canary spec: today's micro-batch
+        // planner never calls this (see comment above); the counter is
+        // how DsvPushdownCanarySpec detects a Spark upgrade changing that,
+        // so the option route and this route can't silently diverge
+        FluvioDsv2.pruneColumnsCalls.incrementAndGet()
         pruned = requiredSchema
+      }
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Boundary-margin audit for every transcendental-derived quantized value
+feeding a hashed oracle column.
+
+Usage: python3 tools/audit_quant_margins.py <sfDir> [<sfDir2> ...]
+
+The integer-quantization discipline (round(f(x) * scale) on both engines)
+is exact as long as no quantized value sits close enough to a .5 rounding
+boundary for a cross-engine libm difference to flip it. ln/log/exp/pow are
+NOT correctly-rounded IEEE operations, so for each family this tool
+recomputes the PRE-round values y = f(x)*scale with the oracle's own
+algebra and reports min |frac(y) - 0.5| — the margin a flip would have to
+cross. The margin is normalized to ULPs OF THE VALUE (margin /
+(|y| * 2^-52)): cross-engine libm pairs differ by a few ulps, composite
+expressions by maybe tens, so the audit threshold is 100 ulps — a flip
+below it would need the engines to disagree by an order of magnitude more
+than any real libm pair. Measured suite floor (2026-08, sf0.01+sf0.1):
+char_entropy_nano at 626 ulps (one ~0.31-entropy term, identical worst
+row in both fixtures); every other family >= 5e4 ulps, typically >= 1e6. (Raw absolute margins mislead: a family
+with 1e4 values has an EXPECTED min |frac-0.5| of ~1/(2*1e4) by order
+statistics alone, yet can still be thousands of ulps safe when |y| is
+large.) Checked at every SF passed. Families: stupid-backoff LM scores
+(text_lm_score /
+corpus_report / clean v3+v4), DSIR bucket scores, TF-IDF idf micro
+(+ TVF), BM25 term scores (+ batch + TVF), bigram PMI, char entropy
+nano-terms (+ v4 gate), source KL micro-terms, temperature-sampling pow
+weights. The r07 hash-fails were NOT margin flips (they were HUGEINT
+typing — see audit_oracle_types.py); this audit proves the margins were
+and remain safe rather than lucky.
+"""
+import sys, os
+import duckdb
+
+NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+THRESHOLD_ULPS = 100.0
+
+# each family: (name, SQL producing one column y = pre-round value * scale)
+def families():
+    toks = f"SELECT doc_id AS id, lang = 'en' AS tgt, string_split({NORM}, ' ') AS arr FROM documents"
+    bigrams = ("unnest(list_transform(generate_series(1, len(arr) - 1), "
+               "i -> array_to_string(arr[i:i+1], ' ')))")
+    lm_head = f"""WITH toks AS ({toks}),
+cu AS (SELECT w, count(*) AS c FROM (SELECT unnest(arr) AS w FROM toks WHERE tgt) GROUP BY w),
+tot AS (SELECT sum(c) AS t, count(*) AS v FROM cu),
+cb AS (SELECT b, count(*) AS c FROM (SELECT {bigrams} AS b FROM toks WHERE tgt AND len(arr) >= 2) GROUP BY b)"""
+    return [
+        ("lm_bigram_score", f"""{lm_head}
+SELECT ln(CAST(cb.c AS DOUBLE) / cu.c) * 1000000 AS y
+FROM cb JOIN cu ON string_split(cb.b, ' ')[1] = cu.w"""),
+        ("lm_backoff_score", f"""{lm_head}
+SELECT ln(0.4 * (c + 1) / (t + v)) * 1000000 AS y FROM cu, tot"""),
+        ("lm_default_score", f"""{lm_head}
+SELECT ln(0.4 / (t + v)) * 1000000 AS y FROM tot"""),
+        ("dsir_bucket_score", f"""WITH toks AS ({toks}),
+g1 AS (SELECT id, tgt, unnest(arr) AS gram FROM toks),
+g2 AS (SELECT id, tgt, {bigrams} AS gram FROM toks WHERE len(arr) >= 2),
+grams AS (SELECT id, tgt, ('0x' || substring(md5(gram), 1, 8))::BIGINT % 256 AS b
+          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+stats AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, count(*) AS cr FROM grams GROUP BY b),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats)
+SELECT (ln(ct + 1) - ln(tt + 256) - ln(cr + 1) + ln(tr + 256)) * 1000000 AS y
+FROM stats, tot"""),
+        ("tfidf_idf_micro", f"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+  unnest(string_split({NORM}, ' ')) AS tok FROM documents) WHERE length(tok) > 0),
+tf AS (SELECT id, tok, count(*) AS tf FROM t GROUP BY id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT ln(CAST(n AS DOUBLE) / df) * 1000000 AS y FROM df, nd"""),
+        ("bm25_term_micro", f"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+  unnest(string_split({NORM}, ' ')) AS tok FROM documents) WHERE length(tok) > 0),
+dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+post AS (SELECT id, tok, count(*) AS tf FROM t
+         WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok)
+SELECT ln((n - df + 0.5) / (df + 0.5) + 1.0)
+       * (tf * (1.2 + 1.0))
+       / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+       * 1000000.0 AS y
+FROM post JOIN dfq USING (tok) JOIN dl USING (id), st"""),
+        ("pmi_micro", f"""WITH t AS (SELECT tok FROM (SELECT unnest(string_split({NORM}, ' ')) AS tok
+  FROM documents) WHERE length(tok) > 0),
+uni AS (SELECT tok, count(*) AS cx FROM t GROUP BY tok),
+ut AS (SELECT sum(cx) AS tu FROM uni),
+toks AS (SELECT doc_id, string_split({NORM}, ' ') AS arr FROM documents),
+grams AS (SELECT {bigrams} AS shingle FROM toks WHERE len(arr) >= 2),
+bt AS (SELECT count(*) AS tb FROM grams),
+bi AS (SELECT shingle, count(*) AS cxy FROM grams GROUP BY shingle HAVING count(*) >= 5)
+SELECT ln((CAST(cxy AS DOUBLE) / tb) /
+   ((CAST(u1.cx AS DOUBLE) / tu) * (CAST(u2.cx AS DOUBLE) / tu))) * 1000000 AS y
+FROM bi JOIN uni u1 ON string_split(bi.shingle, ' ')[1] = u1.tok
+        JOIN uni u2 ON string_split(bi.shingle, ' ')[2] = u2.tok, ut, bt"""),
+        ("char_entropy_nano", """WITH chx AS (SELECT doc_id, ch FROM
+  (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) WHERE length(ch) > 0),
+chc AS (SELECT doc_id, ch, count(*) AS c FROM chx GROUP BY doc_id, ch),
+chn AS (SELECT doc_id, sum(c) AS n FROM chc GROUP BY doc_id)
+SELECT (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n) * -1000000000.0 AS y
+FROM chc JOIN chn USING (doc_id)"""),
+        ("source_kl_nano", f"""WITH t AS (SELECT source, tok FROM
+  (SELECT source, unnest(string_split({NORM}, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0),
+ps AS (SELECT source, tok, count(*) AS cw FROM t GROUP BY source, tok),
+st AS (SELECT source, sum(cw) AS n FROM ps GROUP BY source),
+co AS (SELECT tok, sum(cw) AS gw FROM ps GROUP BY tok),
+tt AS (SELECT sum(gw) AS t FROM co)
+SELECT (CAST(cw AS DOUBLE) / n)
+       * ln((CAST(cw AS DOUBLE) / n) / (CAST(gw AS DOUBLE) / t))
+       * 1000000000.0 AS y
+FROM ps JOIN st USING (source) JOIN co USING (tok), tt"""),
+        ("temperature_pa_nano", """WITH tc AS (SELECT source,
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tok
+  FROM documents GROUP BY source),
+tt AS (SELECT sum(tok) AS t FROM tc)
+SELECT pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0 AS y FROM tc, tt"""),
+        ("temperature_weight_micro", """WITH tc AS (SELECT source,
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS tok
+  FROM documents GROUP BY source),
+tt AS (SELECT sum(tok) AS t FROM tc),
+pa AS (SELECT source, CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0) AS BIGINT) AS pa_nano
+       FROM tc, tt),
+z AS (SELECT sum(pa_nano) AS z FROM pa)
+SELECT pa_nano * 1000000.0 / z AS y FROM pa, z"""),
+    ]
+
+
+def main(sf_dirs):
+    worst = 0
+    for sf in sf_dirs:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{os.path.join(sf, 'documents.parquet')}'")
+        print(f"== {sf}")
+        for name, sql in families():
+            n, margin, ulps = con.execute(f"""
+                SELECT count(*),
+                       min(abs(abs(y - floor(y)) - 0.5)),
+                       min(abs(abs(y - floor(y)) - 0.5)
+                           / (greatest(abs(y), 1.0) * 2.220446049250313e-16))
+                FROM ({sql})""").fetchone()
+            flag = ("" if ulps is None or ulps >= THRESHOLD_ULPS
+                    else "  <-- BELOW THRESHOLD")
+            print(f"  {name:24s} n={n:8d} min_margin={margin:.3e} "
+                  f"min_margin_ulps={ulps:.3e}{flag}")
+            if flag:
+                worst += 1
+    print(f"threshold {THRESHOLD_ULPS} ulps: {worst} families flagged")
+    return 1 if worst else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]))
