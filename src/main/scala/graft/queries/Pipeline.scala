@@ -2036,8 +2036,18 @@ object Pipeline {
     "emb_label_noise_ann" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = embs(s, dir).select(col("vec_id"), col("label"), col("embedding"))
-      val cents = Ivf.centroidsRefined(e, "vec_id", "embedding", nCells = 8)
-      val index = Ivf.indexTableMulti(e, "vec_id", "embedding", cents, depth = 2)
+      // index-once-audit-many (the artifactDir shape every materialized
+      // ANN entry uses): train + depth-2 multi-assign + partitioned
+      // write happen once per (process, dir); the audit pays only the
+      // candidate join + vote
+      val out = artifactDir(s"ivfmulti:$dir") { path =>
+        val cents = Ivf.centroidsRefined(e, "vec_id", "embedding", nCells = 8)
+        Ivf.indexTableMulti(e, "vec_id", "embedding", cents, depth = 2)
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+        AnnModels.saveCentroids(s, path, cents)
+      }
+      val cents = AnnModels.loadCentroids(s, out)
+      val index = s.read.parquet(s"$out/index")
       val q = e
         .filter(substring(md5(col("vec_id").cast("string")), 1, 1)
           .isin("0", "1", "2", "3"))
