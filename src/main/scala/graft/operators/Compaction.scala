@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 
 /** Offline bin-packing for the persistent stores the streaming faces
   * grow one small file per trigger — the classic small-file death at
@@ -13,29 +14,141 @@ import java.util.Comparator
   * preserving the partition layout (so `PartitionFilters` pruning is
   * untouched — spec-pinned in CompactionSpec) and the row set exactly.
   *
-  * Contract: run compaction OFFLINE (no concurrent reader/appender of
-  * the store — the same maintenance-window contract as Delta/Iceberg
-  * OPTIMIZE without a transaction log). The rewrite is staged: the
-  * compacted copy is fully written to `<path>.compact-tmp` first, the
-  * old directory is moved aside, the new one moved into place, and only
-  * then the old one deleted — a crash at any step leaves at least one
-  * complete copy on disk (at `<path>`, `<path>.compact-tmp`, or
-  * `<path>.compact-old`; recover by renaming).
+  * Contract: run compaction with no concurrent APPENDER of the store
+  * (the same maintenance-window contract as Delta/Iceberg OPTIMIZE
+  * without a transaction log). Concurrent READERS are safe: the rewrite
+  * is generation-versioned (see [[Manifest]]) — the compacted copy is
+  * fully written to a NEW `gen-N` directory, the tiny `_current` pointer
+  * file is swapped atomically, and the previous generation is RETAINED
+  * until vacuumed, so a reader that resolved the store before the swap
+  * keeps reading its complete old generation and a reader that resolves
+  * after sees the complete new one. Nothing ever renames or rewrites the
+  * data tree in place, which is what makes the op correct on object
+  * stores where rename is a non-atomic copy+delete: the only "atomic"
+  * step is publishing one small pointer object (a single-key PUT). A
+  * crash at any step leaves `_current` naming a complete generation.
   */
 object Compaction {
 
-  /** Rewrite the dataset at `path` as `transform(read)` written by
-    * `write`, with the staged swap described above. */
-  private[operators] def rewriteInPlace(spark: SparkSession, path: String)(
+  /** Generation-pointer store layout — the object-store-safe swap.
+    *
+    * A versioned store is a directory holding `gen-NNNNNNNN/` data
+    * directories plus a one-line `_current` file naming the LIVE one.
+    * Every store reader resolves through [[resolve]]; a store without
+    * `_current` is a legacy flat store and resolves to itself, so the
+    * layout is adopted lazily by the first versioned rewrite and
+    * pre-existing flat stores keep working unchanged.
+    *
+    * Why a pointer file instead of the r08 rename-staged directory swap:
+    * POSIX `Files.move` of the data directory is atomic on the fixture
+    * filesystem, but on an object store (the real 100 TB substrate)
+    * directory rename is per-key copy+delete — non-atomic and O(data).
+    * Here the data tree is immutable once written; the only mutation is
+    * publishing `_current`, a single small object whose PUT is atomic on
+    * every store (locally: write-tmp + single-file ATOMIC_MOVE). This is
+    * the Delta/Iceberg "pointer to the current snapshot" shape reduced
+    * to its minimum: one generation live at a time, previous generation
+    * retained for in-flight readers, older ones pruned by [[vacuum]]. */
+  object Manifest {
+    val PointerFile = "_current"
+
+    /** The live data directory: `path/<gen>` named by `_current`, or
+      * `path` itself for a legacy flat store. Every store reader goes
+      * through this (one tiny file read; a long-lived service caches it
+      * per query, not per row). */
+    def resolve(path: String): String =
+      liveGen(path).map(g => Paths.get(path, g).toString).getOrElse(path)
+
+    def liveGen(path: String): Option[String] = {
+      val ptr = Paths.get(path, PointerFile)
+      if (Files.exists(ptr))
+        Some(new String(Files.readAllBytes(ptr), "UTF-8").trim)
+      else None
+    }
+
+    /** Atomically repoint `_current` at `gen`: stage to `_current.tmp`,
+      * then one single-file ATOMIC_MOVE — the local analog of an
+      * object-store single-key PUT. */
+    private[operators] def publish(path: String, gen: String): Unit = {
+      val tmp = Paths.get(path, PointerFile + ".tmp")
+      Files.write(tmp, (gen + "\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(path, PointerFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    private def genNumber(name: String): Long = name.stripPrefix("gen-").toLong
+
+    private[operators] def genName(n: Long): String = f"gen-$n%08d"
+
+    private[operators] def listGens(path: String): Seq[String] = {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) Seq.empty
+      else {
+        val s = Files.list(p)
+        try s.iterator().asScala
+          .filter(f => Files.isDirectory(f) &&
+            f.getFileName.toString.matches("gen-\\d{8}"))
+          .map(_.getFileName.toString).toSeq
+        finally s.close()
+      }
+    }
+
+    /** Delete generations other than the live one and (by default) its
+      * immediate predecessor — the VACUUM step, separated from the swap
+      * so in-flight readers of the previous generation never lose their
+      * files mid-query. (At 100 TB this is "retain for the max query
+      * runtime + clock skew" exactly as Delta VACUUM's retention window;
+      * one predecessor is the minimal honest version of that.) */
+    def vacuum(path: String, retainPrevious: Boolean = true): Unit =
+      liveGen(path).foreach { live =>
+        val gens = listGens(path)
+        val prev = gens.filter(genNumber(_) < genNumber(live))
+          .sortBy(genNumber).lastOption
+        val keep = Set(live) ++ (if (retainPrevious) prev else None)
+        gens.filterNot(keep).foreach(g =>
+          deleteRecursively(Paths.get(path, g)))
+      }
+  }
+
+  /** Rewrite the store at `path` as `write(read(live), newGenDir)` under
+    * the [[Manifest]] generation protocol:
+    *
+    *   1. resolve the live data directory (flat `path` on first call);
+    *   2. write the full transformed copy to a fresh `gen-N` (a sibling
+    *      tree — the live directory is never touched);
+    *   3. atomically publish `_current` = `gen-N`;
+    *   4. for the one-time MIGRATION of a legacy flat store only: delete
+    *      the old flat data files (readers resolving from now on never
+    *      look at them; a versioned predecessor is instead retained for
+    *      in-flight readers until [[Manifest.vacuum]]).
+    *
+    * A crash before (3) leaves the live generation untouched and
+    * `_current` unmoved — recovery is deleting the partial `gen-N`. */
+  private[operators] def rewriteVersioned(spark: SparkSession, path: String)(
       write: (DataFrame, String) => Unit): Unit = {
-    val tmp = path + ".compact-tmp"
-    val old = path + ".compact-old"
-    deleteRecursively(Paths.get(tmp))
-    deleteRecursively(Paths.get(old))
-    write(spark.read.parquet(path), tmp)
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    deleteRecursively(Paths.get(old))
+    val live = Manifest.liveGen(path)
+    val src = Manifest.resolve(path)
+    val nextN = Manifest.listGens(path)
+      .map(_.stripPrefix("gen-").toLong).foldLeft(0L)(math.max) + 1L
+    val gen = Manifest.genName(nextN)
+    val genDir = Paths.get(path, gen)
+    deleteRecursively(genDir) // partial copy from a crashed earlier run
+    // Spark materializes the read lazily inside `write`; the source is
+    // either the flat root (whose reader listed its files before gen-N
+    // gains any) or a sibling gen directory — never the output tree.
+    write(spark.read.parquet(src), genDir.toString)
+    Manifest.publish(path, gen)
+    if (live.isEmpty) {
+      // legacy->versioned migration: remove the now-dead flat data files
+      // (only direct children; the new gen-N subtree is not touched)
+      val s = Files.list(Paths.get(path))
+      try s.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith(Manifest.PointerFile))
+        .toSeq.foreach(Files.delete)
+      finally s.close()
+    } else Manifest.vacuum(path, retainPrevious = true)
   }
 
   private[operators] def deleteRecursively(p: Path): Unit =
@@ -43,10 +156,11 @@ object Compaction {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
 
-  /** Parquet data files under `path` (recursive; excludes _SUCCESS and
+  /** Parquet data files a READER of the store pays for (the live
+    * generation for a versioned store; recursive; excludes _SUCCESS and
     * hidden files) — the before/after metric a compaction spec asserts. */
   def dataFileCount(path: String): Long = {
-    val p = Paths.get(path)
+    val p = Paths.get(Manifest.resolve(path))
     if (!Files.exists(p)) 0L
     else {
       val s = Files.walk(p)
@@ -57,6 +171,11 @@ object Compaction {
       finally s.close()
     }
   }
+
+  /** Read the live generation of the store at `path` (legacy flat stores
+    * resolve to themselves). The reader every store consumer uses. */
+  def readLive(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(Manifest.resolve(path))
 
   /** Compact a `partitionBy(partCol)` parquet dataset (e.g. an IVF index
     * grown by streaming append) down to `filesPerPartition` files per
@@ -70,7 +189,7 @@ object Compaction {
                          partCol: String,
                          filesPerPartition: Int = 1): Unit = {
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
-    rewriteInPlace(spark, path) { (df, out) =>
+    rewriteVersioned(spark, path) { (df, out) =>
       val keyed =
         if (filesPerPartition == 1) df.repartition(col(partCol))
         else df.repartition(col(partCol),
@@ -90,7 +209,7 @@ object Compaction {
                        clusterCols: Seq[String],
                        numFiles: Int = 1): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    rewriteInPlace(spark, path) { (df, out) =>
+    rewriteVersioned(spark, path) { (df, out) =>
       df.repartitionByRange(numFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*)
         .write.mode("overwrite").parquet(out)

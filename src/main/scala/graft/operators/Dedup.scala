@@ -610,21 +610,24 @@ object Dedup {
     * so appending never invalidates existing rows; after deduping a
     * batch against the store ([[minhashStoreCandidates]]), append its
     * survivors and the store stays current without ever re-reading
-    * historical text. */
+    * historical text. Appends land in the LIVE generation of a
+    * compacted (generation-versioned) store — see
+    * [[Compaction.Manifest]]; flat stores resolve to themselves. */
   def minhashStoreAppend(df: DataFrame, idCol: String, textCol: String,
                          path: String, components: Int = 8,
                          rowsPerBand: Int = 2, n: Int = 3): Unit =
     portableBands(portableMinhashSigs(df, idCol, textCol, components, n),
       components, rowsPerBand)
-      .write.mode("append").parquet(path)
+      .write.mode("append").parquet(Compaction.Manifest.resolve(path))
 
   /** Bin-pack a signature store grown by [[minhashStoreAppend]] (one
     * file batch per append — the small-file accumulation the streaming
     * lifecycle pays) into `numFiles` files clustered+sorted by
     * (band, bkey), so incremental joins read few large files with
     * band/bkey row-group locality. Candidates are IDENTICAL pre/post
-    * (row set preserved; spec: CompactionSpec). Offline maintenance op —
-    * see [[Compaction]] for the staged-swap crash contract. */
+    * (row set preserved; spec: CompactionSpec). Maintenance op (no concurrent appender) — the swap is the
+    * object-store-safe generation-pointer protocol, readers included:
+    * see [[Compaction.Manifest]]. */
   def minhashStoreCompact(spark: org.apache.spark.sql.SparkSession,
                           path: String, numFiles: Int = 1): Unit =
     Compaction.compactClustered(spark, path, Seq("band", "bkey"), numFiles)
@@ -640,7 +643,7 @@ object Dedup {
                              textCol: String, path: String,
                              components: Int = 8, rowsPerBand: Int = 2,
                              n: Int = 3): DataFrame = {
-    val store = newBatch.sparkSession.read.parquet(path)
+    val store = Compaction.readLive(newBatch.sparkSession, path)
     val nb = portableBands(
       portableMinhashSigs(newBatch, idCol, textCol, components, n),
       components, rowsPerBand)

@@ -224,8 +224,9 @@ object Ivf {
     * — the 100 TB small-file death) down to `filesPerCell` files per
     * cell, preserving rows and the partition layout exactly, so probe
     * pruning and query results are untouched (spec: CompactionSpec).
-    * Offline maintenance op — see [[Compaction]] for the staged-swap
-    * crash contract. */
+    * Maintenance op (no concurrent appender) — the swap is the
+    * object-store-safe generation-pointer protocol, readers included:
+    * see [[Compaction.Manifest]]. */
   def indexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
                    filesPerCell: Int = 1, cellCol: String = "cell"): Unit =
     Compaction.compactPartitioned(spark, path, cellCol, filesPerCell)
@@ -293,5 +294,129 @@ object Ivf {
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)))
       .filter(col("rk") <= k)
+  }
+
+  /** A derived [[ivfBatchTopK]] configuration for an EXACT-recall batch
+    * kNN audit: assignment redundancy `depth` ([[indexTableMulti]]),
+    * probe width `nProbe`, and the resulting expected candidate volume
+    * in corpus-reads (`depth·nProbe/nCells` — the fraction of index rows
+    * a query's candidate join touches). */
+  final case class OperatingPoint(nCells: Int, depth: Int, nProbe: Int,
+                                  sampleSize: Int, volume: Double)
+
+  /** Derive the (depth, nProbe) operating point for an exact-recall
+    * batch-kNN audit over THIS corpus and THIS centroid set, instead of
+    * hand-pinning constants that silently stop holding at the next scale
+    * (the r08 weak finding: nCells=8/depth=2/nProbe=7 were grid-swept by
+    * hand against one fixture).
+    *
+    * Procedure (one bounded linear pass + driver math over ≤ (k+1)·
+    * sampleSize vectors):
+    *
+    *   1. a DETERMINISTIC fixed-size query sample — the first
+    *      `sampleSize` rows by md5(id) (scale-independent: the sample
+    *      cost is |s|·n dot products however big the corpus, where a
+    *      fraction-based sample would quietly turn the derivation
+    *      quadratic);
+    *   2. the sample's exact top-k neighbors via a broadcast cross-join
+    *      (the bounded-broadcast pattern: the broadcast side is the
+    *      fixed-size sample, never the corpus) with the same 1e-6 score
+    *      quantum and id tie-break as [[ivfBatchTopK]];
+    *   3. driver-side coverage sweep: for each assignment depth d, the
+    *      minimal nProbe at which EVERY sampled query's whole exact
+    *      top-k lands in a probed cell, plus a safety margin of
+    *      ceil(marginFrac·nCells) probes for the queries the sample
+    *      didn't see (capped at nCells);
+    *   4. pick the config with the smallest candidate VOLUME
+    *      (d·nProbe/nCells), tie-broken toward smaller depth (smaller
+    *      index) then smaller nProbe.
+    *
+    * On corpora that cluster, step 4 lands on a genuinely sub-corpus
+    * point and the audit is linear. On corpora that DON'T cluster (the
+    * near-random 64-dim fixture), the sweep discovers that no
+    * sub-corpus point reaches full recall and converges to
+    * (depth=1, nProbe=nCells) — candidate volume exactly 1.0: the audit
+    * honestly degenerates to a corpus scan through the same equi-join
+    * plan, which is CHEAPER than the hand-pinned point it replaces
+    * (depth-2/nProbe-7 read 1.75 corpus-equivalents; the grid sweep in
+    * tools/LabelNoiseTune confirms 1.0 is the fixture's min-volume
+    * full-coverage config at every swept nCells).
+    *
+    * The derived point guarantees full recall only for sampled queries;
+    * the margin covers the rest statistically. For an audit gated on
+    * hash-exactness, (depth=1, nProbe=nCells) is the one config exact by
+    * CONSTRUCTION — the derivation can only return something narrower
+    * when a sub-corpus config passes sampled coverage with its whole
+    * margin, which a non-clustering corpus never does (a config
+    * undershooting global coverage at half the corpus fails sampled
+    * coverage with probability ≈ 1 − coverage^sampleSize ≈ 1). */
+  def deriveOperatingPoint(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Array[Double]], k: Int,
+                           sampleSize: Int = 64, maxDepth: Int = 3,
+                           marginFrac: Double = 0.125): OperatingPoint = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
+    val nCells = cents.length
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("__tid"),
+      col(vecCol).cast("array<double>").as("__tv"))
+    val sampleQ = broadcast(
+      base.orderBy(md5(col("__tid").cast("string")), col("__tid"))
+        .limit(sampleSize)
+        .select(col("__tid").as("__qid"), col("__tv").as("__qv")))
+    val topPairs = base.crossJoin(sampleQ)
+      .filter(col("__tid") =!= col("__qid"))
+      .select(col("__qid"), col("__tid"),
+        round(cosine(col("__tv"), col("__qv")), 6).as("__s"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__s").desc, col("__tid").asc)))
+      .filter(col("__rk") <= k)
+      .select("__qid", "__tid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val queryIds = topPairs.map(_._1).distinct
+    val targetIds = topPairs.map(_._2).distinct
+    // the ≤ (k+1)·sampleSize vectors the sweep needs, fetched with the
+    // ids pushed into the scan — never a corpus collect
+    def vecsOf(ids: Array[Long]): Map[Long, Array[Double]] =
+      base.filter(col("__tid").isInCollection(ids))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qVecs = vecsOf(queryIds)
+    val tVecs = vecsOf(targetIds)
+    // full cell ranking (closest first) per involved vector, driver-side
+    val qRank = qVecs.map { case (id, v) => id -> probeCells(cents, v, nCells) }
+    val tRank = tVecs.map { case (id, v) => id -> probeCells(cents, v, nCells) }
+    val margin = math.ceil(marginFrac * nCells).toInt
+    val candidates = (1 to math.min(maxDepth, nCells)).map { d =>
+      // for pair (q, t): the probe width that first reaches any of t's
+      // d assigned cells in q's probe order
+      val needed = topPairs.map { case (qid, tid) =>
+        val assigned = tRank(tid).take(d).toSet
+        qRank(qid).indexWhere(assigned.contains) + 1
+      }.max
+      val p = math.min(nCells, needed + margin)
+      OperatingPoint(nCells, d, p, sampleSize, d.toDouble * p / nCells)
+    }
+    candidates.minBy(op => (op.volume, op.depth, op.nProbe))
+  }
+
+  /** Persist/load the derived audit configuration beside the index+model
+    * it was derived FOR (same philosophy as [[AnnModels]]: parameters
+    * are part of the model; re-deriving on a different corpus state
+    * silently changes the query's meaning). Plain one-line properties
+    * file — human-auditable in the artifact dir. */
+  def saveOperatingPoint(dir: String, op: OperatingPoint): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "operating_point"),
+      f"nCells=${op.nCells}%d depth=${op.depth}%d nProbe=${op.nProbe}%d sampleSize=${op.sampleSize}%d volume=${op.volume}%.4f\n"
+        .getBytes("UTF-8"))
+
+  def loadOperatingPoint(dir: String): OperatingPoint = {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "operating_point")), "UTF-8").trim
+    val kv = line.split(' ').map { t =>
+      val Array(a, b) = t.split('='); a -> b
+    }.toMap
+    OperatingPoint(kv("nCells").toInt, kv("depth").toInt, kv("nProbe").toInt,
+      kv("sampleSize").toInt, kv("volume").toDouble)
   }
 }

@@ -7,7 +7,13 @@ import org.apache.spark.sql.functions._
 /** The streaming-lifecycle maintenance ops: appended stores accumulate
   * one small file per trigger; compaction must shrink the file count
   * while changing NOTHING observable — identical query results,
-  * identical candidate sets, partition-filter pruning still active. */
+  * identical candidate sets, partition-filter pruning still active.
+  *
+  * Round-9: compaction swaps generations via the [[Compaction.Manifest]]
+  * pointer protocol (object-store-safe: the only "atomic" step is
+  * publishing the one-line `_current` file), so the spec additionally
+  * pins the generation lifecycle — mid-swap readers, post-compaction
+  * appends, crash survival, vacuum retention. */
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
@@ -29,8 +35,8 @@ class CompactionSpec extends SparkSpec {
       assert(before >= 8, s"append lifecycle should fragment; files=$before")
 
       val query = Array.fill(64)(1.0)
-      def topk() = Ivf.ivfTopKFromIndex(spark.read.parquet(path), "vec_id",
-          "embedding", cents, query, k = 10, nProbe = 2)
+      def topk() = Ivf.ivfTopKFromIndex(Compaction.readLive(spark, path),
+          "vec_id", "embedding", cents, query, k = 10, nProbe = 2)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
       val want = topk()
@@ -40,9 +46,10 @@ class CompactionSpec extends SparkSpec {
       assert(after <= 4 && after < before, s"files $before -> $after")
       assert(topk() == want, "compaction changed query results")
       // row set preserved exactly
-      assert(spark.read.parquet(path).count() == embs.count())
+      assert(Compaction.readLive(spark, path).count() == embs.count())
       // partition pruning still active on the compacted layout
-      val probed = spark.read.parquet(path).filter(col("cell").isin(0, 1))
+      val probed = Compaction.readLive(spark, path)
+        .filter(col("cell").isin(0, 1))
       probed.collect()
       val plan = probed.queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
@@ -79,24 +86,143 @@ class CompactionSpec extends SparkSpec {
       assert(after == 1, s"files $before -> $after")
       assert(candidates() == want, "compaction changed the candidate set")
       // store row set preserved
-      assert(spark.read.parquet(path).count() ==
+      assert(Compaction.readLive(spark, path).count() ==
         3 * 4, "3 docs x 4 bands expected") // components=8, rowsPerBand=2
+
+      // ---- post-compaction APPEND lands in the live generation: the
+      // lifecycle keeps working after the layout flips to versioned
+      Dedup.minhashStoreAppend(
+        Seq((7L, "utterly novel text sharing no shingles with anything stored"))
+          .toDF("doc_id", "text"), "doc_id", "text", path)
+      assert(candidates() == want + ((101L, 7L)),
+        "append after compaction must be visible to candidate queries")
+
+      // ---- second compaction: versioned -> versioned, candidates stable
+      Dedup.minhashStoreCompact(spark, path)
+      assert(candidates() == want + ((101L, 7L)),
+        "re-compaction changed the candidate set")
     } finally Compaction.deleteRecursively(dir)
   }
 
-  test("rewriteInPlace staging: a failed transform leaves the original store untouched") {
+  test("pq codes store: append fragments, compactClustered preserves ADC top-k exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_compact_")
+    try {
+      val path = dir.resolve("codes").toString
+      val base = embs.filter("vec_id % 2 = 0")
+      val cbs = Pq.codebooks(base, "vec_id", "embedding", m = 16,
+        codeBits = 8, iters = 3, maxSample = 1024)
+      Pq.encodedTable(base, "embedding", cbs).drop("embedding")
+        .write.mode("overwrite").parquet(path)
+      Pq.encodedTable(embs.filter("vec_id % 2 = 1"), "embedding", cbs)
+        .drop("embedding")
+        .write.mode("append").parquet(path)
+      val before = Compaction.dataFileCount(path)
+      assert(before >= 2, s"append should fragment; files=$before")
+
+      val query = Array.tabulate(64)(i => if (i % 2 == 0) 1.0 else -0.5)
+      def topk() = Pq.pqTopKFromEncoded(Compaction.readLive(spark, path),
+          embs, "vec_id", "embedding", cbs, query, k = 10, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val want = topk()
+      Compaction.compactClustered(spark, path, Seq("vec_id"), numFiles = 1)
+      assert(Compaction.dataFileCount(path) == 1)
+      assert(topk() == want, "compaction changed the ADC-reranked top-k")
+      assert(Compaction.readLive(spark, path).count() == embs.count())
+    } finally Compaction.deleteRecursively(dir)
+  }
+
+  test("sq8 codes store: compactClustered preserves quantized top-k exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_compact_")
+    try {
+      val path = dir.resolve("codes").toString
+      val p = Sq.params(embs, "vec_id", "embedding")
+      Sq.encodedTable(embs.filter("vec_id % 2 = 0"), "embedding", p)
+        .drop("embedding").write.mode("overwrite").parquet(path)
+      Sq.encodedTable(embs.filter("vec_id % 2 = 1"), "embedding", p)
+        .drop("embedding").write.mode("append").parquet(path)
+      assert(Compaction.dataFileCount(path) >= 2)
+
+      val query = Array.fill(64)(0.7)
+      def topk() = Sq.sqTopKFromEncoded(Compaction.readLive(spark, path),
+          embs, "vec_id", "embedding", p, query, k = 10, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+      val want = topk()
+      Compaction.compactClustered(spark, path, Seq("vec_id"), numFiles = 1)
+      assert(Compaction.dataFileCount(path) == 1)
+      assert(topk() == want, "compaction changed the quantized top-k")
+      assert(Compaction.readLive(spark, path).count() == embs.count())
+    } finally Compaction.deleteRecursively(dir)
+  }
+
+  test("manifest swap: a reader that resolved mid-swap sees exactly one complete generation") {
+    val dir = java.nio.file.Files.createTempDirectory("gen_swap_")
+    try {
+      val path = dir.resolve("store").toString
+      val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      rows.write.parquet(path)
+      // first compaction: flat -> gen-00000001
+      Compaction.compactClustered(spark, path, Seq("id"))
+      val genA = Compaction.Manifest.resolve(path)
+      assert(genA.endsWith("gen-00000001"), genA)
+
+      // a reader resolves NOW (pre-swap) and holds its resolved path,
+      // exactly as an executor holds file splits for an in-flight query
+      val preSwapResolved = genA
+
+      // second compaction swaps the pointer to gen-00000002
+      Compaction.compactClustered(spark, path, Seq("id"))
+      val genB = Compaction.Manifest.resolve(path)
+      assert(genB.endsWith("gen-00000002"), genB)
+
+      // the PRE-swap reader still reads its complete old generation
+      // (retained until vacuum), bit-identical row set:
+      assert(spark.read.parquet(preSwapResolved).collect().toSet ==
+        rows.collect().toSet, "in-flight reader lost its generation")
+      // a POST-swap reader resolves to the complete new generation:
+      assert(spark.read.parquet(genB).collect().toSet ==
+        rows.collect().toSet, "post-swap reader sees incomplete data")
+      // and never a mix: the two resolved paths are disjoint trees
+      assert(preSwapResolved != genB)
+
+      // vacuum(retainPrevious=false) reclaims the old generation; the
+      // live one is untouched
+      Compaction.Manifest.vacuum(path, retainPrevious = false)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(preSwapResolved)),
+        "vacuum should reclaim the dead generation")
+      assert(Compaction.readLive(spark, path).count() == 100)
+    } finally Compaction.deleteRecursively(dir)
+  }
+
+  test("versioned rewrite crash: failed transform leaves pointer and live data untouched") {
     val dir = java.nio.file.Files.createTempDirectory("swap_crash_")
     try {
       val path = dir.resolve("store").toString
       Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(path)
-      val before = spark.read.parquet(path).collect().toSet
+      val before = Compaction.readLive(spark, path).collect().toSet
+      // crash on the FLAT store: no pointer is ever published
       intercept[RuntimeException] {
-        Compaction.rewriteInPlace(spark, path) { (_, _) =>
+        Compaction.rewriteVersioned(spark, path) { (_, _) =>
           throw new RuntimeException("simulated mid-compaction failure")
         }
       }
-      assert(spark.read.parquet(path).collect().toSet == before,
+      assert(Compaction.Manifest.liveGen(path).isEmpty,
+        "crash before publish must not install a pointer")
+      assert(Compaction.readLive(spark, path).collect().toSet == before,
         "original store must survive a failed compaction")
+
+      // crash on a VERSIONED store: pointer still names the old complete gen
+      Compaction.compactClustered(spark, path, Seq("id"))
+      val liveBefore = Compaction.Manifest.liveGen(path)
+      intercept[RuntimeException] {
+        Compaction.rewriteVersioned(spark, path) { (_, _) =>
+          throw new RuntimeException("simulated mid-compaction failure")
+        }
+      }
+      assert(Compaction.Manifest.liveGen(path) == liveBefore,
+        "crash must leave the pointer on the previous generation")
+      assert(Compaction.readLive(spark, path).collect().toSet == before)
     } finally Compaction.deleteRecursively(dir)
   }
 }
