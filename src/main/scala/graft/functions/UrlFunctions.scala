@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + domain extraction — the provenance axis a
+  * web-scale training corpus curates on (C4/RefinedWeb-style: the same
+  * page is crawled under scheme/case/port/tracking-param/fragment
+  * variants, and per-domain caps need a stable domain key; the r08
+  * verdict flagged this axis as the one missing curation gate).
+  *
+  * Both functions are COMPOSITIONS of Spark's codegen'd string/regexp
+  * built-ins, not UDFs and not a custom expression: every step stays
+  * inside whole-stage codegen, and the identical regexp algebra runs in
+  * DuckDB (with the `'g'` flag where Spark's regexp_replace is global by
+  * default), which is what makes the url entries oracle-checkable
+  * end-to-end. Map-only — no shuffle; a canonicalize-then-dedup plan
+  * shuffles once on the canonical string like any exact dedup.
+  *
+  * Canonicalization rules (the conservative, reversibility-preserving
+  * subset every published pipeline agrees on):
+  *
+  *   1. scheme and host lowercased (RFC 3986 §6.2.2.1; paths stay
+  *      case-sensitive and are NOT touched);
+  *   2. leading `www.` stripped from the host;
+  *   3. default ports dropped (`:443` for https, `:80` for http);
+  *      non-default ports survive;
+  *   4. fragment dropped (never sent to the server);
+  *   5. tracking query parameters removed — `utm_*`, `fbclid`, `gclid`,
+  *      `ref` — and the `?` dropped when nothing survives; other
+  *      parameters and their order are preserved (re-sorting parameters
+  *      can change semantics; not done);
+  *   6. one trailing slash stripped from a non-root path; an empty path
+  *      becomes `/`.
+  */
+object UrlFunctions {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
+  /** Tracking params dropped by rule 5 — keep in sync with the oracle
+    * SQL in queries/Pipeline.scala (urlCanonSql). The `=` is REQUIRED:
+    * without it, `ref` would eat the prefix of `referrer=x`, and the
+    * lookahead that could guard a bare-key form does not exist in RE2
+    * (the DuckDB oracle's engine) — so the rule targets key=value
+    * tracking params only, identically in both engines. */
+  private val TrackRe = "(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*"
+
+  /** The canonical form of `u` under rules 1-6 above. Inputs without a
+    * `scheme://` prefix come back with empty scheme/host (garbage-in
+    * surfaces loudly as `://...` rather than silently passing through —
+    * filter non-URLs upstream). */
+  def canonicalizeUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val afterScheme = regexp_replace(u, SchemeRe, "")
+    val hostport = lower(regexp_extract(afterScheme, "^([^/?#]*)", 1))
+    val port = regexp_extract(hostport, ":(\\d+)$", 1)
+    val host = regexp_replace(
+      regexp_replace(hostport, ":\\d+$", ""), "^www\\.", "")
+    val keepPort = when(
+      port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val rest = regexp_replace(afterScheme, "^[^/?#]*", "")
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.)/$", "$1"))
+    val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val query1 = regexp_replace(regexp_replace(query0, TrackRe, ""), "^&+", "")
+    val query = when(query1 === "", lit(""))
+      .otherwise(concat(lit("?"), query1))
+    concat(scheme, lit("://"), host, keepPort, path, query)
+  }
+
+  /** The registrable-domain key for per-domain curation (caps, dedup,
+    * mixing): lowercased host minus `www.` and port, reduced to its last
+    * two labels — `a.b.site7.com` -> `site7.com`. This is the standard
+    * LAST-TWO-LABELS heuristic; a production deployment on real web data
+    * swaps in the Public Suffix List (broadcast lookup table keyed by
+    * longest-matching suffix — same plan shape) so `example.co.uk`-style
+    * registrations group correctly. */
+  def urlDomain(u: Column): Column = {
+    val hostport = lower(regexp_extract(u, SchemeRe + "([^/?#]*)", 2))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":\\d+$", ""), "^www\\.", "")
+    when(host.rlike("[^.]+\\.[^.]+$"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(host)
+  }
+}

@@ -118,6 +118,30 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Per-group TOKEN caps with one UNIFORM budget — [[tokenQuotaSample]]
+    * without the per-stratum quota table: every group (domain, source,
+    * shard) may contribute at most `cap` tokens, filled greedily in
+    * deterministic md5(id) order with the boundary-document overshoot
+    * rule (`before < cap` — a document is admitted iff the budget wasn't
+    * already spent when it arrived). The shape behind per-DOMAIN token
+    * budgets, where strata are discovered from the data (millions of
+    * domains) and a broadcast quota map would itself be a liability.
+    * Scale: one keyed window, parallel across groups, no join. */
+  def tokenCapSample(df: DataFrame, idCol: String, strataCol: String,
+                     tokenCol: String, cap: Long): DataFrame = {
+    require(cap >= 0L, s"cap must be >= 0, got $cap")
+    require(!df.columns.contains("__before"),
+      "tokenCapSample: __before is reserved")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__before",
+        coalesce(sum(col(tokenCol)).over(w).cast("long"), lit(0L)) -
+          col(tokenCol))
+      .filter(col("__before") < cap)
+      .drop("__before")
+  }
+
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     * score every raw document by how target-like its hashed-n-gram
     * profile is, so a small trusted target domain (marked by the boolean

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AnnModels, Bq, Compaction, Dedup, Graphs, Ivf, Multimodal, Pq, Sampling, Similarity, Sq, TextAnalysis}
 import graft.sources.Tables
@@ -16,6 +16,33 @@ object Pipeline {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Deterministic messy-URL plant for the url-curation entries (the
+    * text_pii_scrub pattern: the fixture corpus has no url column, so
+    * one is synthesized from doc_id with every mess the canonicalizer
+    * must undo — scheme/host case, www, default port, trailing slash,
+    * tracking params, fragments). The CANONICAL identity (host number,
+    * path id, query id) keys off `base = doc_id % 250`, so the second
+    * half of the corpus re-crawls the first half's pages under different
+    * mess — planted duplicates with KNOWN structure for dedup_url. The
+    * oracle SQL (urlSql below) states the identical string algebra. */
+  private def syntheticUrl(id: Column): Column = {
+    val base = id % 250
+    concat(
+      when(id % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+      when(id % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site"), (base % 13).cast("string"), lit(".COM"),
+      when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Articles/"), (base % 10).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(base % 3 === 1, concat(lit("?utm_source=feed&id="),
+          (base % 5).cast("string"), lit("&fbclid=abc")))
+        .when(base % 3 === 2, concat(lit("?id="),
+          (base % 5).cast("string"), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(id % 2 === 1, concat(lit("#sec"), (id % 7).cast("string")))
+        .otherwise(lit("")))
+  }
 
   private val onesQuery: Array[Double] = Array.fill(64)(1.0)
 
@@ -219,6 +246,49 @@ object Pipeline {
     "sample_source_cap" -> ((s, dir) =>
       Sampling.sourceCapSample(docs(s, dir), "doc_id", "source", cap = 10)
         .select("doc_id", "source").orderBy("doc_id")),
+    // ---- URL/domain curation (the provenance axis beyond `source`):
+    // C4/RefinedWeb-style canonicalization — lowercase scheme+host,
+    // strip www./default port/fragment/tracking params, trailing-slash
+    // rule — as a map-only chain of codegen'd regexp built-ins
+    // (functions/UrlFunctions), the DuckDB oracle recomputing the
+    // identical regexp algebra over the same planted messy URLs
+    "text_url_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("url", syntheticUrl(col("doc_id")))
+        .select(col("doc_id"), col("url"),
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
+            .as("canonical_url"),
+          graft.functions.UrlFunctions.urlDomain(col("url")).as("domain"))
+        .orderBy("doc_id")),
+    // per-URL exact dedup on the CANONICAL form (the same page crawled
+    // under scheme/case/port/tracking variants is one page): the exact-
+    // dedup plan shape — one shuffle on the canonical string, min-id
+    // representative. The base = doc_id % 250 plant guarantees every
+    // page has a structurally different re-crawl twin, so the dup
+    // counts are meaningful, not collision accidents
+    "dedup_url" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("curl", graft.functions.UrlFunctions.canonicalizeUrl(
+          syntheticUrl(col("doc_id"))))
+        .groupBy("curl")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("curl").as("canonical_url"), col("keep_id"), col("n_dups"))
+        .orderBy("canonical_url")),
+    // per-DOMAIN token budget (the "no single host dominates the mix"
+    // gate, stated in tokens like sample_token_quota but with the strata
+    // DISCOVERED from the data): greedy md5-ordered fill per registrable
+    // domain until 1200 tokens — one keyed window, no quota broadcast,
+    // parallel across domains (Sampling.tokenCapSample)
+    "sample_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("domain", graft.functions.UrlFunctions.urlDomain(
+          syntheticUrl(col("doc_id"))))
+        .withColumn("toks", TextAnalysis.tokenCount(col("text")))
+      Sampling.tokenCapSample(d, "doc_id", "domain", "toks", cap = 1200L)
+        .select(col("doc_id"), col("domain"),
+          col("toks").cast("long").as("toks"))
+        .orderBy("doc_id")
+    }),
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-ratio scores with lang='en' as the trusted target domain, the
     // 100 most target-like docs. Bucket scores quantize to integer
@@ -2519,6 +2589,50 @@ object Pipeline {
   private val tokenCountSql =
     "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) END"
 
+  /** The planted messy URL — the same string algebra as [[syntheticUrl]]
+    * (canonical identity keyed by base = doc_id % 250, mess keyed by
+    * doc_id). */
+  private val urlSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      |CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+      |'Site' || CAST(doc_id % 250 % 13 AS VARCHAR) || '.COM' ||
+      |CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |'/Articles/' || CAST(doc_id % 250 % 10 AS VARCHAR) ||
+      |CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |CASE WHEN doc_id % 250 % 3 = 1 THEN '?utm_source=feed&id=' || CAST(doc_id % 250 % 5 AS VARCHAR) || '&fbclid=abc'
+      |     WHEN doc_id % 250 % 3 = 2 THEN '?id=' || CAST(doc_id % 250 % 5 AS VARCHAR) || '&utm_campaign=x'
+      |     ELSE '' END ||
+      |CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END""".stripMargin
+
+  /** CTE chain recomputing [[graft.functions.UrlFunctions.canonicalizeUrl]]
+    * step by step in DuckDB (same regexps; DuckDB's regexp_replace needs
+    * the explicit 'g' flag where Spark's is global by default, and RE2's
+    * replacement backref is `\1` where Java's is `$1`). Expects a CTE
+    * `u(doc_id, url)` upstream; yields `c(doc_id, url, canonical_url,
+    * domain)`. */
+  private val urlCanonCtes: String =
+    """p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+      |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest0 FROM u),
+      |h AS (SELECT *, lower(regexp_extract(rest0, '^([^/?#]*)', 1)) AS hostport,
+      |  regexp_replace(rest0, '^[^/?#]*', '') AS rest1 FROM p),
+      |hp AS (SELECT *, regexp_extract(hostport, ':(\d+)$', 1) AS port,
+      |  regexp_replace(regexp_replace(hostport, ':\d+$', ''), '^www\.', '') AS host FROM h),
+      |f AS (SELECT *, regexp_replace(rest1, '#.*$', '') AS nofrag FROM hp),
+      |pq AS (SELECT *, regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
+      |  regexp_extract(nofrag, '\?(.*)$', 1) AS query0 FROM f),
+      |qq AS (SELECT *, regexp_replace(regexp_replace(query0,
+      |  '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&+', '') AS q2 FROM pq),
+      |c AS (SELECT doc_id, url,
+      |  scheme || '://' || host ||
+      |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |            OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END ||
+      |  CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END ||
+      |  CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
+      |  CASE WHEN regexp_matches(host, '[^.]+\.[^.]+$')
+      |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+      |  FROM qq)""".stripMargin
+
   private val langIdSql: String = {
     val scores = TextAnalysis.stopwords.map { case (l, ws) => l -> stopHits(ws) }
     val m = s"greatest(${scores.map(_._2).mkString(", ")})"
@@ -2849,6 +2963,28 @@ object Pipeline {
          |FROM c
          |WHERE (lang = 'en' AND before < 10000) OR (lang = 'und' AND before < 2000)
          |ORDER BY doc_id""".stripMargin,
+    "text_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |$urlCanonCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, url, canonical_url, domain
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |$urlCanonCtes
+         |SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |       CAST(count(*) AS BIGINT) AS n_dups
+         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    "sample_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |$urlCanonCtes,
+         |t AS (SELECT c.doc_id, c.domain, $tokenCountSql AS toks
+         |      FROM c JOIN documents d ON c.doc_id = d.doc_id),
+         |w AS (SELECT doc_id, domain, toks,
+         |             SUM(toks) OVER (PARTITION BY domain
+         |                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - toks AS before
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, CAST(toks AS BIGINT) AS toks
+         |FROM w WHERE before < 1200 ORDER BY doc_id""".stripMargin,
     "sample_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  ROW_NUMBER() OVER (PARTITION BY source

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge cases of the URL canonicalizer beyond what the planted-fixture
+  * oracle exercises — the rules that must hold on REAL crawl data. */
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u")
+      .select(UrlFunctions.canonicalizeUrl(col("u")))
+      .collect().head.getString(0)
+
+  private def domain(u: String): String =
+    Seq(u).toDF("u")
+      .select(UrlFunctions.urlDomain(col("u")))
+      .collect().head.getString(0)
+
+  test("scheme+host lowercase; path case preserved") {
+    assert(canon("HTTPS://WWW.Example.COM/Path/To/X") ==
+      "https://example.com/Path/To/X")
+  }
+
+  test("default ports dropped, non-default ports preserved") {
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:8443/x") == "https://a.com:8443/x")
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x")
+  }
+
+  test("fragment dropped; empty path becomes root; one trailing slash stripped") {
+    assert(canon("https://a.com#top") == "https://a.com/")
+    assert(canon("https://a.com/") == "https://a.com/")
+    assert(canon("https://a.com/x/") == "https://a.com/x")
+    assert(canon("https://a.com/x//") == "https://a.com/x/")
+  }
+
+  test("tracking params removed; real params and their order preserved") {
+    assert(canon("https://a.com/x?utm_source=s&b=2&a=1&fbclid=f") ==
+      "https://a.com/x?b=2&a=1")
+    assert(canon("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
+    assert(canon("https://a.com/x?gclid=1&ref=hn") == "https://a.com/x")
+  }
+
+  test("a param merely PREFIXED by a tracking key survives (no lookahead needed)") {
+    // `referrer=x` must not lose its `ref` prefix; `utm_` keys always
+    // match because the class excludes `=`
+    assert(canon("https://a.com/x?referrer=about&id=2") ==
+      "https://a.com/x?referrer=about&id=2")
+  }
+
+  test("query on a root-path URL keeps the inserted root slash") {
+    assert(canon("https://WWW.a.com?id=1#f") == "https://a.com/?id=1")
+  }
+
+  test("domain: last-two-labels heuristic, port/www stripped, single-label host unchanged") {
+    assert(domain("https://a.b.Site7.COM:8443/x") == "site7.com")
+    assert(domain("HTTP://WWW.Example.com/y") == "example.com")
+    assert(domain("http://localhost:8080/") == "localhost")
+  }
+
+  test("canonicalization is idempotent on its own output") {
+    val urls = Seq(
+      "HTTPS://WWW.Site3.COM:443/Articles/5/?utm_source=a&id=2#frag",
+      "http://a.b.c.com:8080/p?x=1&ref=hn",
+      "https://a.com")
+    for (u <- urls) assert(canon(canon(u)) == canon(u), u)
+  }
+}
