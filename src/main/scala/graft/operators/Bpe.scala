@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding MERGE INDUCTION over a corpus — learning the
+  * tokenizer's merge table (Sennrich et al. 2016), the panel behind
+  * every "train a tokenizer on the data mix" step. This is the
+  * distributed LEARNING half; applying a learned table is the fold in
+  * [[applyMerge]] run once per learned rank.
+  *
+  * Shapes for scale the way the PageRank chain is:
+  *
+  *   - state is the VOCABULARY (distinct words × frequency), not the
+  *     corpus — classic BPE trains on the word-frequency table, so the
+  *     corpus is read once (one groupBy(word) shuffle) and every
+  *     iteration is vocab-sized;
+  *   - each merge round is one pair-count aggregation (explode adjacent
+  *     pairs, keyed shuffle with map-side combine) + a ONE-ROW argmax
+  *     collect (model-sized driver traffic, the centroid-training budget
+  *     class) + a map-only fold applying the merge;
+  *   - rounds build on `localCheckpoint` so iteration i does not replay
+  *     lineage back to the corpus (the Dedup connected-components
+  *     discipline).
+  *
+  * Conventions (stated because the DuckDB oracle must replay them
+  * bit-for-bit): words are the whitespace tokens of the normalized text
+  * ([[TextAnalysis.normalized]]); initial symbols are single characters
+  * with no end-of-word marker (merges never cross word boundaries by
+  * construction); pair statistics count EVERY adjacent occurrence
+  * (overlapping runs included — "aaa" counts (a,a) twice); merges apply
+  * left-to-right non-overlapping ("aaa" -> [aa, a]); ties in the argmax
+  * break by (count DESC, left ASC, right ASC) over binary string order.
+  */
+object Bpe {
+
+  /** One learned merge: `rank` is 1-based learning order, `pairCount`
+    * the corpus-weighted adjacent-pair count at selection time. */
+  final case class Merge(rank: Int, left: String, right: String,
+                         pairCount: Long)
+
+  /** (word, wcount) vocabulary of the corpus — the one corpus-sized
+    * shuffle in the whole induction. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(TextAnalysis.normalized(col(textCol)), " "))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcount"))
+
+  /** The vocabulary exploded to initial symbol arrays:
+    * (word, wcount, syms: array<string> of single characters).
+    * `array_remove` drops the zero-width split artifacts — engines
+    * disagree on whether an empty-pattern split yields trailing empty
+    * strings, so both this and the oracle filter them explicitly. */
+  def initialSymbols(words: DataFrame): DataFrame =
+    words.withColumn("syms", array_remove(split(col("word"), ""), ""))
+
+  /** Left-to-right non-overlapping application of merge (l, r) to a
+    * symbol array, as a fold: append each symbol unless the running
+    * tail is `l` and the symbol is `r`, in which case the tail becomes
+    * `l || r`. The merged symbol can never equal `l` again (it is
+    * strictly longer), so a freshly-merged tail never chains into the
+    * next merge of the same pass — which makes the simple fold EXACTLY
+    * the left-to-right rule, including on runs ("aaaa" -> [aa, aa]).
+    * Higher-order-function eval is interpreted, not codegen'd — fine
+    * here because it runs per VOCABULARY row per round, never per
+    * corpus row (the shingle-path lesson does not apply at vocab
+    * scale). */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Corpus-weighted adjacent-pair counts of the current symbolization:
+    * (l, r, cnt). */
+  def pairCounts(symbolized: DataFrame): DataFrame =
+    symbolized
+      .withColumn("__pr", zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r"))))
+      .select(col("wcount"), explode(col("__pr")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("wcount").cast("long").as("cnt"))
+
+  /** Learn `numMerges` merges. Returns the ordered merge table and the
+    * final symbolization (word, wcount, syms) — the table a coverage /
+    * vocabulary panel reads. Stops early if the vocabulary runs out of
+    * adjacent pairs (every word a single symbol). */
+  def learnMerges(words: DataFrame,
+                  numMerges: Int): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var symbolized = initialSymbols(words).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(symbolized)
+        .orderBy(desc("cnt"), col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, cnt)
+        symbolized = symbolized
+          .withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), symbolized)
+  }
+}

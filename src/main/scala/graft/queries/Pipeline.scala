@@ -79,6 +79,25 @@ object Pipeline {
       path
     })
 
+  /** Learn-once cache for the BPE panel: merges + final symbolization
+    * written to a per-(process, dir) artifact directory (the
+    * index-once-audit-many shape). numMerges = 6 — the oracle unrolls
+    * one SQL stage per merge, so the knob is shared via [[BpeMerges]]. */
+  private def bpeArtifacts(s: SparkSession, dir: String): String =
+    artifactDir(s"bpe:$dir") { path =>
+      val words = graft.operators.Bpe.wordCounts(docs(s, dir), "text")
+      val (merges, fin) = graft.operators.Bpe.learnMerges(words, BpeMerges)
+      s.createDataFrame(merges.map(m =>
+          (m.rank, m.left, m.right, m.pairCount)))
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/merges")
+      fin.select("word", "wcount", "syms")
+        .write.mode("overwrite").parquet(s"$path/final")
+    }
+
+  private val BpeMerges = 6
+
   val queries: Map[String, Q] = Map(
     // ---- text analysis
     "text_token_count" -> ((s, dir) =>
@@ -179,6 +198,29 @@ object Pipeline {
         .select(explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(50)),
+    // ---- BPE tokenizer induction (Sennrich et al. 2016): learn the
+    // top-6 byte-pair merges over the corpus vocabulary — distributed
+    // rounds of pair-count aggregation + one-row argmax, vocab-sized
+    // state, localCheckpoint between rounds (the PageRank chain
+    // discipline; operators/Bpe.scala states the exact counting/merge
+    // conventions the DuckDB oracle unrolls). Learn-once-read-many via
+    // artifactDir: merges + the final symbolization persist together
+    // (the tokenizer IS a model — AnnModels philosophy).
+    "text_bpe_merges" -> ((s, dir) => {
+      val out = bpeArtifacts(s, dir)
+      s.read.parquet(s"$out/merges").orderBy("merge_rank")
+    }),
+    // the vocabulary panel riding the learned tokenizer: top-20 symbols
+    // of the corpus AFTER the 6 merges, corpus-frequency-weighted — the
+    // "what did the merges buy" coverage view every tokenizer training
+    // run publishes
+    "text_bpe_vocab" -> ((s, dir) => {
+      val out = bpeArtifacts(s, dir)
+      s.read.parquet(s"$out/final")
+        .select(col("wcount"), explode(col("syms")).as("sym"))
+        .groupBy("sym").agg(sum("wcount").cast("long").as("n"))
+        .orderBy(desc("n"), col("sym")).limit(20)
+    }),
     // ENGINE-PORTABLE HyperLogLog sketch of distinct documents (the
     // md5-portable pattern applied to cardinality sketching): bucket =
     // the fingerprint's first byte (256 registers), rank = 1 + leading
@@ -2604,6 +2646,52 @@ object Pipeline {
       |     ELSE '' END ||
       |CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END""".stripMargin
 
+  /** Unrolled-BPE oracle chain: one SQL stage per learned merge, each
+    * replaying the [[graft.operators.Bpe]] conventions exactly —
+    * overlapping pair counts (self-join on pos+1), argmax tie-broken
+    * (cnt DESC, l, r), left-to-right non-overlapping application via
+    * run-parity gaps-and-islands (consecutive candidate positions are
+    * possible only when l = r; odd ranks within each run merge — the
+    * SQL restatement of the fold in Bpe.applyMerge). Yields CTEs
+    * `b1..bM` (the selected merges) and `tM` (the final
+    * symbolization). */
+  private def bpeChainCtes(m: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM
+         |  (SELECT unnest(string_split($norm, ' ')) AS word FROM documents) tt
+         |  WHERE length(word) > 0 GROUP BY word),
+         |w0a AS (SELECT word, wcount, string_split(word, '') AS arr FROM w0),
+         |t0p AS (SELECT word, wcount, unnest(generate_series(1, len(arr))) AS i, arr FROM w0a),
+         |t0 AS MATERIALIZED (SELECT word, wcount,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) - 1 AS BIGINT) AS pos,
+         |         arr[i] AS sym FROM t0p WHERE length(arr[i]) > 0)""".stripMargin)
+    for (i <- 1 to m) {
+      val p = i - 1
+      sb.append(s""",
+         |p$i AS (SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.wcount) AS BIGINT) AS cnt
+         |        FROM t$p a JOIN t$p b ON a.word = b.word AND b.pos = a.pos + 1
+         |        GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |c$i AS (SELECT t.word, t.pos
+         |        FROM t$p t JOIN t$p t2 ON t2.word = t.word AND t2.pos = t.pos + 1, b$i
+         |        WHERE t.sym = b$i.l AND t2.sym = b$i.r),
+         |g$i AS (SELECT word, pos, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp FROM c$i),
+         |m$i AS MATERIALIZED (SELECT word, pos FROM (SELECT word, pos,
+         |          ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rk FROM g$i) q
+         |        WHERE rk % 2 = 1),
+         |t$i AS MATERIALIZED (SELECT t.word, t.wcount,
+         |          CAST(ROW_NUMBER() OVER (PARTITION BY t.word ORDER BY t.pos) - 1 AS BIGINT) AS pos,
+         |          CASE WHEN mm.pos IS NOT NULL THEN t.sym || t2.sym ELSE t.sym END AS sym
+         |        FROM t$p t
+         |        LEFT JOIN t$p t2 ON t2.word = t.word AND t2.pos = t.pos + 1
+         |        LEFT JOIN m$i mm ON mm.word = t.word AND mm.pos = t.pos
+         |        LEFT JOIN m$i mp ON mp.word = t.word AND mp.pos + 1 = t.pos
+         |        WHERE mp.pos IS NULL)""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** CTE chain recomputing [[graft.functions.UrlFunctions.canonicalizeUrl]]
     * step by step in DuckDB (same regexps; DuckDB's regexp_replace needs
     * the explicit 'g' flag where Spark's is global by default, and RE2's
@@ -2963,6 +3051,17 @@ object Pipeline {
          |FROM c
          |WHERE (lang = 'en' AND before < 10000) OR (lang = 'und' AND before < 2000)
          |ORDER BY doc_id""".stripMargin,
+    "text_bpe_merges" -> {
+      val unions = (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, cnt AS pair_count FROM b$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${bpeChainCtes(BpeMerges)}\n$unions\nORDER BY merge_rank"
+    },
+    "text_bpe_vocab" ->
+      s"""WITH ${bpeChainCtes(BpeMerges)}
+         |SELECT sym, CAST(SUM(wcount) AS BIGINT) AS n FROM t$BpeMerges
+         |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin,
     "text_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
          |$urlCanonCtes

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE induction conventions the DuckDB oracle unrolls
+  * (operators/Bpe.scala): overlapping pair counts, (cnt DESC, l, r)
+  * tie-break, and left-to-right non-overlapping merge application. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merge(word: String, l: String, r: String): Seq[String] =
+    Seq(word).toDF("word")
+      .select(Bpe.applyMerge(
+        array_remove(split(col("word"), ""), ""), l, r).as("out"))
+      .collect().head.getSeq[String](0)
+
+  test("applyMerge: left-to-right non-overlapping on runs") {
+    assert(merge("aaa", "a", "a") == Seq("aa", "a"))
+    assert(merge("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(merge("aaaaa", "a", "a") == Seq("aa", "aa", "a"))
+  }
+
+  test("applyMerge: merged symbol never chains into the same pass") {
+    // after (a,b) -> ab, the new tail "ab" must not act as `a` for a
+    // following b
+    assert(merge("abb", "a", "b") == Seq("ab", "b"))
+    assert(merge("abab", "a", "b") == Seq("ab", "ab"))
+  }
+
+  test("applyMerge: non-matching symbols pass through untouched") {
+    assert(merge("xayb", "a", "b") == Seq("x", "a", "y", "b"))
+  }
+
+  test("pair counts are corpus-weighted and overlapping") {
+    val words = Seq(("aaa", 2L), ("ab", 3L)).toDF("word", "wcount")
+    val counts = Bpe.pairCounts(Bpe.initialSymbols(words))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // "aaa" contributes (a,a) TWICE (overlapping) x weight 2 = 4
+    assert(counts == Set(("a", "a", 4L), ("a", "b", 3L)), counts.toString)
+  }
+
+  test("learnMerges: deterministic ranks, second-order merges build on earlier symbols") {
+    // corpus where (a,b)->ab wins first, then (ab,c)->abc second
+    val words = Seq(("abc", 5L), ("abd", 3L), ("zz", 1L)).toDF("word", "wcount")
+    val (merges, fin) = Bpe.learnMerges(words, numMerges = 2)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((1, "a", "b", 8L), (2, "ab", "c", 5L)), merges.toString)
+    val syms = fin.orderBy("word").select("syms")
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(syms == Seq(Seq("abc"), Seq("ab", "d"), Seq("z", "z")), syms)
+  }
+
+  test("learnMerges: stops early when no adjacent pairs remain") {
+    val words = Seq(("a", 5L), ("b", 3L)).toDF("word", "wcount")
+    val (merges, _) = Bpe.learnMerges(words, numMerges = 4)
+    assert(merges.isEmpty)
+  }
+
+  test("tie-break: equal counts resolve by (left, right) ascending") {
+    // (a,b) and (c,d) both appear once; (a,b) must win rank 1
+    val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "wcount")
+    val (merges, _) = Bpe.learnMerges(words, numMerges = 1)
+    assert(merges.head.left == "a" && merges.head.right == "b")
+  }
+}
