@@ -311,6 +311,26 @@ class PlanAuditSpec extends SparkSpec {
       s"a window not partitioned by source leaked into the interleave\n$plan")
   }
 
+  test("dedup_url: map-side partial agg, one canonical-string shuffle, one corpus scan") {
+    val plan = finalPlan(q("dedup_url"))
+    // partial + final HashAggregate around exactly one hash exchange —
+    // the exact-dedup plan shape on the canonicalized key (the final
+    // orderBy adds its range exchange; no joins, no windows)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("sample_domain_cap: one domain-keyed window, no quota join") {
+    val plan = finalPlan(q("sample_domain_cap"))
+    assert(plan.contains("windowspecdefinition(domain"), plan)
+    assert(plan.contains("Exchange hashpartitioning(domain"), plan)
+    // strata discovered from data: no broadcast quota table, no join
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("ANN label noise: candidates come from an equi-join on cell, never a query x corpus cartesian") {
     val plan = finalPlan(q("emb_label_noise_ann"))
     // the kNN candidate join must be a relational equi-join on `cell`
