@@ -221,6 +221,28 @@ object Pipeline {
         .groupBy("sym").agg(sum("wcount").cast("long").as("n"))
         .orderBy(desc("n"), col("sym")).limit(20)
     }),
+    // APPLYING the learned tokenizer corpus-wide — per-doc token counts
+    // under the induced merges (the "how many tokens is my corpus under
+    // MY tokenizer" panel that prices every training run). The corpus
+    // is never re-segmented: every corpus word exists in the persisted
+    // vocabulary symbolization by construction, so application is one
+    // equi-JOIN on word to the model table (word -> symbol count), not
+    // a per-row interpreted fold — the shingle-path lesson applied to
+    // tokenization
+    "text_bpe_doc_tokens" -> ((s, dir) => {
+      val out = bpeArtifacts(s, dir)
+      val wlen = s.read.parquet(s"$out/final")
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(sum("n_syms").cast("long").as("n_bpe_tokens"),
+          count(lit(1)).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
     // ENGINE-PORTABLE HyperLogLog sketch of distinct documents (the
     // md5-portable pattern applied to cardinality sketching): bucket =
     // the fingerprint's first byte (256 registers), rank = 1 + leading
@@ -3062,6 +3084,16 @@ object Pipeline {
       s"""WITH ${bpeChainCtes(BpeMerges)}
          |SELECT sym, CAST(SUM(wcount) AS BIGINT) AS n FROM t$BpeMerges
          |GROUP BY sym ORDER BY n DESC, sym LIMIT 20""".stripMargin,
+    "text_bpe_doc_tokens" ->
+      s"""WITH ${bpeChainCtes(BpeMerges)},
+         |wlen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+         |         FROM t$BpeMerges GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word FROM documents)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS n_words
+         |FROM (SELECT * FROM dw WHERE length(word) > 0) d JOIN wlen USING (word)
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     "text_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
          |$urlCanonCtes
