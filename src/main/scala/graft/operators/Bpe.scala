@@ -87,6 +87,32 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("wcount").cast("long").as("cnt"))
 
+  /** Tokenize NEW text under a LEARNED merge table — the inference half
+    * (the corpus the merges were learned on reads its persisted final
+    * symbolization instead; this path is for text the tokenizer has
+    * never seen, out-of-vocabulary words included: they decompose to
+    * characters and re-merge as far as the learned ranks reach). Same
+    * two-tier shape as learning: merges fold over the batch's DISTINCT
+    * words (vocab-sized interpreted work, rank order preserved — each
+    * rank applies fully before the next, exactly as during learning),
+    * then one equi-join maps corpus word occurrences to their symbol
+    * arrays. Returns (id, pos, word, syms) — pos is the word's 0-based
+    * position in its document. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        posexplode(split(TextAnalysis.normalized(col(textCol)), " "))
+          .as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+    val symbolized = merges.sortBy(_.rank)
+      .foldLeft(initialSymbols(words.select("word").distinct())) {
+        (acc, m) =>
+          acc.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+      }
+    words.join(symbolized.select("word", "syms"), "word")
+      .select(col("id"), col("pos"), col("word"), col("syms"))
+  }
+
   /** Learn `numMerges` merges. Returns the ordered merge table and the
     * final symbolization (word, wcount, syms) — the table a coverage /
     * vocabulary panel reads. Stops early if the vocabulary runs out of

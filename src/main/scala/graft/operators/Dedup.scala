@@ -652,6 +652,63 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL URL dedup store, build phase: persist the canonical
+    * URLs of a crawled corpus (the [[minhashStoreWrite]] lifecycle on
+    * the URL axis — historical pages are never re-canonicalized when a
+    * new crawl arrives; the canonical-URL set IS the state, one short
+    * string per page ever seen). Store rows: (curl). */
+  def urlStoreWrite(df: DataFrame, urlCol: String, path: String): Unit =
+    df.select(graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol))
+        .as("curl"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Grow the store with an ADMITTED batch's canonical URLs (the
+    * contract mirrors [[minhashStoreAppend]]: gate the batch through
+    * [[urlStoreAdmit]] first, then append the survivors — so the store
+    * stays a duplicate-free set by construction; admission is a
+    * left-anti join and tolerates duplicate store rows regardless).
+    * Appends land in the LIVE generation of a compacted store
+    * ([[Compaction.Manifest]]). */
+  def urlStoreAppend(df: DataFrame, urlCol: String, path: String): Unit =
+    df.select(graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol))
+        .as("curl"))
+      .distinct()
+      .write.mode("append").parquet(Compaction.Manifest.resolve(path))
+
+  /** INCREMENTAL URL dedup, gate phase: the new batch's rows whose
+    * canonical URL has never been seen (url-level admission — the
+    * re-crawl filter every continuously-ingesting corpus runs before
+    * paying content-level dedup). One LEFT ANTI shuffle-hash join on
+    * the canonical string; the store side is a scan of short strings,
+    * the batch (a day's crawl vs years of store) is the small side.
+    * In-batch re-crawls collapse too (keep min id per canonical URL).
+    * Build-side note: Spark's LeftAnti streams the LEFT (batch) side
+    * and builds the RIGHT, so the store is shuffled on `curl` and each
+    * task builds only its key-range slice — bounded by partition
+    * sizing, never the whole store in one map (the hint picks hash over
+    * sort-merge; both sides shuffle once either way).
+    * Returns the admitted (idCol, curl) rows. */
+  def urlStoreAdmit(newBatch: DataFrame, idCol: String, urlCol: String,
+                    path: String): DataFrame = {
+    val store = Compaction.readLive(newBatch.sparkSession, path)
+    val nb = newBatch.select(col(idCol),
+      graft.functions.UrlFunctions.canonicalizeUrl(col(urlCol)).as("curl"))
+    val firstPerUrl = nb.groupBy("curl").agg(min(col(idCol)).as(idCol))
+    firstPerUrl.as("n")
+      .join(store.as("s").hint("shuffle_hash"), Seq("curl"), "left_anti")
+      .select(col(idCol), col("curl"))
+  }
+
+  /** Bin-pack a URL store grown by [[urlStoreAppend]] into `numFiles`
+    * files clustered by canonical URL (row-group pruning + anti-join
+    * locality). Maintenance op (no concurrent appender) — the swap is
+    * the object-store-safe generation-pointer protocol:
+    * [[Compaction.Manifest]]. */
+  def urlStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                      path: String, numFiles: Int = 1): Unit =
+    Compaction.compactClustered(spark, path, Seq("curl"), numFiles)
+
   /** The REMEDIATION over [[duplicatedSpans]] — Lee et al. cut the
     * duplicated SPANS, not the documents: every token inside a
     * corpus-duplicated span is removed and the remainder re-joined, so

@@ -63,4 +63,26 @@ class BpeSpec extends SparkSpec {
     val (merges, _) = Bpe.learnMerges(words, numMerges = 1)
     assert(merges.head.left == "a" && merges.head.right == "b")
   }
+
+  test("tokenize: in-vocab words reproduce the learned symbolization; OOV words re-merge as far as the ranks reach") {
+    val corpus = Seq(("abc", 5L), ("abd", 3L)).toDF("word", "wcount")
+    val (merges, fin) = Bpe.learnMerges(corpus, numMerges = 2)
+    // merges: (a,b) then (ab,c)
+    val docs = Seq(
+      (1L, "abc abd"),   // both in-vocab
+      (2L, "abx cab")    // OOV: "abx" -> [ab, x]; "cab" -> [c, ab]
+    ).toDF("doc_id", "text")
+    val got = Bpe.tokenize(docs, "doc_id", "text", merges)
+      .orderBy("id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[String](3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0, Seq("abc")), (1L, 1, Seq("ab", "d")),
+      (2L, 0, Seq("ab", "x")), (2L, 1, Seq("c", "ab"))), got.toString)
+    // in-vocab parity with the learned final symbolization, word by word
+    val learned = fin.orderBy("word").select("word", "syms")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val tokenized = got.filter(_._1 == 1L)
+    assert(tokenized.map(_._3) == Seq(learned("abc"), learned("abd")))
+  }
 }
