@@ -367,6 +367,48 @@ class StreamingSpec extends SparkSpec {
     assert(hit == Set((300L, 201L)), hit.toString)
   }
 
+  test("streaming URL admission: canonical-variant re-crawls drop across triggers, novelty persists") {
+    // the incremental-dedup lifecycle on the URL axis: each micro-batch
+    // gates through the canonical-URL store AS OF ITS TRIGGER
+    // (urlStoreAdmit — left-anti on the canonical string, in-batch
+    // re-crawls collapse), survivors append. A VARIANT of a page first
+    // seen in an earlier trigger is rejected only because its
+    // original's canonical URL was appended then.
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("stream_url").toFile.getAbsolutePath
+    val store = s"$dir/urls"
+    Dedup.urlStoreWrite(
+      Seq((1L, "https://a.com/base")).toDF("doc_id", "url"), "url", store)
+
+    val input = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDS.toDF("doc_id", "url").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keep = Dedup.urlStoreAdmit(batch, "doc_id", "url", store)
+        admitted ++= keep.select("doc_id").collect().map(_.getLong(0))
+        Dedup.urlStoreAppend(
+          batch.join(keep.select("doc_id"), "doc_id"), "url", store)
+        ()
+      }
+      .start()
+    try {
+      // trigger 1: a messy variant of the stored page (drop), a novel
+      // page crawled twice in-batch under two variants (admit min id)
+      input.addData(Seq(
+        (10L, "HTTPS://WWW.A.com/base#frag"),
+        (11L, "https://b.com/new/"),
+        (12L, "HTTPS://b.com/new?utm_source=x")))
+      q.processAllAvailable()
+      // trigger 2: a variant of trigger-1's NOVEL page — caught only
+      // via the canonical URL appended at the previous trigger
+      input.addData(Seq(
+        (20L, "https://B.com:443/new"),
+        (21L, "https://c.com/other")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.toSet == Set(11L, 21L), admitted.toString)
+  }
+
   test("streaming CMS: per-batch sketches MERGE into the batch-equal corpus sketch") {
     // the streaming face of the frequency sketch: each micro-batch
     // aggregates its own depth×width CMS executor-side (one bounded
