@@ -767,4 +767,32 @@ object Dedup {
       .withColumn("dup_frac_micro",
         expr("dup_words * 1000000 DIV n_tokens"))
   }
+
+  /** Fixed-width PASSAGE fingerprints: the normalized token stream cut
+    * into non-overlapping `k`-word blocks (only FULL blocks — a tail
+    * shorter than `k` is not a passage), one row per (id, block index,
+    * md5 fingerprint of the block text). This is the unit of
+    * repeated-passage removal (MassiveText-style): unlike
+    * [[wordShingles]]' overlapping n-grams (every token starts one),
+    * each token belongs to exactly ONE passage, so the exploded stream
+    * is corpus_tokens/k rows — k× cheaper than the shingle stream — and
+    * "drop the passage" is well-defined without span reassembly.
+    *
+    * Map-only: split + one `transform(sequence)` per doc (block COUNT
+    * is precomputed, so the lambda does one slice+join per block — no
+    * per-position regex re-evaluation, the round-1 shingle lesson).
+    * The md5-of-words fingerprint is the house engine-portable hash:
+    * a DuckDB oracle recomputes it from the same slicing algebra. */
+  def passageBlocks(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"passage width must be positive, got $k")
+    df.select(col(idCol).as("id"),
+        split(TextAnalysis.normalized(col(textCol)), " ", -1).as("__arr"))
+      .withColumn("__nb", (size(col("__arr")) / k).cast("int"))
+      .filter(col("__nb") > 0)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("__nb") - 1),
+          i => md5(array_join(slice(col("__arr"), i * k + 1, lit(k)), " ")))))
+      .select(col("id"), col("pos").as("blk_idx"), col("col").as("fp"))
+  }
 }

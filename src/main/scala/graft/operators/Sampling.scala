@@ -208,4 +208,40 @@ object Sampling {
     dsirWeights(df, idCol, textCol, targetCol, buckets)
       .orderBy(col("weight_micro").desc, col("id").asc)
       .limit(topN)
+
+  /** CCNet-style head/middle/tail bucketing: per `keyCol` stratum
+    * (language), split rows into score terciles — "head" is the
+    * BEST-scoring third (CCNet buckets by LM perplexity; here higher
+    * `scoreCol` = better, the [[TextAnalysis.lmScore]] convention).
+    *
+    * NOT a per-stratum `ntile` over the corpus: that is one task per
+    * language at 100 TB. The cut is computed on the (key, score)
+    * HISTOGRAM instead — one corpus-sized keyed aggregation, then the
+    * tercile rule runs over histogram rows (bounded by distinct scores
+    * per key, model-sized next to the corpus) and joins back as a
+    * bucket lookup on (key, score). Ties are VALUE-sliced, not
+    * rank-sliced: every row with the same score lands in the same
+    * bucket (the default RANGE window frame gives the whole tie group
+    * one cumulative count — identical in Spark and DuckDB, so the rule
+    * is engine-portable): bucket = head while cum·3 ≤ n, middle while
+    * cum·3 ≤ 2n, else tail, where cum counts rows scoring ≥ this row's
+    * score. Returns the input columns plus `bucket`. */
+  def ccnetBuckets(df: DataFrame, keyCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__c", "__cum", "__n", "bucket")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"ccnetBuckets: ${reserved.mkString("/")} are reserved")
+    val hist = df.groupBy(col(keyCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val byScoreDesc = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc)
+    val whole = Window.partitionBy(keyCol)
+    val buckets = hist
+      .withColumn("__cum", sum("__c").over(byScoreDesc))
+      .withColumn("__n", sum("__c").over(whole))
+      .select(col(keyCol), col(scoreCol),
+        when(col("__cum") * 3 <= col("__n"), "head")
+          .when(col("__cum") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    df.join(buckets, Seq(keyCol, scoreCol))
+  }
 }

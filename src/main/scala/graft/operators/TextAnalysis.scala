@@ -395,4 +395,47 @@ object TextAnalysis {
       .withColumn("lm_micro_avg",
         floor(col("lm_micro_sum").cast("double") / col("n_bigrams")).cast("long"))
   }
+
+  /** Gopher-style quality RULE PANEL (Rae et al. 2021, §A1.1 filter
+    * heuristics — the subset expressible over this corpus), as
+    * per-document booleans beside their measured quantities rather than
+    * one blended score ([[qualityScore]] is the blend; ablating a rule
+    * needs the panel). Canonical thresholds, exact integer micro-units:
+    *
+    *   - `r_words`:   50 ≤ word count ≤ 100,000
+    *   - `r_meanlen`: mean word length in [3, 10] chars
+    *     (word chars = normalized length − (n−1) single spaces)
+    *   - `r_symbol`:  punctuation/symbol character ratio ≤ 0.1
+    *   - `r_stop`:    ≥ 2 stopword hits across the supported language
+    *     lists (Gopher requires 2 of a fixed English list; this corpus
+    *     is multilingual, so the union list keeps the rule meaningful
+    *     for the non-English strata)
+    *
+    * Map-only codegen'd algebra — no shuffle, no UDF; every quantity is
+    * a BIGINT micro so a DuckDB oracle reproduces the booleans
+    * bit-for-bit. Returns (id, n_words, mean_wordlen_micro,
+    * symbol_ratio_micro, stop_hits, r_*, pass). */
+  def gopherPanel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nw = tokenCount(t).cast("long")
+    val wchars = (length(normalized(t)) - (nw - lit(1L))).cast("long")
+    val mwl = when(nw === 0, lit(0L))
+      .otherwise(floor(wchars.cast("double") * 1e6 / nw)).cast("long")
+    val punct = (length(t) - length(regexp_replace(t, punctPattern, "")))
+      .cast("long")
+    val sym = when(length(t) === 0, lit(0L))
+      .otherwise(floor(punct.cast("double") * 1e6 / length(t))).cast("long")
+    val hits = stopwords.map { case (_, ws) => stopwordHits(t, ws) }
+      .reduce(_ + _).cast("long")
+    df.select(col(idCol).as("id"), nw.as("n_words"),
+        mwl.as("mean_wordlen_micro"), sym.as("symbol_ratio_micro"),
+        hits.as("stop_hits"))
+      .withColumn("r_words", col("n_words").between(50L, 100000L))
+      .withColumn("r_meanlen",
+        col("mean_wordlen_micro").between(3000000L, 10000000L))
+      .withColumn("r_symbol", col("symbol_ratio_micro") <= 100000L)
+      .withColumn("r_stop", col("stop_hits") >= 2L)
+      .withColumn("pass",
+        col("r_words") && col("r_meanlen") && col("r_symbol") && col("r_stop"))
+  }
 }

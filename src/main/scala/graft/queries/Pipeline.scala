@@ -2494,6 +2494,131 @@ object Pipeline {
           round(col("inter") * 1e6 / (col("sz_a") + col("sz_b") - col("inter")))
             .cast("long").as("jaccard_micro"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // ---- wave 13: sub-document curation + training-mix planning ----
+
+    // Repeated-PASSAGE census (MassiveText-style repetition removal at
+    // sub-document granularity — Dedup.passageBlocks states the
+    // fixed-8-word-block contract): which exact passages recur across
+    // documents, and how widely. One map-only block explode + ONE
+    // fingerprint shuffle (map-side partial agg) + TakeOrderedAndProject
+    // — the exact-dedup plan applied below the document. The fixture's
+    // planted near-dup doc twins make the repeated set designed, not
+    // accidental.
+    "dedup_passage" -> ((s, dir) =>
+      graft.operators.Dedup.passageBlocks(docs(s, dir), "doc_id", "text", 8)
+        .groupBy("fp")
+        .agg(count(lit(1)).cast("long").as("n_occ"),
+          countDistinct(col("id")).cast("long").as("n_docs"),
+          min("id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(desc("n_docs"), desc("n_occ"), col("fp")).limit(20)),
+    // The removal panel riding the census: per-doc token counts after
+    // dropping EVERY occurrence of a cross-document repeated passage
+    // (the convention stated loudly: all copies go — a "keep one
+    // witness" variant is a min-id join away, but the training-data
+    // default is that widely-repeated boilerplate is noise in every
+    // host document). Plan: the block stream is built ONCE, the
+    // repeated-fp set is a fingerprint-keyed aggregate, and the drop is
+    // a LEFT SEMI equi-join on fp — never a pair join, never n².
+    "dedup_passage_clean" -> ((s, dir) => {
+      val blocks =
+        graft.operators.Dedup.passageBlocks(docs(s, dir), "doc_id", "text", 8)
+      val repeated = blocks.groupBy("fp")
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val dropped = blocks
+        .join(repeated.hint("shuffle_hash"), Seq("fp"), "left_semi")
+        .groupBy("id")
+        .agg(count(lit(1)).cast("long").as("n_dropped_blocks"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"))
+        .join(dropped.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_dropped_blocks"), lit(0L)).as("n_dropped_blocks"),
+          (col("n_words")
+            - lit(8L) * coalesce(col("n_dropped_blocks"), lit(0L)))
+            .as("n_kept_words"))
+        .orderBy("doc_id")
+    }),
+    // Gopher rule panel (TextAnalysis.gopherPanel states the four rules
+    // and their canonical thresholds): per-doc pass/fail booleans beside
+    // the measured micro quantities — the ablatable form of the blended
+    // text_quality_score. Map-only codegen'd algebra, zero shuffles.
+    "quality_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherPanel(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // CCNet-style head/middle/tail LM-quality terciles per language
+    // (Sampling.ccnetBuckets states the histogram-cut plan — the
+    // per-stratum ntile this replaces is one task per language at
+    // 100 TB) riding the same stupid-backoff LM as text_lm_score.
+    // Value-sliced ties: equal scores share a bucket in both engines.
+    "sample_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("lm_micro_avg"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+      graft.operators.Sampling.ccnetBuckets(scored, "lang", "lm_micro_avg")
+        .select("doc_id", "lang", "lm_micro_avg", "bucket")
+        .orderBy("doc_id")
+    }),
+    // Epoch PLAN for a token budget: how many times each source repeats
+    // when a 2-epoch-equivalent budget is allocated by the
+    // sample_temperature mixture weights (alpha = 0.7; the weight
+    // algebra is shared verbatim so the two entries can never disagree
+    // on a source's weight). Pure integer/micro arithmetic on a
+    // source-count-sized table: target tokens, whole epochs
+    // (ceil(target/size)), and the final partial epoch's fill fraction
+    // — the repeat-factor panel a data loader consumes.
+    "sample_epoch_plan" -> ((s, dir) => {
+      val tokCnt = docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("tok"))
+      val tot = tokCnt.agg(sum("tok").as("t"))
+      val pa = tokCnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"), col("t"),
+          round(pow(col("tok").cast("double") / col("t"), 0.7) * 1e9)
+            .cast("long").as("pa_nano"))
+      val z = pa.agg(sum("pa_nano").as("z"))
+      pa.crossJoin(broadcast(z))
+        .withColumn("weight_micro",
+          round(col("pa_nano") * 1e6 / col("z")).cast("long"))
+        .withColumn("target_toks",
+          floor(col("t").cast("double") * 2 * col("weight_micro") / 1e6)
+            .cast("long"))
+        .withColumn("n_epochs",
+          ceil(col("target_toks").cast("double") / col("tok")).cast("long"))
+        .withColumn("last_epoch_frac_micro",
+          floor((col("target_toks") - (col("n_epochs") - 1) * col("tok"))
+            .cast("double") * 1e6 / col("tok")).cast("long"))
+        .select("source", "tok", "weight_micro", "target_toks", "n_epochs",
+          "last_epoch_frac_micro")
+        .orderBy("source")
+    }),
+    // Deterministic SHUFFLED sequence packing: the corpus concatenated
+    // in md5(doc_id) order — the reproducible global shuffle every
+    // training run needs (same blocks on every run, every engine, any
+    // partitioning) — then cut into 2048-token chunks by the SAME
+    // two-phase distributed prefix sum as pack_chunks (Packing.
+    // chunkAssign; the md5-hex sort key range-partitions uniformly BY
+    // CONSTRUCTION, so the phase-1 partition sums are balanced even on
+    // a corpus sorted by source). The doc_id rides the sort key
+    // ("<md5>-<id>") so the output needs no join back.
+    "pack_shuffled_chunks" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("skey", concat_ws("-",
+          md5(col("doc_id").cast("string")), col("doc_id").cast("string")))
+      graft.operators.Packing.chunkAssign(d, "skey", "toks", budget = 2048L)
+        .withColumn("doc_id", substring_index(col("skey"), "-", -1).cast("long"))
+        .select("doc_id", "n_tokens", "chunk_id", "chunk_offset")
+        .orderBy("doc_id")
     })
   )
 
@@ -2884,6 +3009,93 @@ object Pipeline {
     * with uncast sums. `tools/audit_oracle_types.py` DESCRIBEs every
     * entry here and flags any non-portable result column; keep it at
     * zero. */
+
+  /** quality_gopher_rules oracle: the four Gopher rules recomputed from
+    * scratch in DuckDB (thresholds and micro algebra mirror
+    * [[TextAnalysis.gopherPanel]]'s scaladoc contract). */
+  private val gopherRulesSql: String = {
+    val punct = "[.,;:!?''\"()\\[\\]{}<>-]"
+    val hitsAll = "(" +
+      TextAnalysis.stopwords.map { case (_, ws) => stopHits(ws) }
+        .mkString(" + ") + ")"
+    s"""WITH q AS (SELECT doc_id,
+       |  CAST($tokenCountSql AS BIGINT) AS n_words,
+       |  CAST(length($norm) AS BIGINT)
+       |    - (CAST($tokenCountSql AS BIGINT) - 1) AS wchars,
+       |  CAST(length(text)
+       |    - length(regexp_replace(text, '$punct', '', 'g')) AS BIGINT) AS punct,
+       |  CAST(length(text) AS BIGINT) AS nchars,
+       |  CAST($hitsAll AS BIGINT) AS stop_hits
+       |FROM documents),
+       |p AS (SELECT doc_id, n_words,
+       |  CASE WHEN n_words = 0 THEN 0
+       |       ELSE CAST(floor(CAST(wchars AS DOUBLE) * 1000000 / n_words) AS BIGINT)
+       |  END AS mean_wordlen_micro,
+       |  CASE WHEN nchars = 0 THEN 0
+       |       ELSE CAST(floor(CAST(punct AS DOUBLE) * 1000000 / nchars) AS BIGINT)
+       |  END AS symbol_ratio_micro,
+       |  stop_hits FROM q)
+       |SELECT doc_id, n_words, mean_wordlen_micro, symbol_ratio_micro, stop_hits,
+       |  n_words BETWEEN 50 AND 100000 AS r_words,
+       |  mean_wordlen_micro BETWEEN 3000000 AND 10000000 AS r_meanlen,
+       |  symbol_ratio_micro <= 100000 AS r_symbol,
+       |  stop_hits >= 2 AS r_stop,
+       |  (n_words BETWEEN 50 AND 100000)
+       |    AND (mean_wordlen_micro BETWEEN 3000000 AND 10000000)
+       |    AND symbol_ratio_micro <= 100000 AND stop_hits >= 2 AS pass
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  /** sample_ccnet_buckets oracle: the text_lm_score stupid-backoff chain
+    * (same CTE text — the two oracles share the LM algebra verbatim)
+    * extended by the histogram tercile cut. The bucket window's default
+    * RANGE frame gives every tied score the whole tie group's cumulative
+    * count — the value-sliced tie rule [[Sampling.ccnetBuckets]] pins. */
+  private val ccnetBucketsSql: String =
+    s"""WITH toks AS (SELECT doc_id AS id, lang = 'en' AS tgt,
+       |                     string_split($norm, ' ') AS arr FROM documents),
+       |cu AS (SELECT w, count(*) AS c
+       |       FROM (SELECT unnest(arr) AS w FROM toks WHERE tgt) GROUP BY w),
+       |tot AS (SELECT sum(c) AS t, count(*) AS v FROM cu),
+       |cb AS (SELECT b, count(*) AS c FROM (
+       |       SELECT unnest(list_transform(generate_series(1, len(arr) - 1),
+       |              i -> array_to_string(arr[i:i+1], ' '))) AS b
+       |       FROM toks WHERE tgt AND len(arr) >= 2) GROUP BY b),
+       |bsc AS (SELECT cb.b,
+       |        CAST(round(ln(CAST(cb.c AS DOUBLE) / cu.c) * 1000000) AS BIGINT) AS s_b
+       |        FROM cb JOIN cu ON string_split(cb.b, ' ')[1] = cu.w),
+       |wsc AS (SELECT w,
+       |        CAST(round(ln(0.4 * (c + 1) / (t + v)) * 1000000) AS BIGINT) AS s_w
+       |        FROM cu, tot),
+       |dflt AS (SELECT CAST(round(ln(0.4 / (t + v)) * 1000000) AS BIGINT) AS s_d
+       |         FROM tot),
+       |docB AS (SELECT id,
+       |         unnest(list_transform(generate_series(1, len(arr) - 1),
+       |                i -> array_to_string(arr[i:i+1], ' '))) AS b
+       |         FROM toks WHERE len(arr) >= 2),
+       |scored AS (SELECT d.id, coalesce(b.s_b, w.s_w, dflt.s_d) AS s
+       |           FROM docB d
+       |           LEFT JOIN bsc b ON d.b = b.b
+       |           LEFT JOIN wsc w ON string_split(d.b, ' ')[2] = w.w
+       |           CROSS JOIN dflt),
+       |avgs AS (SELECT id,
+       |         CAST(floor(CAST(sum(s) AS DOUBLE) / count(*)) AS BIGINT) AS lm
+       |         FROM scored GROUP BY id),
+       |j AS (SELECT a.id AS doc_id, dd.lang, a.lm
+       |      FROM avgs a JOIN documents dd ON a.id = dd.doc_id),
+       |hist AS (SELECT lang, lm, count(*) AS c FROM j GROUP BY 1, 2),
+       |hb AS (SELECT lang, lm,
+       |         sum(c) OVER (PARTITION BY lang ORDER BY lm DESC) AS cum,
+       |         sum(c) OVER (PARTITION BY lang) AS n
+       |       FROM hist),
+       |bk AS (SELECT lang, lm,
+       |         CASE WHEN cum * 3 <= n THEN 'head'
+       |              WHEN cum * 3 <= n * 2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket FROM hb)
+       |SELECT j.doc_id, j.lang, j.lm AS lm_micro_avg, bk.bucket
+       |FROM j JOIN bk ON j.lang = bk.lang AND j.lm = bk.lm
+       |ORDER BY j.doc_id""".stripMargin
+
   private val oracleSqlBase: Map[String, String] = Map(
     "text_token_count" ->
       (s"SELECT doc_id, $tokenCountSql AS n_tokens, " +
@@ -4328,7 +4540,75 @@ object Pipeline {
          |       CAST(round(inter * 1000000.0 / (sa.sz + sb.sz - inter)) AS BIGINT) AS jaccard_micro
          |FROM i JOIN sz sa ON i.src_a = sa.source
          |       JOIN sz sb ON i.src_b = sb.source
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // ---- wave 13 oracles ----
+
+    "dedup_passage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |b AS (SELECT doc_id,
+         |        md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |      FROM toks, unnest(generate_series(1, len(arr) // 8)) AS t(i)),
+         |f AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+         |             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |             min(doc_id) AS first_doc
+         |      FROM b GROUP BY fp)
+         |SELECT fp, n_occ, n_docs, first_doc FROM f
+         |WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 20""".stripMargin,
+
+    "dedup_passage_clean" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |b AS (SELECT doc_id,
+         |        md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |      FROM toks, unnest(generate_series(1, len(arr) // 8)) AS t(i)),
+         |rep AS (SELECT fp FROM b GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+         |drp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped_blocks
+         |        FROM b WHERE fp IN (SELECT fp FROM rep) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST($tokenCountSql AS BIGINT) AS n_words,
+         |       coalesce(drp.n_dropped_blocks, 0) AS n_dropped_blocks,
+         |       CAST($tokenCountSql AS BIGINT)
+         |         - 8 * coalesce(drp.n_dropped_blocks, 0) AS n_kept_words
+         |FROM documents d LEFT JOIN drp ON d.doc_id = drp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "quality_gopher_rules" -> gopherRulesSql,
+
+    "sample_ccnet_buckets" -> ccnetBucketsSql,
+
+    "sample_epoch_plan" ->
+      s"""WITH tc AS (SELECT source, CAST(sum($tokenCountSql) AS BIGINT) AS tok
+         |            FROM documents GROUP BY source),
+         |tt AS (SELECT sum(tok) AS t FROM tc),
+         |pa AS (SELECT source, tok, t,
+         |         CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0) AS BIGINT) AS pa_nano
+         |       FROM tc, tt),
+         |z AS (SELECT sum(pa_nano) AS z FROM pa),
+         |w AS (SELECT source, tok, t,
+         |        CAST(round(pa_nano * 1000000.0 / z) AS BIGINT) AS weight_micro
+         |      FROM pa, z),
+         |p AS (SELECT source, tok, weight_micro,
+         |        CAST(floor(CAST(t AS DOUBLE) * 2 * weight_micro / 1000000.0) AS BIGINT) AS target_toks
+         |      FROM w),
+         |e AS (SELECT source, tok, weight_micro, target_toks,
+         |        CAST(ceil(CAST(target_toks AS DOUBLE) / tok) AS BIGINT) AS n_epochs
+         |      FROM p)
+         |SELECT source, tok, weight_micro, target_toks, n_epochs,
+         |       CAST(floor(CAST(target_toks - (n_epochs - 1) * tok AS DOUBLE)
+         |              * 1000000.0 / tok) AS BIGINT) AS last_epoch_frac_micro
+         |FROM e ORDER BY source""".stripMargin,
+
+    "pack_shuffled_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             md5(CAST(doc_id AS VARCHAR)) || '-' || CAST(doc_id AS VARCHAR) AS skey,
+         |             CAST($tokenCountSql AS BIGINT) AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        sum(toks) OVER (ORDER BY skey) - toks AS strt FROM t)
+         |SELECT doc_id, toks AS n_tokens,
+         |       CAST(strt // 2048 AS BIGINT) AS chunk_id,
+         |       CAST(strt % 2048 AS BIGINT) AS chunk_offset
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** v4 = the v3 cleaning stack + the round-9 gates (character-entropy

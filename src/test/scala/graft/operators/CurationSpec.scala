@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Wave-13 sub-document curation + training-mix planning:
+  * [[Dedup.passageBlocks]], [[TextAnalysis.gopherPanel]],
+  * [[Sampling.ccnetBuckets]], and the shuffled-packing /
+  * epoch-plan entries. The DuckDB oracles pin the corpus-level
+  * values; these tests pin the SEMANTIC contracts (block slicing,
+  * rule boundaries, tie handling, prefix-sum consistency) on
+  * crafted rows where each rule's edge is exercised on purpose. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w8a = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val w8b = "india juliet kilo lima mike november oscar papa"
+
+  test("passageBlocks: non-overlapping full 8-word blocks, shared text shares fps") {
+    val df = Seq(
+      (1L, s"$w8a $w8b"),            // 16 words -> blocks [w8a, w8b]
+      (2L, s"$w8a one two three"),   // 11 words -> 1 block  [w8a]
+      (3L, "only seven words live in this doc")  // 7 -> no blocks
+    ).toDF("doc_id", "text")
+    val blocks = Dedup.passageBlocks(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(blocks.count(_._1 == 1L) == 2)
+    assert(blocks.count(_._1 == 2L) == 1)
+    assert(blocks.count(_._1 == 3L) == 0)
+    // doc 1 block 0 and doc 2 block 0 cover the same 8 words -> same fp
+    val fp1 = blocks.find(b => b._1 == 1L && b._2 == 0).get._3
+    val fp2 = blocks.find(b => b._1 == 2L && b._2 == 0).get._3
+    assert(fp1 == fp2)
+    // the second block of doc 1 is different text -> different fp
+    assert(blocks.find(b => b._1 == 1L && b._2 == 1).get._3 != fp1)
+  }
+
+  test("passage census and clean agree: dropped blocks = repeated-fp occurrences") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val blocks = Dedup.passageBlocks(docs, "doc_id", "text", 8)
+    val repeatedOcc = blocks.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .agg(coalesce(sum("n_occ"), lit(0L))).as[Long].head()
+    val dropped = graft.SparkEntry.queries("dedup_passage_clean")(spark, sf)
+      .agg(sum("n_dropped_blocks")).as[Long].head()
+    assert(dropped == repeatedOcc,
+      s"clean dropped $dropped blocks but the census counts $repeatedOcc repeated occurrences")
+  }
+
+  test("gopherPanel rule boundaries flip exactly at the documented thresholds") {
+    def words(n: Int, w: String = "word") = Seq.fill(n)(w).mkString(" ")
+    val df = Seq(
+      (1L, words(50)),          // exactly 50 words: r_words passes
+      (2L, words(49)),          // one short: r_words fails
+      (3L, words(50, "a")),     // 1-char words: mean len 1 < 3 -> r_meanlen fails
+      (4L, words(50) + " !!!!!!!!!!"),  // 10 punct chars / ~260 -> under 10%: passes
+      (5L, words(20, "!") + " " + words(30)),  // 20/171 chars punct > 10% -> r_symbol fails
+      (6L, "the " + words(49) + " of")  // two stopword hits -> r_stop passes
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.gopherPanel(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[Boolean]("r_words"))
+    assert(!p(2L).getAs[Boolean]("r_words"))
+    assert(!p(3L).getAs[Boolean]("r_meanlen"))
+    assert(p(1L).getAs[Boolean]("r_meanlen"))
+    assert(p(4L).getAs[Boolean]("r_symbol"))
+    assert(!p(5L).getAs[Boolean]("r_symbol"))
+    assert(p(6L).getAs[Boolean]("r_stop") && p(6L).getAs[Long]("stop_hits") == 2L)
+    assert(!p(1L).getAs[Boolean]("r_stop"))  // "word" hits no stop list
+    assert(p(6L).getAs[Boolean]("pass"))
+  }
+
+  test("ccnetBuckets: value-sliced ties — equal scores share a bucket, thirds otherwise") {
+    // distinct scores, 6 rows: exact 2/2/2 split
+    val even = Seq(("k", 6L), ("k", 5L), ("k", 4L), ("k", 3L), ("k", 2L), ("k", 1L))
+      .toDF("lang", "s")
+    val evenB = Sampling.ccnetBuckets(even, "lang", "s")
+      .collect().map(r => r.getLong(1) -> r.getAs[String]("bucket")).toMap
+    assert(evenB(6L) == "head" && evenB(5L) == "head")
+    assert(evenB(4L) == "middle" && evenB(3L) == "middle")
+    assert(evenB(2L) == "tail" && evenB(1L) == "tail")
+    // a 3-way tie at the top spills past n/3: the WHOLE tie group moves
+    // together (never split by row order) into middle
+    val tied = Seq(("k", 10L), ("k", 10L), ("k", 10L), ("k", 9L), ("k", 8L), ("k", 7L))
+      .toDF("lang", "s")
+    val tiedRows = Sampling.ccnetBuckets(tied, "lang", "s")
+      .collect().map(r => (r.getLong(1), r.getAs[String]("bucket")))
+    assert(tiedRows.filter(_._1 == 10L).map(_._2).distinct.toSeq == Seq("middle"))
+    assert(tiedRows.find(_._1 == 9L).get._2 == "middle")  // cum 4*3 = 12 <= 2n
+    assert(tiedRows.find(_._1 == 8L).get._2 == "tail")
+    assert(tiedRows.find(_._1 == 7L).get._2 == "tail")
+  }
+
+  test("epoch plan: targets respect the epoch bounds and weights sum to one") {
+    val plan = graft.SparkEntry.queries("sample_epoch_plan")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    val wsum = plan.map(_.getAs[Long]("weight_micro")).sum
+    assert(math.abs(wsum - 1000000L) <= plan.length,
+      s"weights sum to $wsum, expected 1e6 within one rounding step per source")
+    for (r <- plan) {
+      val (tok, target, n) = (r.getAs[Long]("tok"),
+        r.getAs[Long]("target_toks"), r.getAs[Long]("n_epochs"))
+      assert(target > (n - 1) * tok && target <= n * tok,
+        s"source ${r.getString(0)}: target $target outside epoch bounds for $tok x $n")
+      val frac = r.getAs[Long]("last_epoch_frac_micro")
+      assert(frac >= 0L && frac <= 1000000L)
+    }
+  }
+
+  test("shuffled packing equals a local prefix sum over the md5 order") {
+    val out = graft.SparkEntry.queries("pack_shuffled_chunks")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_id"), r.getAs[Long]("chunk_offset")))
+      .toMap
+    // recompute serially: concat in md5(doc_id)-hex order, cut at 2048
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("toks"),
+        md5(col("doc_id").cast("string")).as("k"))
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    var start = 0L
+    for ((_, id, toks) <- docs) {
+      val (nt, cid, coff) = out(id)
+      assert(nt == toks && cid == start / 2048 && coff == start % 2048,
+        s"doc $id: got (chunk $cid, offset $coff), expected start $start")
+      start += toks
+    }
+  }
+}

@@ -346,4 +346,31 @@ class PlanAuditSpec extends SparkSpec {
     // per-query ranks stay qid-keyed — no corpus-wide single window
     assert(plan.contains("windowspecdefinition(qid"), plan)
   }
+
+  test("passage clean: fingerprint semi-join, never a pair join or cartesian") {
+    val plan = finalPlan(q("dedup_passage_clean"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the drop is a LEFT SEMI on fp (shuffle-hash as hinted, or
+    // broadcast if AQE shrinks the repeated set)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("gopher panel: map-only — no exchange before the output sort") {
+    val plan = finalPlan(q("quality_gopher_rules"))
+    // the only exchange is the final orderBy's range partitioning;
+    // the panel itself never shuffles and never joins
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Exchange rangepartitioning(doc_id"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("shuffled packing: per-partition windows keyed by __pid, no global single-partition sort") {
+    val plan = finalPlan(q("pack_shuffled_chunks"))
+    // phase-2 window is keyed by the materialized partition id — the
+    // global prefix sum never collapses onto one task
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
 }
