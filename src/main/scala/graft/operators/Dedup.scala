@@ -795,4 +795,58 @@ object Dedup {
           i => md5(array_join(slice(col("__arr"), i * k + 1, lit(k)), " ")))))
       .select(col("id"), col("pos").as("blk_idx"), col("col").as("fp"))
   }
+
+  /** Initialize a persisted PASSAGE-fingerprint store: the distinct
+    * [[passageBlocks]] fps of the historical corpus — the incremental
+    * form of repeated-passage detection (the minhash/URL store
+    * discipline applied below the document: historical TEXT is never
+    * re-read, only its passage fingerprints persist). */
+  def passageStoreWrite(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, path: String): Unit =
+    passageBlocks(df, idCol, textCol, k).select("fp").distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Grow the store with a new batch's distinct passage fps. Appends
+    * land in the LIVE generation of a compacted store
+    * ([[Compaction.Manifest]]); duplicate fps across appends are
+    * harmless (hit detection is a semi-join). */
+  def passageStoreAppend(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, path: String): Unit =
+    passageBlocks(df, idCol, textCol, k).select("fp").distinct()
+      .write.mode("append").parquet(Compaction.Manifest.resolve(path))
+
+  /** Bin-pack a passage store grown by [[passageStoreAppend]], clustered
+    * by fp (row-group pruning + join locality); generation-pointer swap
+    * per [[Compaction.Manifest]]. Maintenance op, no concurrent
+    * appender. */
+  def passageStoreCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String, numFiles: Int = 1): Unit =
+    Compaction.compactClustered(spark, path, Seq("fp"), numFiles)
+
+  /** Per-new-document store-hit counts: how many of the batch doc's
+    * passages already exist in the historical store — the cross-batch
+    * boilerplate gate (threshold n_store_hits/n_blocks to quarantine
+    * re-syndicated content before content-level dedup).
+    *
+    * One LEFT SEMI shuffle-hash join on fp; per-doc aggregation is
+    * batch-sized. HONESTY — frame alignment: fixed-width blocks hash
+    * identically only when the token streams align on the k-word grid.
+    * A one-word prefix shifts every subsequent block off-frame and
+    * hits drop to ~zero (the dedup_passage_store_hits fixture plants
+    * exactly this case); alignment-robust cross-batch detection is the
+    * minhash store / winnowing / substring-span families' job — this
+    * gate is the CHEAP exact-passage screen in front of them.
+    * Returns (id, n_blocks, n_store_hits); docs with fewer than k
+    * words have no passages and no row. */
+  def passageStoreHits(newBatch: DataFrame, idCol: String, textCol: String,
+                       k: Int, path: String): DataFrame = {
+    val store = Compaction.readLive(newBatch.sparkSession, path)
+    val blocks = passageBlocks(newBatch, idCol, textCol, k)
+    val hits = blocks.join(store.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).cast("long").as("n_store_hits"))
+    blocks.groupBy("id").agg(count(lit(1)).cast("long").as("n_blocks"))
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"), col("n_blocks"),
+        coalesce(col("n_store_hits"), lit(0L)).as("n_store_hits"))
+  }
 }

@@ -217,9 +217,14 @@ object Sampling {
     * NOT a per-stratum `ntile` over the corpus: that is one task per
     * language at 100 TB. The cut is computed on the (key, score)
     * HISTOGRAM instead — one corpus-sized keyed aggregation, then the
-    * tercile rule runs over histogram rows (bounded by distinct scores
-    * per key, model-sized next to the corpus) and joins back as a
-    * bucket lookup on (key, score). Ties are VALUE-sliced, not
+    * tercile rule runs over histogram rows and joins back as a bucket
+    * lookup on (key, score). The histogram is bounded by the integer
+    * micro-score RANGE (for lm_micro_avg, ≈2·10⁷ possible values), NOT
+    * by corpus size — the per-key tercile window costs the same at
+    * 100 TB as at 100 GB; coarse-bin pre-aggregation (window over
+    * score DIV 2^k bins, exact refinement only inside the two boundary
+    * bins) is the further 1000× cut if a score family with a wider
+    * range ever rides this. Ties are VALUE-sliced, not
     * rank-sliced: every row with the same score lands in the same
     * bucket (the default RANGE window frame gives the whole tie group
     * one cumulative count — identical in Spark and DuckDB, so the rule

@@ -243,6 +243,29 @@ object Pipeline {
           count(lit(1)).cast("long").as("n_words"))
         .orderBy("doc_id")
     }),
+    // Tokenizer FERTILITY by language (BPE tokens per word under the
+    // learned merges): the multilingual tokenizer-equity panel — a
+    // tokenizer trained on a mixed corpus segments some languages into
+    // systematically more subwords, which prices their context windows
+    // and compute share. Same model-join plan as text_bpe_doc_tokens,
+    // aggregated by lang; fertility ships as exact integer micro
+    // (BIGINT DIV — no IEEE rounding).
+    "text_bpe_fertility" -> ((s, dir) => {
+      val out = bpeArtifacts(s, dir)
+      val wlen = s.read.parquet(s"$out/final")
+        .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+      docs(s, dir)
+        .select(col("lang"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(wlen, "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum("n_syms").cast("long").as("n_bpe_tokens"))
+        .withColumn("fertility_micro",
+          expr("n_bpe_tokens * 1000000 DIV n_words"))
+        .orderBy("lang")
+    }),
     // ENGINE-PORTABLE HyperLogLog sketch of distinct documents (the
     // md5-portable pattern applied to cardinality sketching): bucket =
     // the fingerprint's first byte (256 registers), rank = 1 + leading
@@ -2544,6 +2567,31 @@ object Pipeline {
             .as("n_kept_words"))
         .orderBy("doc_id")
     }),
+    // INCREMENTAL passage gate: per-new-doc counts of passages already
+    // in the persisted historical store (Dedup.passageStoreHits — the
+    // minhash/URL store discipline at passage granularity). The planted
+    // batch is half ALIGNED clones (every block hits) and half
+    // one-word-PREFIXED clones (the k-word frame shifts; hits collapse
+    // to ~zero) — the fixture deliberately exhibits passage hashing's
+    // alignment sensitivity, stated in the operator scaladoc, with the
+    // minhash/winnow/substring families as the robust complement.
+    "dedup_passage_store_hits" -> ((s, dir) => {
+      val path = artifactDir(s"pstore:$dir") { p =>
+        graft.operators.Dedup.passageStoreWrite(
+          docs(s, dir).select("doc_id", "text"), "doc_id", "text", 8,
+          p + "/fps")
+      } + "/fps"
+      val aligned = docs(s, dir).filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val shifted = docs(s, dir)
+        .filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("prefix "), col("text")).as("text"))
+      graft.operators.Dedup.passageStoreHits(
+          aligned.unionByName(shifted), "doc_id", "text", 8, path)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Gopher rule panel (TextAnalysis.gopherPanel states the four rules
     // and their canonical thresholds): per-doc pass/fail booleans beside
     // the measured micro quantities — the ablatable form of the blended
@@ -2575,7 +2623,11 @@ object Pipeline {
     // on a source's weight). Pure integer/micro arithmetic on a
     // source-count-sized table: target tokens, whole epochs
     // (ceil(target/size)), and the final partial epoch's fill fraction
-    // — the repeat-factor panel a data loader consumes.
+    // — the repeat-factor panel a data loader consumes. target_toks
+    // multiplies through DOUBLE on both engines (identical op order →
+    // identical value); past ~2^53 total-token·micro products (≈4 PB of
+    // corpus) the product loses sub-token exactness — operationally
+    // irrelevant for a token budget, and a DECIMAL(38) swap restores it.
     "sample_epoch_plan" -> ((s, dir) => {
       val tokCnt = docs(s, dir).select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
@@ -2618,6 +2670,31 @@ object Pipeline {
       graft.operators.Packing.chunkAssign(d, "skey", "toks", budget = 2048L)
         .withColumn("doc_id", substring_index(col("skey"), "-", -1).cast("long"))
         .select("doc_id", "n_tokens", "chunk_id", "chunk_offset")
+        .orderBy("doc_id")
+    }),
+    // Deterministic CURRICULUM ordering: documents scheduled
+    // best-quality-band first, SHUFFLED within each band (the standard
+    // curriculum design — staged by difficulty proxy, stochastic inside
+    // a stage; here reproducibly stochastic via the md5 key). Band =
+    // quality basis points DIV 2500 (qualityScore is exact bp/10000, so
+    // the multiply-back is lossless); sort key = (9-band digit)-md5-id,
+    // so ascending key order IS the curriculum, and band + doc_id parse
+    // back out of the key — no join. The global ordinal is
+    // Packing.chunkAssign with a ones column at budget 1: the same
+    // two-phase distributed prefix sum, never a single-partition
+    // row_number.
+    "sample_curriculum_order" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"),
+          (TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q_bp"))
+        .withColumn("band", expr("q_bp DIV 2500"))
+        .select(concat_ws("-", (lit(9L) - col("band")).cast("string"),
+            md5(col("doc_id").cast("string")), col("doc_id").cast("string"))
+            .as("skey"),
+          lit(1L).as("one"))
+      graft.operators.Packing.chunkAssign(q, "skey", "one", budget = 1L)
+        .select(substring_index(col("skey"), "-", -1).cast("long").as("doc_id"),
+          (lit(9L) - substring(col("skey"), 1, 1).cast("long")).as("band"),
+          col("chunk_id").as("ordinal"))
         .orderBy("doc_id")
     })
   )
@@ -3306,6 +3383,16 @@ object Pipeline {
          |       CAST(COUNT(*) AS BIGINT) AS n_words
          |FROM (SELECT * FROM dw WHERE length(word) > 0) d JOIN wlen USING (word)
          |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+    "text_bpe_fertility" ->
+      s"""WITH ${bpeChainCtes(BpeMerges)},
+         |wlen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+         |         FROM t$BpeMerges GROUP BY word),
+         |dw AS (SELECT lang, unnest(string_split($norm, ' ')) AS word FROM documents)
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(SUM(n_syms) * 1000000 // COUNT(*) AS BIGINT) AS fertility_micro
+         |FROM (SELECT * FROM dw WHERE length(word) > 0) d JOIN wlen USING (word)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "text_url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
          |$urlCanonCtes
@@ -4574,6 +4661,25 @@ object Pipeline {
 
     "quality_gopher_rules" -> gopherRulesSql,
 
+    "dedup_passage_store_hits" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |sb AS (SELECT DISTINCT
+         |         md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |       FROM toks, unnest(generate_series(1, len(arr) // 8)) AS t(i)),
+         |nb AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |       WHERE doc_id < 50
+         |       UNION ALL
+         |       SELECT doc_id + 2000000 AS doc_id, 'prefix ' || text
+         |       FROM documents WHERE doc_id >= 50 AND doc_id < 100),
+         |tn AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM nb),
+         |bn AS (SELECT doc_id,
+         |         md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |       FROM tn, unnest(generate_series(1, len(arr) // 8)) AS t(i))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN fp IN (SELECT fp FROM sb)
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_store_hits
+         |FROM bn GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "sample_ccnet_buckets" -> ccnetBucketsSql,
 
     "sample_epoch_plan" ->
@@ -4608,7 +4714,19 @@ object Pipeline {
          |SELECT doc_id, toks AS n_tokens,
          |       CAST(strt // 2048 AS BIGINT) AS chunk_id,
          |       CAST(strt % 2048 AS BIGINT) AS chunk_offset
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sample_curriculum_order" ->
+      s"""WITH q AS (SELECT doc_id,
+         |             CAST(($qualitySql) * 10000 AS BIGINT) AS q_bp FROM documents),
+         |k AS (SELECT doc_id, q_bp // 2500 AS band,
+         |        CAST(9 - q_bp // 2500 AS VARCHAR) || '-'
+         |          || md5(CAST(doc_id AS VARCHAR)) || '-'
+         |          || CAST(doc_id AS VARCHAR) AS skey
+         |      FROM q)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |       CAST(row_number() OVER (ORDER BY skey) - 1 AS BIGINT) AS ordinal
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 
   /** v4 = the v3 cleaning stack + the round-9 gates (character-entropy

@@ -109,6 +109,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("passage store: aligned clones hit fully, a one-word prefix shifts the frame to zero") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore_").toFile.getAbsolutePath
+    val hist = Seq((1L, s"$w8a $w8b"), (2L, s"$w8b one two three four five six seven"))
+      .toDF("doc_id", "text")
+    Dedup.passageStoreWrite(hist, "doc_id", "text", 8, s"$dir/fps")
+    val batch = Seq(
+      (10L, s"$w8a $w8b"),            // aligned clone: both blocks hit
+      (11L, s"prefix $w8a $w8b"),     // frame-shifted: 2 full blocks, 0 hits
+      (12L, w8b)                      // single aligned known block
+    ).toDF("doc_id", "text")
+    def hitsMap() = Dedup.passageStoreHits(batch, "doc_id", "text", 8, s"$dir/fps")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val h = hitsMap()
+    assert(h(10L) == (2L, 2L))
+    assert(h(11L) == (2L, 0L), s"frame-shifted clone must miss, got ${h(11L)}")
+    assert(h(12L) == (1L, 1L))
+    // append new fps (the shifted clone's blocks), compact, and the
+    // gate must now see them — identically before and after the
+    // generation swap
+    Dedup.passageStoreAppend(batch.filter(col("doc_id") === 11L),
+      "doc_id", "text", 8, s"$dir/fps")
+    val afterAppend = hitsMap()
+    assert(afterAppend(11L) == (2L, 2L))
+    Dedup.passageStoreCompact(spark, s"$dir/fps")
+    assert(hitsMap() == afterAppend, "compaction must not change gate results")
+  }
+
+  test("curriculum order: ordinals are a permutation, bands never increase along it") {
+    val rows = graft.SparkEntry.queries("sample_curriculum_order")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("ordinal"), r.getAs[Long]("band")))
+    assert(rows.map(_._1).sorted.toSeq == (0L until rows.length).toSeq,
+      "ordinals must be exactly 0..n-1")
+    val bandsInOrder = rows.sortBy(_._1).map(_._2)
+    assert(bandsInOrder.zip(bandsInOrder.tail).forall { case (a, b) => a >= b },
+      s"bands must be non-increasing along the curriculum: ${bandsInOrder.mkString(",")}")
+    assert(bandsInOrder.distinct.length > 1, "fixture should span multiple bands")
+  }
+
   test("shuffled packing equals a local prefix sum over the md5 order") {
     val out = graft.SparkEntry.queries("pack_shuffled_chunks")(spark, sf)
       .collect().map(r => r.getLong(0) ->
