@@ -1235,6 +1235,71 @@ object Pipeline {
         .orderBy("doc_id")
     }),
 
+    // v5 = the v4 stack + the wave-13 gates: the Gopher rule panel
+    // must PASS (left-semi on the panel's pass set — identical
+    // thresholds to quality_gopher_rules by construction, the panel is
+    // the same TextAnalysis.gopherPanel call) and the cross-document
+    // repeated-passage budget must hold (≤ 50% of a doc's 8-word
+    // blocks corpus-repeated; docs too short for any block carry no
+    // repetition evidence and pass — the gate is an ANTI join on the
+    // violator set, so absent docs survive by construction). The
+    // oracle is SQL surgery on the v4 oracle with the SHARED Gopher
+    // predicate fragments — the stacks cannot drift.
+    "pipeline_clean_corpus_v5" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lm = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("lm_micro_avg"))
+      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("dup_frac_micro"))
+      val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
+      val pr = col("c").cast("double") / col("n")
+      val ent = chars.join(chn, "doc_id")
+        .select(col("doc_id"),
+          round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
+        .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
+      val heavy = d.select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok").isin("slow", "fail", "legacy"))
+        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+        .filter(col("hits") >= 3).select("doc_id")
+      val gopherPass = TextAnalysis.gopherPanel(d, "doc_id", "text")
+        .filter(col("pass")).select(col("id").as("doc_id"))
+      val blocks = Dedup.passageBlocks(d, "doc_id", "text", 8)
+      val prep = blocks.groupBy("fp")
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val pbad = blocks
+        .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("ndrop"))
+        .join(blocks.groupBy("id").agg(count(lit(1)).as("nblk")), "id")
+        .filter(col("ndrop") * 2 > col("nblk"))
+        .select(col("id").as("doc_id"))
+      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("langp", TextAnalysis.langId(col("text")))
+        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
+        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
+          col("rep") <= 0.2)
+        .join(lm, Seq("doc_id"), "left_outer")
+        .filter(col("lm_micro_avg") >= -3450000L)
+        .join(dupF, "doc_id")
+        .filter(col("dup_frac_micro") <= 500000L)
+        .join(ent, "doc_id")
+        .filter(col("entropy_nano") >= 2600000000L)
+        .join(heavy, Seq("doc_id"), "left_anti")
+        .join(gopherPass, Seq("doc_id"), "left_semi")
+        .join(pbad, Seq("doc_id"), "left_anti")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
       Multimodal.resizePlan(
@@ -3087,14 +3152,33 @@ object Pipeline {
     * entry here and flags any non-portable result column; keep it at
     * zero. */
 
+  /** Shared DuckDB fragments for the Gopher rules — used by the
+    * quality_gopher_rules oracle AND spliced as inline predicates into
+    * the v5 cleaning oracle (the two can never drift on a threshold). */
+  private val gopherPunct = "[.,;:!?''\"()\\[\\]{}<>-]"
+  private val gopherHitsAll = "(" +
+    TextAnalysis.stopwords.map { case (_, ws) => stopHits(ws) }
+      .mkString(" + ") + ")"
+  /** The four rules as one SQL predicate over a `documents` row. */
+  private val gopherPassPredicate: String =
+    s"""CAST($tokenCountSql AS BIGINT) BETWEEN 50 AND 100000
+       |    AND (CASE WHEN $tokenCountSql = 0 THEN 0
+       |         ELSE CAST(floor(CAST(CAST(length($norm) AS BIGINT)
+       |           - (CAST($tokenCountSql AS BIGINT) - 1) AS DOUBLE)
+       |           * 1000000 / $tokenCountSql) AS BIGINT) END)
+       |      BETWEEN 3000000 AND 10000000
+       |    AND (CASE WHEN length(text) = 0 THEN 0
+       |         ELSE CAST(floor(CAST(length(text)
+       |           - length(regexp_replace(text, '$gopherPunct', '', 'g')) AS DOUBLE)
+       |           * 1000000 / length(text)) AS BIGINT) END) <= 100000
+       |    AND $gopherHitsAll >= 2""".stripMargin
+
   /** quality_gopher_rules oracle: the four Gopher rules recomputed from
     * scratch in DuckDB (thresholds and micro algebra mirror
     * [[TextAnalysis.gopherPanel]]'s scaladoc contract). */
   private val gopherRulesSql: String = {
-    val punct = "[.,;:!?''\"()\\[\\]{}<>-]"
-    val hitsAll = "(" +
-      TextAnalysis.stopwords.map { case (_, ws) => stopHits(ws) }
-        .mkString(" + ") + ")"
+    val punct = gopherPunct
+    val hitsAll = gopherHitsAll
     s"""WITH q AS (SELECT doc_id,
        |  CAST($tokenCountSql AS BIGINT) AS n_words,
        |  CAST(length($norm) AS BIGINT)
@@ -4763,6 +4847,38 @@ object Pipeline {
     patched
   }
 
+  /** v5 = the v4 stack + the wave-13 gates (Gopher rule panel pass,
+    * cross-document repeated-passage budget ≤ 50% of blocks). Same SQL
+    * SURGERY discipline as v4-from-v3: the passage CTEs splice before
+    * `kept`, the Gopher rules splice as inline predicates built from
+    * the SHARED [[gopherPassPredicate]] fragments, so v5, v4 and the
+    * quality_gopher_rules oracle can never drift on shared algebra. */
+  private val cleanV5Sql: String = {
+    val v4 = cleanV4Sql
+    val passageCtes =
+      s"""ptoks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |pblk AS (SELECT doc_id,
+         |           md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |         FROM ptoks, unnest(generate_series(1, len(arr) // 8)) AS t(i)),
+         |prep AS (SELECT fp FROM pblk GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |pbad AS (SELECT doc_id FROM (
+         |           SELECT doc_id, count(*) AS nblk,
+         |             sum(CASE WHEN fp IN (SELECT fp FROM prep)
+         |                 THEN 1 ELSE 0 END) AS ndrop
+         |           FROM pblk GROUP BY doc_id) WHERE ndrop * 2 > nblk),
+         |""".stripMargin
+    val tail = "AND ent.en >= 2600000000 AND d.doc_id NOT IN (SELECT id FROM hv))"
+    val patched = v4
+      .replace("kept AS (SELECT d.doc_id", passageCtes + "kept AS (SELECT d.doc_id")
+      .replace(tail,
+        tail.dropRight(1) + s"\n    AND $gopherPassPredicate" +
+          "\n    AND d.doc_id NOT IN (SELECT doc_id FROM pbad))")
+    require(patched != v4, "v5 oracle surgery anchors did not match the v4 SQL")
+    patched
+  }
+
   val oracleSql: Map[String, String] =
-    oracleSqlBase + ("pipeline_clean_corpus_v4" -> cleanV4Sql)
+    oracleSqlBase + ("pipeline_clean_corpus_v4" -> cleanV4Sql) +
+      ("pipeline_clean_corpus_v5" -> cleanV5Sql)
 }
