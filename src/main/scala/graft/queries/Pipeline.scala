@@ -2657,6 +2657,48 @@ object Pipeline {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    // The per-source CURATION DASHBOARD closing the wave: one row per
+    // source with the wave-13 signals side by side — Gopher pass count,
+    // docs carrying corpus-repeated passages, CCNet head-bucket count —
+    // the panel a corpus owner reads before deciding per-source
+    // treatment. Every signal is the SAME operator call its standalone
+    // entry uses (gopherPanel / passageBlocks / ccnetBuckets), joined
+    // doc-wise then aggregated by source: one corpus-keyed shuffle per
+    // signal + one by source, all counts exact BIGINTs.
+    "corpus_curation_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gp = TextAnalysis.gopherPanel(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("pass"))
+      val blocks = graft.operators.Dedup.passageBlocks(d, "doc_id", "text", 8)
+      val prep = blocks.groupBy("fp")
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val flagged = blocks
+        .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("pflag", lit(true))
+      val scored = TextAnalysis.lmScore(
+          d.withColumn("is_tgt", col("lang") === "en"),
+          "doc_id", "text", "is_tgt")
+        .select(col("id").as("doc_id"), col("lm_micro_avg"))
+        .join(d.select("doc_id", "lang"), "doc_id")
+      val buckets = graft.operators.Sampling
+        .ccnetBuckets(scored, "lang", "lm_micro_avg")
+        .select("doc_id", "bucket")
+      d.select("doc_id", "source")
+        .join(gp, "doc_id")
+        .join(flagged, Seq("doc_id"), "left_outer")
+        .join(buckets, Seq("doc_id"), "left_outer")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).cast("long")
+            .as("n_gopher_pass"),
+          sum(when(col("pflag"), 1L).otherwise(0L)).cast("long")
+            .as("n_passage_flagged"),
+          sum(when(col("bucket") === "head", 1L).otherwise(0L)).cast("long")
+            .as("n_lm_head"))
+        .orderBy("source")
+    }),
     // Gopher rule panel (TextAnalysis.gopherPanel states the four rules
     // and their canonical thresholds): per-doc pass/fail booleans beside
     // the measured micro quantities — the ablatable form of the blended
@@ -4744,6 +4786,25 @@ object Pipeline {
          |ORDER BY d.doc_id""".stripMargin,
 
     "quality_gopher_rules" -> gopherRulesSql,
+
+    "corpus_curation_report" ->
+      s"""WITH ptoks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+         |pblk AS (SELECT doc_id,
+         |           md5(array_to_string(arr[(i-1)*8+1:(i-1)*8+8], ' ')) AS fp
+         |         FROM ptoks, unnest(generate_series(1, len(arr) // 8)) AS t(i)),
+         |prep AS (SELECT fp FROM pblk GROUP BY fp
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |pfl AS (SELECT DISTINCT doc_id FROM pblk
+         |        WHERE fp IN (SELECT fp FROM prep)),
+         |cbh AS (SELECT doc_id FROM ($ccnetBucketsSql) cb WHERE bucket = 'head')
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN $gopherPassPredicate
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM pfl)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_passage_flagged,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cbh)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_head
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_passage_store_hits" ->
       s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
