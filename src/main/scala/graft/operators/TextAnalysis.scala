@@ -354,13 +354,18 @@ object TextAnalysis {
     * AQE broadcasts when the model is small, the common case) and one
     * keyed shuffle aggregates per doc. Returns (id, n_bigrams,
     * lm_micro_sum, lm_micro_avg); docs with fewer than 2 tokens have no
-    * bigrams and are absent. */
-  def lmScore(df: DataFrame, idCol: String, textCol: String,
-              targetCol: String): DataFrame = {
-    val reserved = Seq("__b", "__w1", "__w2", "__tgt")
-    require(reserved.forall(!df.columns.contains(_)),
-      s"lmScore: ${reserved.mkString("/")} are reserved")
-    val toks = df.select(col(idCol).as("id"),
+    * bigrams and are absent.
+    *
+    * [[lmTrain]] is the TRAIN half: the three model tables
+    * ([[lmScoreWith]] consumes them; [[lmScore]] composes the two).
+    * Split out so the model can PERSIST and score many corpora/panels
+    * without re-aggregating the target slice — the
+    * tokenizer-is-a-model discipline (CCNet ships a trained LM; so do
+    * we). Returns (bigramScore(__b, s_b), backoff(__w2, s_w),
+    * dflt(s_d)) — all model-sized. */
+  def lmTrain(df: DataFrame, textCol: String,
+              targetCol: String): (DataFrame, DataFrame, DataFrame) = {
+    val toks = df.select(
       col(targetCol).cast("boolean").as("__tgt"),
       graft.functions.WordGrams(col(textCol), 1).as("us"),
       graft.functions.WordGrams(col(textCol), 2).as("bs"))
@@ -383,6 +388,16 @@ object TextAnalysis {
     val dflt = tot.select(
       round(log(lit(0.4) / (col("t") + col("v"))) * 1e6)
         .cast("long").as("s_d"))
+    (bigramScore, backoff, dflt)
+  }
+
+  /** SCORE a corpus against a trained (possibly persisted) LM model —
+    * the inference half of [[lmTrain]]. Same join plan as the composed
+    * [[lmScore]]: bigram/backoff lookups shuffle-hash on the gram
+    * keys, the one-row default broadcast-crosses. */
+  def lmScoreWith(df: DataFrame, idCol: String, textCol: String,
+                  bigramScore: DataFrame, backoff: DataFrame,
+                  dflt: DataFrame): DataFrame =
     df.select(col(idCol).as("id"),
         explode(graft.functions.WordGrams(col(textCol), 2)).as("__b"))
       .join(bigramScore.hint("shuffle_hash"), Seq("__b"), "left_outer")
@@ -394,6 +409,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), sum("s").as("lm_micro_sum"))
       .withColumn("lm_micro_avg",
         floor(col("lm_micro_sum").cast("double") / col("n_bigrams")).cast("long"))
+
+  /** Train + score in one call — [[lmTrain]] composed with
+    * [[lmScoreWith]]; the single-corpus convenience form. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              targetCol: String): DataFrame = {
+    val reserved = Seq("__b", "__w1", "__w2", "__tgt")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"lmScore: ${reserved.mkString("/")} are reserved")
+    val (bs, bo, d) = lmTrain(df, textCol, targetCol)
+    lmScoreWith(df, idCol, textCol, bs, bo, d)
   }
 
   /** Gopher-style quality RULE PANEL (Rae et al. 2021, §A1.1 filter

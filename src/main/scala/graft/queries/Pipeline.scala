@@ -17,6 +17,31 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** The corpus scored by the PERSISTED English stupid-backoff LM —
+    * train-once-score-many (the AnnModels/BPE artifact discipline
+    * applied to the CCNet-style quality LM, which is every bit as much
+    * a model as a tokenizer): [[TextAnalysis.lmTrain]] runs ONCE per
+    * sfDir on the lang='en' slice and its three model tables persist
+    * via artifactDir; every consumer (text_lm_score, the ccnet
+    * terciles, the curation dashboard, the v3/v4/v5 cleaning stacks)
+    * scores through [[TextAnalysis.lmScoreWith]] against the SAME
+    * persisted model — identical values to the composed lmScore (the
+    * model tables are deterministic integer-quantized aggregates),
+    * one training pass instead of seven. */
+  private def lmScored(s: SparkSession, dir: String) = {
+    val p = artifactDir(s"lmmodel:$dir") { p =>
+      val (bs, bo, df) = TextAnalysis.lmTrain(
+        docs(s, dir).withColumn("is_tgt", col("lang") === "en"),
+        "text", "is_tgt")
+      bs.write.mode("overwrite").parquet(p + "/bigram")
+      bo.write.mode("overwrite").parquet(p + "/backoff")
+      df.write.mode("overwrite").parquet(p + "/dflt")
+    }
+    TextAnalysis.lmScoreWith(docs(s, dir), "doc_id", "text",
+      s.read.parquet(s"$p/bigram"), s.read.parquet(s"$p/backoff"),
+      s.read.parquet(s"$p/dflt"))
+  }
+
   /** Deterministic messy-URL plant for the url-curation entries (the
     * text_pii_scrub pattern: the fixture corpus has no url column, so
     * one is synthesized from doc_id with every mess the canonicalizer
@@ -140,9 +165,7 @@ object Pipeline {
       val d = docs(s, dir)
       val frac = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("n_tokens"), col("dup_words"))
-      val lm = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val lm = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_micro_sum"))
       d.select("doc_id", "source")
         .join(frac, "doc_id")
@@ -285,10 +308,7 @@ object Pipeline {
     // so DuckDB recomputes count → backoff → integer-sum end-to-end);
     // the low tail is the gibberish a perplexity filter cuts
     "text_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScore(
-        docs(s, dir).withColumn("is_tgt", col("lang") === "en"),
-        "doc_id", "text", "is_tgt")
-        .orderBy("id")),
+      lmScored(s, dir).orderBy("id")),
 
     // The SQL scalar-kernel surface (graft.sql.GraftSql): the reference's
     // UX is SQL-first, so the text kernels are callable from pure SQL —
@@ -1168,9 +1188,7 @@ object Pipeline {
     // (each is one extra shuffle over per-doc rows, never row-multiplying)
     "pipeline_clean_corpus_v3" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val lm = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
       val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("dup_frac_micro"))
@@ -1196,9 +1214,7 @@ object Pipeline {
     // the v3 SQL with the gate CTEs spliced in (cleanV4Sql).
     "pipeline_clean_corpus_v4" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val lm = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
       val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("dup_frac_micro"))
@@ -1247,9 +1263,7 @@ object Pipeline {
     // predicate fragments — the stacks cannot drift.
     "pipeline_clean_corpus_v5" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lm = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val lm = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
       val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("dup_frac_micro"))
@@ -2677,9 +2691,7 @@ object Pipeline {
         .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
         .select(col("id").as("doc_id")).distinct()
         .withColumn("pflag", lit(true))
-      val scored = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val scored = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
         .join(d.select("doc_id", "lang"), "doc_id")
       val buckets = graft.operators.Sampling
@@ -2714,9 +2726,7 @@ object Pipeline {
     // Value-sliced ties: equal scores share a bucket in both engines.
     "sample_ccnet_buckets" -> ((s, dir) => {
       val d = docs(s, dir)
-      val scored = TextAnalysis.lmScore(
-          d.withColumn("is_tgt", col("lang") === "en"),
-          "doc_id", "text", "is_tgt")
+      val scored = lmScored(s, dir)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
         .join(d.select("doc_id", "lang"), "doc_id")
       graft.operators.Sampling.ccnetBuckets(scored, "lang", "lm_micro_avg")
@@ -2783,8 +2793,12 @@ object Pipeline {
     // best-quality-band first, SHUFFLED within each band (the standard
     // curriculum design — staged by difficulty proxy, stochastic inside
     // a stage; here reproducibly stochastic via the md5 key). Band =
-    // quality basis points DIV 2500 (qualityScore is exact bp/10000, so
-    // the multiply-back is lossless); sort key = (9-band digit)-md5-id,
+    // quality basis points DIV 2500. The bp reconstruction is
+    // round(quality*10000), NOT a truncating cast: fl(fl(x/10⁴)·10⁴)
+    // undershoots x by 1 ulp for ~6% of integer bp (band EDGES —
+    // multiples of 2500 — are dyadic and exact, so a cast happens to
+    // band correctly today, but round() is robust to any future
+    // threshold change); sort key = (9-band digit)-md5-id,
     // so ascending key order IS the curriculum, and band + doc_id parse
     // back out of the key — no join. The global ordinal is
     // Packing.chunkAssign with a ones column at budget 1: the same
@@ -2792,7 +2806,8 @@ object Pipeline {
     // row_number.
     "sample_curriculum_order" -> ((s, dir) => {
       val q = docs(s, dir).select(col("doc_id"),
-          (TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("q_bp"))
+          round(TextAnalysis.qualityScore(col("text")) * 10000)
+            .cast("long").as("q_bp"))
         .withColumn("band", expr("q_bp DIV 2500"))
         .select(concat_ws("-", (lit(9L) - col("band")).cast("string"),
             md5(col("doc_id").cast("string")), col("doc_id").cast("string"))
@@ -4863,7 +4878,8 @@ object Pipeline {
 
     "sample_curriculum_order" ->
       s"""WITH q AS (SELECT doc_id,
-         |             CAST(($qualitySql) * 10000 AS BIGINT) AS q_bp FROM documents),
+         |             CAST(round(($qualitySql) * 10000) AS BIGINT) AS q_bp
+         |           FROM documents),
          |k AS (SELECT doc_id, q_bp // 2500 AS band,
          |        CAST(9 - q_bp // 2500 AS VARCHAR) || '-'
          |          || md5(CAST(doc_id AS VARCHAR)) || '-'
