@@ -473,4 +473,49 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(store.toMap === oneShot)
   }
+
+  test("streaming LM gate: micro-batches score against the persisted model, batch-equal") {
+    // the quality-LM filter as an INGEST gate: the model (lmTrain's
+    // three tables) persists once, then every micro-batch scores
+    // against it via lmScoreWith — a stream-static join, no
+    // re-training per trigger. Scores must equal the one-shot batch
+    // scoring of the same rows against the same model, bit for bit
+    // (the model tables are static; lm_micro_avg is integer).
+    import graft.operators.TextAnalysis
+    val dir = java.nio.file.Files.createTempDirectory("stream_lm").toFile.getAbsolutePath
+    val corpus = graft.sources.Tables.load(spark, sf, "documents")
+    val (bs, bo, dflt) = TextAnalysis.lmTrain(
+      corpus.withColumn("is_tgt", col("lang") === "en"), "text", "is_tgt")
+    bs.write.parquet(s"$dir/bigram")
+    bo.write.parquet(s"$dir/backoff")
+    dflt.write.parquet(s"$dir/dflt")
+    def model = (spark.read.parquet(s"$dir/bigram"),
+      spark.read.parquet(s"$dir/backoff"), spark.read.parquet(s"$dir/dflt"))
+
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(40)
+    val (b1, b2) = rows.splitAt(20)
+    val input = MemoryStream[(Long, String)]
+    val scored = scala.collection.mutable.Map[Long, Long]()
+    val q = input.toDS.toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (mb, mw, md) = model
+        TextAnalysis.lmScoreWith(batch, "doc_id", "text", mb, mw, md)
+          .select("id", "lm_micro_avg").collect()
+          .foreach(r => scored(r.getLong(0)) = r.getLong(1))
+        ()
+      }
+      .start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val (mb, mw, md) = model
+    val oneShot = TextAnalysis.lmScoreWith(
+        rows.toSeq.toDF("doc_id", "text"), "doc_id", "text", mb, mw, md)
+      .select("id", "lm_micro_avg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored.toMap === oneShot)
+    assert(oneShot.nonEmpty)
+  }
 }
