@@ -2789,6 +2789,29 @@ object Pipeline {
         .select("doc_id", "n_tokens", "chunk_id", "chunk_offset")
         .orderBy("doc_id")
     }),
+    // The SHARD MANIFEST a training-shard writer consumes — the
+    // operational tail of the packing family (assign → shuffled pack →
+    // route whole docs to shards): a doc belongs to the shard its
+    // START chunk falls in (shard = 8 consecutive 2048-token chunks,
+    // ~16k tokens/shard with whole-doc spillover — exactly the
+    // chunkAssign routing a writer applies), and the manifest row
+    // carries what the writer needs to verify a shard: doc count,
+    // token sum, doc-id span. One aggregation over the assignment —
+    // the assignment itself is the pack_shuffled_chunks plan.
+    "pack_shard_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .withColumn("skey", concat_ws("-",
+          md5(col("doc_id").cast("string")), col("doc_id").cast("string")))
+      graft.operators.Packing.chunkAssign(d, "skey", "toks", budget = 2048L)
+        .withColumn("doc_id", substring_index(col("skey"), "-", -1).cast("long"))
+        .withColumn("shard_id", expr("chunk_id DIV 8"))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard_id")
+    }),
     // Deterministic CURRICULUM ordering: documents scheduled
     // best-quality-band first, SHUFFLED within each band (the standard
     // curriculum design — staged by difficulty proxy, stochastic inside
@@ -4875,6 +4898,19 @@ object Pipeline {
          |       CAST(strt // 2048 AS BIGINT) AS chunk_id,
          |       CAST(strt % 2048 AS BIGINT) AS chunk_offset
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pack_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             md5(CAST(doc_id AS VARCHAR)) || '-' || CAST(doc_id AS VARCHAR) AS skey,
+         |             CAST($tokenCountSql AS BIGINT) AS toks
+         |           FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |        sum(toks) OVER (ORDER BY skey) - toks AS strt FROM t)
+         |SELECT CAST(strt // 2048 // 8 AS BIGINT) AS shard_id,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     "sample_curriculum_order" ->
       s"""WITH q AS (SELECT doc_id,

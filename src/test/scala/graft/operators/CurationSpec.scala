@@ -93,6 +93,49 @@ class CurationSpec extends SparkSpec {
     assert(tiedRows.find(_._1 == 7L).get._2 == "tail")
   }
 
+  test("ccnetBuckets equals the brute-force value-sliced rule on randomized scores") {
+    // deterministic pseudo-random fixture: many keys, heavy ties, the
+    // histogram-cut implementation must reproduce the definition
+    // (bucket of s = f(#rows scoring >= s) exactly, per key)
+    val rng = new scala.util.Random(0xC0FFEE)
+    val rows = (1 to 400).map { i =>
+      (s"k${rng.nextInt(5)}", rng.nextInt(12).toLong, i.toLong)
+    }
+    val got = Sampling.ccnetBuckets(rows.toDF("lang", "s", "row_id"), "lang", "s")
+      .collect().map(r => r.getAs[Long]("row_id") -> r.getAs[String]("bucket")).toMap
+    for ((k, s, id) <- rows) {
+      val peers = rows.filter(_._1 == k)
+      val n = peers.size
+      val cum = peers.count(_._2 >= s)
+      val want = if (cum * 3 <= n) "head"
+                 else if (cum * 3 <= n * 2) "middle" else "tail"
+      assert(got(id) == want, s"key $k score $s: got ${got(id)}, want $want (cum $cum / n $n)")
+    }
+  }
+
+  test("passageBlocks equals naive slicing on randomized word lists") {
+    val rng = new scala.util.Random(0xBEEF)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 60L).map { id =>
+      id -> Seq.fill(rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+    }
+    val df = docs.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.passageBlocks(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    var expected = 0
+    for ((id, ws) <- docs) {
+      val blocks = ws.grouped(8).filter(_.size == 8).toSeq
+      expected += blocks.size
+      for ((blk, i) <- blocks.zipWithIndex) {
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(blk.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(got((id, i)) == fp, s"doc $id block $i")
+      }
+    }
+    assert(got.size == expected)
+  }
+
   test("epoch plan: targets respect the epoch bounds and weights sum to one") {
     val plan = graft.SparkEntry.queries("sample_epoch_plan")(spark, sf).collect()
     assert(plan.nonEmpty)
