@@ -396,6 +396,24 @@ object Pipeline {
           col("toks").cast("long").as("toks"))
         .orderBy("doc_id")
     }),
+    // Leakage-safe TRAIN/VAL split at DOMAIN granularity: a doc-level
+    // hash split leaks near-duplicates and site boilerplate across the
+    // boundary (the same site's pages land on both sides); the
+    // group-level rule — one md5 bucket per registrable domain, every
+    // page of the domain on the same side — is the standard hygiene
+    // for held-out evaluation. split = 'val' iff the domain's first
+    // md5 hex digit is e/f (2/16 = 12.5% of domains held out);
+    // deterministic, engine-portable, map-only per row after the
+    // domain parse — the Sampling.hashBucket consistency contract at
+    // GROUP granularity.
+    "sample_split_bydomain" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("domain", graft.functions.UrlFunctions.urlDomain(
+          syntheticUrl(col("doc_id"))))
+        .select(col("doc_id"), col("domain"),
+          when(Sampling.hashBucket(col("domain")) >= 14, "val")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")),
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
     // log-ratio scores with lang='en' as the trusted target domain, the
     // 100 most target-like docs. Bucket scores quantize to integer
@@ -3579,6 +3597,13 @@ object Pipeline {
          |      FROM t)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, domain, CAST(toks AS BIGINT) AS toks
          |FROM w WHERE before < 1200 ORDER BY doc_id""".stripMargin,
+    "sample_split_bydomain" ->
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |$urlCanonCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, domain,
+         |       CASE WHEN substr(md5(domain), 1, 1) IN ('e', 'f')
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sample_source_cap" ->
       """WITH r AS (SELECT doc_id, source,
         |  ROW_NUMBER() OVER (PARTITION BY source
