@@ -786,7 +786,11 @@ object Dedup {
   def passageBlocks(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, s"passage width must be positive, got $k")
-    df.select(col(idCol).as("id"),
+    // the empty-doc guard matters at k=1: split("") is [""], not [],
+    // so without it every empty doc would emit one md5("") phantom
+    // passage — and a k=1 census would report it as massively repeated
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
         split(TextAnalysis.normalized(col(textCol)), " ", -1).as("__arr"))
       .withColumn("__nb", (size(col("__arr")) / k).cast("int"))
       .filter(col("__nb") > 0)
@@ -829,7 +833,10 @@ object Dedup {
     * re-syndicated content before content-level dedup).
     *
     * One LEFT SEMI shuffle-hash join on fp; per-doc aggregation is
-    * batch-sized. HONESTY — frame alignment: fixed-width blocks hash
+    * batch-sized. The batch's block stream feeds two consumers (the
+    * store probe and the n_blocks denominator), so it is
+    * localCheckpoint-materialized once — batch-sized, the cheap side.
+    * HONESTY — frame alignment: fixed-width blocks hash
     * identically only when the token streams align on the k-word grid.
     * A one-word prefix shifts every subsequent block off-frame and
     * hits drop to ~zero (the dedup_passage_store_hits fixture plants
@@ -841,7 +848,7 @@ object Dedup {
   def passageStoreHits(newBatch: DataFrame, idCol: String, textCol: String,
                        k: Int, path: String): DataFrame = {
     val store = Compaction.readLive(newBatch.sparkSession, path)
-    val blocks = passageBlocks(newBatch, idCol, textCol, k)
+    val blocks = passageBlocks(newBatch, idCol, textCol, k).localCheckpoint()
     val hits = blocks.join(store.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .groupBy("id").agg(count(lit(1)).cast("long").as("n_store_hits"))
     blocks.groupBy("id").agg(count(lit(1)).cast("long").as("n_blocks"))

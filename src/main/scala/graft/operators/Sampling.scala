@@ -230,13 +230,19 @@ object Sampling {
     * one cumulative count — identical in Spark and DuckDB, so the rule
     * is engine-portable): bucket = head while cum·3 ≤ n, middle while
     * cum·3 ≤ 2n, else tail, where cum counts rows scoring ≥ this row's
-    * score. Returns the input columns plus `bucket`. */
+    * score. NULL contract: a row with a NULL key or score has no
+    * defined tercile and is DROPPED — explicitly, up front (the
+    * equi-join back would silently drop it anyway, since null never
+    * equals null; make the semantics a statement, not an accident).
+    * Score unscored rows separately or coalesce before calling.
+    * Returns the input columns plus `bucket`. */
   def ccnetBuckets(df: DataFrame, keyCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val reserved = Seq("__c", "__cum", "__n", "bucket")
     require(reserved.forall(!df.columns.contains(_)),
       s"ccnetBuckets: ${reserved.mkString("/")} are reserved")
-    val hist = df.groupBy(col(keyCol), col(scoreCol))
+    val in = df.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull)
+    val hist = in.groupBy(col(keyCol), col(scoreCol))
       .agg(count(lit(1)).as("__c"))
     val byScoreDesc = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc)
     val whole = Window.partitionBy(keyCol)
@@ -247,6 +253,6 @@ object Sampling {
         when(col("__cum") * 3 <= col("__n"), "head")
           .when(col("__cum") * 3 <= col("__n") * 2, "middle")
           .otherwise("tail").as("bucket"))
-    df.join(buckets, Seq(keyCol, scoreCol))
+    in.join(buckets, Seq(keyCol, scoreCol))
   }
 }

@@ -431,10 +431,12 @@ object TextAnalysis {
     *   - `r_meanlen`: mean word length in [3, 10] chars
     *     (word chars = normalized length − (n−1) single spaces)
     *   - `r_symbol`:  punctuation/symbol character ratio ≤ 0.1
-    *   - `r_stop`:    ≥ 2 stopword hits across the supported language
-    *     lists (Gopher requires 2 of a fixed English list; this corpus
-    *     is multilingual, so the union list keeps the rule meaningful
-    *     for the non-English strata)
+    *   - `r_stop`:    ≥ 2 stopword hits against the DISTINCT union of
+    *     the supported language lists (Gopher requires 2 of a fixed
+    *     English list; this corpus is multilingual, so the union keeps
+    *     the rule meaningful for the non-English strata — and it is a
+    *     true set union: words shared by two lists, like fr/es 'de',
+    *     count once per occurrence, never once per list)
     *
     * Map-only codegen'd algebra — no shuffle, no UDF; every quantity is
     * a BIGINT micro so a DuckDB oracle reproduces the booleans
@@ -450,8 +452,7 @@ object TextAnalysis {
       .cast("long")
     val sym = when(length(t) === 0, lit(0L))
       .otherwise(floor(punct.cast("double") * 1e6 / length(t))).cast("long")
-    val hits = stopwords.map { case (_, ws) => stopwordHits(t, ws) }
-      .reduce(_ + _).cast("long")
+    val hits = stopwordHits(t, stopwords.flatMap(_._2).distinct).cast("long")
     df.select(col(idCol).as("id"), nw.as("n_words"),
         mwl.as("mean_wordlen_micro"), sym.as("symbol_ratio_micro"),
         hits.as("stop_hits"))

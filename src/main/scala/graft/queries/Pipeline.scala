@@ -42,6 +42,89 @@ object Pipeline {
       s.read.parquet(s"$p/dflt"))
   }
 
+  // ---- the flagship cleaning stack, ONE Scala definition per stage
+  // (the SQL side already has the no-drift discipline — surgery on
+  // shared fragments; these helpers are its Scala mirror, so a
+  // threshold or blocklist change edits ONE place and v3/v4/v5 move
+  // together instead of drifting across three inline copies) ----
+
+  /** v3 gates: quality >= 0.5, langid == en, top-bigram repetition
+    * <= 0.2, LM score floor, substring-dup budget. Returns the kept
+    * (doc-level) rows with `text` still aboard. */
+  private def cleanGatesV3(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = lmScored(s, dir)
+      .select(col("id").as("doc_id"), col("lm_micro_avg"))
+    val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+      .select(col("id").as("doc_id"), col("dup_frac_micro"))
+    d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("langp", TextAnalysis.langId(col("text")))
+      .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
+      .filter(col("quality") >= 0.5 && col("langp") === "en" &&
+        col("rep") <= 0.2)
+      .join(lm, Seq("doc_id"), "left_outer")
+      .filter(col("lm_micro_avg") >= -3450000L)
+      .join(dupF, "doc_id")
+      .filter(col("dup_frac_micro") <= 500000L)
+  }
+
+  /** v4 = v3 + character-entropy floor + repeated-blocklist-offender
+    * cut (both keyed on doc_id, never row-multiplying). */
+  private def cleanGatesV4(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
+    val pr = col("c").cast("double") / col("n")
+    val ent = chars.join(chn, "doc_id")
+      .select(col("doc_id"),
+        round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
+      .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
+    val heavy = d.select(col("doc_id"),
+        explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin("slow", "fail", "legacy"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= 3).select("doc_id")
+    cleanGatesV3(s, dir)
+      .join(ent, "doc_id")
+      .filter(col("entropy_nano") >= 2600000000L)
+      .join(heavy, Seq("doc_id"), "left_anti")
+  }
+
+  /** v5 = v4 + the Gopher rule panel (left-semi on the pass set — the
+    * SAME gopherPanel call quality_gopher_rules exposes) + the
+    * cross-document repeated-passage budget (anti-join on violators
+    * with > 50% of 8-word blocks corpus-repeated; block-less docs
+    * carry no repetition evidence and pass by construction). */
+  private def cleanGatesV5(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gopherPass = TextAnalysis.gopherPanel(d, "doc_id", "text")
+      .filter(col("pass")).select(col("id").as("doc_id"))
+    val blocks = Dedup.passageBlocks(d, "doc_id", "text", 8)
+    val prep = blocks.groupBy("fp")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    val pbad = blocks
+      .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("ndrop"))
+      .join(blocks.groupBy("id").agg(count(lit(1)).as("nblk")), "id")
+      .filter(col("ndrop") * 2 > col("nblk"))
+      .select(col("id").as("doc_id"))
+    cleanGatesV4(s, dir)
+      .join(gopherPass, Seq("doc_id"), "left_semi")
+      .join(pbad, Seq("doc_id"), "left_anti")
+  }
+
+  /** The shared exact-dedup tail every cleaning stack ends with:
+    * fingerprint groupBy, min-id representative, dup count. */
+  private def cleanDedupTail(kept: DataFrame): DataFrame =
+    kept.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("n_dups"))
+      .orderBy("doc_id")
+
   /** Deterministic messy-URL plant for the url-curation entries (the
     * text_pii_scrub pattern: the fixture corpus has no url column, so
     * one is synthesized from doc_id with every mess the canonicalizer
@@ -1204,70 +1287,15 @@ object Pipeline {
     // al. duplicated-span budget gate (docs >50% corpus-duplicated
     // tokens cut), then exact dedup. The aux scores join KEYED on doc_id
     // (each is one extra shuffle over per-doc rows, never row-multiplying)
-    "pipeline_clean_corpus_v3" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val lm = lmScored(s, dir)
-        .select(col("id").as("doc_id"), col("lm_micro_avg"))
-      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("dup_frac_micro"))
-      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("langp", TextAnalysis.langId(col("text")))
-        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
-        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
-          col("rep") <= 0.2)
-        .join(lm, Seq("doc_id"), "left_outer")
-        .filter(col("lm_micro_avg") >= -3450000L)
-        .join(dupF, "doc_id")
-        .filter(col("dup_frac_micro") <= 500000L)
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .groupBy("fp")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_clean_corpus_v3" -> ((s, dir) =>
+      cleanDedupTail(cleanGatesV3(s, dir))),
     // v4 = v3 + the round-9 gates: a character-entropy floor (cuts
     // degenerate/low-diversity text the word-level gates miss) and the
     // repeated-blocklist-offender cut (>= 3 blocklisted tokens). Both
     // gates join KEYED on doc_id (never row-multiplying); the oracle is
     // the v3 SQL with the gate CTEs spliced in (cleanV4Sql).
-    "pipeline_clean_corpus_v4" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val lm = lmScored(s, dir)
-        .select(col("id").as("doc_id"), col("lm_micro_avg"))
-      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("dup_frac_micro"))
-      val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .filter(length(col("ch")) > 0)
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
-      val pr = col("c").cast("double") / col("n")
-      val ent = chars.join(chn, "doc_id")
-        .select(col("doc_id"),
-          round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
-        .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
-      val heavy = d.select(col("doc_id"),
-          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
-        .filter(col("tok").isin("slow", "fail", "legacy"))
-        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") >= 3).select("doc_id")
-      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("langp", TextAnalysis.langId(col("text")))
-        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
-        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
-          col("rep") <= 0.2)
-        .join(lm, Seq("doc_id"), "left_outer")
-        .filter(col("lm_micro_avg") >= -3450000L)
-        .join(dupF, "doc_id")
-        .filter(col("dup_frac_micro") <= 500000L)
-        .join(ent, "doc_id")
-        .filter(col("entropy_nano") >= 2600000000L)
-        .join(heavy, Seq("doc_id"), "left_anti")
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .groupBy("fp")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_clean_corpus_v4" -> ((s, dir) =>
+      cleanDedupTail(cleanGatesV4(s, dir))),
 
     // v5 = the v4 stack + the wave-13 gates: the Gopher rule panel
     // must PASS (left-semi on the panel's pass set — identical
@@ -1279,58 +1307,8 @@ object Pipeline {
     // violator set, so absent docs survive by construction). The
     // oracle is SQL surgery on the v4 oracle with the SHARED Gopher
     // predicate fragments — the stacks cannot drift.
-    "pipeline_clean_corpus_v5" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val lm = lmScored(s, dir)
-        .select(col("id").as("doc_id"), col("lm_micro_avg"))
-      val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("dup_frac_micro"))
-      val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .filter(length(col("ch")) > 0)
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
-      val pr = col("c").cast("double") / col("n")
-      val ent = chars.join(chn, "doc_id")
-        .select(col("doc_id"),
-          round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
-        .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
-      val heavy = d.select(col("doc_id"),
-          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
-        .filter(col("tok").isin("slow", "fail", "legacy"))
-        .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-        .filter(col("hits") >= 3).select("doc_id")
-      val gopherPass = TextAnalysis.gopherPanel(d, "doc_id", "text")
-        .filter(col("pass")).select(col("id").as("doc_id"))
-      val blocks = Dedup.passageBlocks(d, "doc_id", "text", 8)
-      val prep = blocks.groupBy("fp")
-        .agg(countDistinct(col("id")).as("nd"))
-        .filter(col("nd") >= 2).select("fp")
-      val pbad = blocks
-        .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
-        .groupBy("id").agg(count(lit(1)).as("ndrop"))
-        .join(blocks.groupBy("id").agg(count(lit(1)).as("nblk")), "id")
-        .filter(col("ndrop") * 2 > col("nblk"))
-        .select(col("id").as("doc_id"))
-      d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("langp", TextAnalysis.langId(col("text")))
-        .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
-        .filter(col("quality") >= 0.5 && col("langp") === "en" &&
-          col("rep") <= 0.2)
-        .join(lm, Seq("doc_id"), "left_outer")
-        .filter(col("lm_micro_avg") >= -3450000L)
-        .join(dupF, "doc_id")
-        .filter(col("dup_frac_micro") <= 500000L)
-        .join(ent, "doc_id")
-        .filter(col("entropy_nano") >= 2600000000L)
-        .join(heavy, Seq("doc_id"), "left_anti")
-        .join(gopherPass, Seq("doc_id"), "left_semi")
-        .join(pbad, Seq("doc_id"), "left_anti")
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .groupBy("fp")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
-        .select(col("doc_id"), col("n_dups"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_clean_corpus_v5" -> ((s, dir) =>
+      cleanDedupTail(cleanGatesV5(s, dir))),
 
     // ---- multimodal binary-column plumbing
     "multimodal_resize" -> ((s, dir) =>
@@ -2639,9 +2617,15 @@ object Pipeline {
     // (the convention stated loudly: all copies go — a "keep one
     // witness" variant is a min-id join away, but the training-data
     // default is that widely-repeated boilerplate is noise in every
-    // host document). Plan: the block stream is built ONCE, the
-    // repeated-fp set is a fingerprint-keyed aggregate, and the drop is
-    // a LEFT SEMI equi-join on fp — never a pair join, never n².
+    // host document). Plan: the block stream is DEFINED once and
+    // recomputed per consumer (census aggregate + drop probe) — a
+    // deliberate trade: it is a map-only scan+split+md5 chain, and
+    // materializing corpus_tokens/8 fingerprint rows would cost more
+    // at corpus scale than the second scan (the batch-sized store-hit
+    // twin, passageStoreHits, DOES checkpoint — there the stream is
+    // small). The repeated-fp set is a fingerprint-keyed aggregate and
+    // the drop is a LEFT SEMI equi-join on fp — never a pair join,
+    // never n².
     "dedup_passage_clean" -> ((s, dir) => {
       val blocks =
         graft.operators.Dedup.passageBlocks(docs(s, dir), "doc_id", "text", 8)
@@ -3115,11 +3099,17 @@ object Pipeline {
     s"CASE ${cases.mkString(" ")} ELSE 'und' END"
   }
 
+  /** The SQL punctuation character class (TextAnalysis.punctPattern's
+    * SQL-escaped form) — ONE definition shared by qualitySql, the
+    * Gopher rules, and the v5 surgery, so the class cannot drift
+    * between the entries that gate on it. */
+  private val gopherPunct = "[.,;:!?''\"()\\[\\]{}<>-]"
+
   private val qualitySql: String = {
     val chars = "CAST(length(text) AS DOUBLE)"
     val words = s"CAST($tokenCountSql AS DOUBLE)"
     val hits = stopHits(TextAnalysis.stopwords.head._2)
-    val punct = "[.,;:!?''\"()\\[\\]{}<>-]"
+    val punct = gopherPunct
     // integer basis points + floor — see TextAnalysis.qualityScore
     s"""(CAST(
        | (CASE WHEN $chars >= 50 AND $chars <= 10000 THEN 2500 ELSE 0 END)
@@ -3253,10 +3243,11 @@ object Pipeline {
   /** Shared DuckDB fragments for the Gopher rules — used by the
     * quality_gopher_rules oracle AND spliced as inline predicates into
     * the v5 cleaning oracle (the two can never drift on a threshold). */
-  private val gopherPunct = "[.,;:!?''\"()\\[\\]{}<>-]"
-  private val gopherHitsAll = "(" +
-    TextAnalysis.stopwords.map { case (_, ws) => stopHits(ws) }
-      .mkString(" + ") + ")"
+  // the DISTINCT union of the language lists — one regex, so a word
+  // shared by two lists (fr/es 'de') counts once per occurrence,
+  // mirroring TextAnalysis.gopherPanel exactly
+  private val gopherHitsAll =
+    stopHits(TextAnalysis.stopwords.flatMap(_._2).distinct)
   /** The four rules as one SQL predicate over a `documents` row. */
   private val gopherPassPredicate: String =
     s"""CAST($tokenCountSql AS BIGINT) BETWEEN 50 AND 100000
@@ -5007,13 +4998,17 @@ object Pipeline {
          |           FROM pblk GROUP BY doc_id) WHERE ndrop * 2 > nblk),
          |""".stripMargin
     val tail = "AND ent.en >= 2600000000 AND d.doc_id NOT IN (SELECT id FROM hv))"
-    val patched = v4
-      .replace("kept AS (SELECT d.doc_id", passageCtes + "kept AS (SELECT d.doc_id")
+    // each anchor is REQUIRED individually: a single patched!=v4 check
+    // would pass when only one splice lands, shipping a v5 oracle with
+    // unused passage CTEs and NO v5 gates — undetectable on a fixture
+    // where the gates exclude nothing
+    val cteAnchor = "kept AS (SELECT d.doc_id"
+    require(v4.contains(cteAnchor), "v5 oracle surgery: CTE anchor missing from v4 SQL")
+    require(v4.contains(tail), "v5 oracle surgery: WHERE-tail anchor missing from v4 SQL")
+    v4.replace(cteAnchor, passageCtes + cteAnchor)
       .replace(tail,
         tail.dropRight(1) + s"\n    AND $gopherPassPredicate" +
           "\n    AND d.doc_id NOT IN (SELECT doc_id FROM pbad))")
-    require(patched != v4, "v5 oracle surgery anchors did not match the v4 SQL")
-    patched
   }
 
   val oracleSql: Map[String, String] =

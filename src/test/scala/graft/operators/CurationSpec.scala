@@ -35,6 +35,14 @@ class CurationSpec extends SparkSpec {
     assert(blocks.find(b => b._1 == 1L && b._2 == 1).get._3 != fp1)
   }
 
+  test("passageBlocks: empty docs emit no blocks even at k=1 (no md5-of-empty phantom)") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val got = Dedup.passageBlocks(df, "doc_id", "text", 1)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.map(_._1).toSet == Set(3L), got.mkString(","))
+    assert(got.length == 1)
+  }
+
   test("passage census and clean agree: dropped blocks = repeated-fp occurrences") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val blocks = Dedup.passageBlocks(docs, "doc_id", "text", 8)
