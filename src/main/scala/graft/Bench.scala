@@ -21,12 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * itself must distinguish a stalled host from a regression, so the bench
   * now also records
   *   - "calibration": a PINNED fixed-cost workload (map-only native-
-  *     expression chain over an in-memory 300-row range — no file I/O, no
-  *     shuffle, the jolt_sort shape without its input) timed at the START,
+  *     expression chain over an in-memory 200,000-row range — no file
+  *     I/O, no shuffle; see calibrationDf for why 300 rows was too small
+  *     to discriminate stalls from scheduler jitter) timed at the START,
   *     MIDDLE, and END of every pass. The workload never changes between
   *     rounds, so its samples measure the HOST, not the engine:
   *     `stall_ratio` = max/nominal sample. Grading rule (PERF.md):
-  *     stall_ratio > 3 ⇒ the host stalled inside the run — rerun instead
+  *     stall_ratio > 5 ⇒ the host stalled inside the run — rerun instead
   *     of grading round-over-round deltas from this artifact.
   *   - "passes": the per-query time of EVERY pass (the published
   *     "queries" map keeps its min-across-passes meaning). A genuine plan

@@ -133,9 +133,15 @@ object Bpe {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(rank, l, r, cnt)
+        val prev = symbolized
         symbolized = symbolized
           .withColumn("syms", applyMerge(col("syms"), l, r))
           .localCheckpoint()
+        // free the superseded checkpoint (the CC-chain discipline):
+        // without this, executor storage holds numMerges+1 copies of
+        // the vocabulary — harmless at the panel's 6 ranks, linear
+        // growth at a real merge table's thousands
+        prev.unpersist()
         rank += 1
       }
     }

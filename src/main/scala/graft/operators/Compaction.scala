@@ -77,7 +77,8 @@ object Compaction {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
 
-    private def genNumber(name: String): Long = name.stripPrefix("gen-").toLong
+    private[operators] def genNumber(name: String): Long =
+      name.stripPrefix("gen-").toLong
 
     private[operators] def genName(n: Long): String = f"gen-$n%08d"
 
@@ -99,56 +100,87 @@ object Compaction {
       * so in-flight readers of the previous generation never lose their
       * files mid-query. (At 100 TB this is "retain for the max query
       * runtime + clock skew" exactly as Delta VACUUM's retention window;
-      * one predecessor is the minimal honest version of that.) */
+      * one predecessor is the minimal honest version of that.)
+      *
+      * FLAT LEFTOVERS from the legacy migration (data at the store root,
+      * below every `gen-*`) are the pseudo-generation preceding gen-1:
+      * retained exactly while they ARE the live generation's immediate
+      * predecessor (live = gen-1, no versioned predecessor — in-flight
+      * readers that resolved the flat root pre-migration keep their
+      * files), deleted once a versioned predecessor supersedes them or
+      * when retention is off. Directories (a partitioned flat store's
+      * `cell=N/` trees) are removed recursively — deleting only root
+      * files would orphan the whole old dataset forever. */
     def vacuum(path: String, retainPrevious: Boolean = true): Unit =
       liveGen(path).foreach { live =>
         val gens = listGens(path)
-        val prev = gens.filter(genNumber(_) < genNumber(live))
-          .sortBy(genNumber).lastOption
-        val keep = Set(live) ++ (if (retainPrevious) prev else None)
+        val prevGens = gens.filter(genNumber(_) < genNumber(live))
+          .sortBy(genNumber)
+        val keep = Set(live) ++ (if (retainPrevious) prevGens.lastOption else None)
         gens.filterNot(keep).foreach(g =>
           deleteRecursively(Paths.get(path, g)))
+        val flatIsPredecessor =
+          retainPrevious && genNumber(live) == 1L && prevGens.isEmpty
+        if (!flatIsPredecessor) deleteFlatLeftovers(path)
       }
+
+    /** Direct children of the store root that are neither `gen-*`
+      * directories nor the pointer file(s): the legacy flat store's
+      * data, dead once a generation is live. */
+    private def deleteFlatLeftovers(path: String): Unit = {
+      val p = Paths.get(path)
+      if (Files.exists(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            !n.matches("gen-\\d{8}") && !n.startsWith(PointerFile)
+          }
+          .toSeq.foreach(deleteRecursively)
+        finally s.close()
+      }
+    }
   }
 
   /** Rewrite the store at `path` as `write(read(live), newGenDir)` under
     * the [[Manifest]] generation protocol:
     *
-    *   1. resolve the live data directory (flat `path` on first call);
-    *   2. write the full transformed copy to a fresh `gen-N` (a sibling
-    *      tree — the live directory is never touched);
+    *   1. delete any UNPUBLISHED partial generations (every `gen-*`
+    *      numbered above the live generation — publish immediately
+    *      follows a complete write, so a higher-numbered directory can
+    *      only be the debris of a crashed earlier rewrite; with no
+    *      `_current` at all, every `gen-*` is such debris). This is the
+    *      documented crash recovery, and it must happen BEFORE choosing
+    *      the next number: deriving nextN from max(listGens) would let
+    *      the partial inflate the sequence, survive forever, and be
+    *      mistaken for the vacuum predecessor;
+    *   2. resolve the live data directory (flat `path` on first call)
+    *      and write the full transformed copy to `gen-(live+1)` (a
+    *      sibling tree — the live directory is never touched);
     *   3. atomically publish `_current` = `gen-N`;
-    *   4. for the one-time MIGRATION of a legacy flat store only: delete
-    *      the old flat data files (readers resolving from now on never
-    *      look at them; a versioned predecessor is instead retained for
-    *      in-flight readers until [[Manifest.vacuum]]).
+    *   4. vacuum: retain the immediate predecessor (the flat root's
+    *      data plays that role right after a legacy migration — see
+    *      [[Manifest.vacuum]]) so in-flight readers keep their files.
     *
     * A crash before (3) leaves the live generation untouched and
-    * `_current` unmoved — recovery is deleting the partial `gen-N`. */
+    * `_current` unmoved — the next rewrite's step (1) clears the
+    * partial. */
   private[operators] def rewriteVersioned(spark: SparkSession, path: String)(
       write: (DataFrame, String) => Unit): Unit = {
     val live = Manifest.liveGen(path)
+    val liveN = live.map(Manifest.genNumber).getOrElse(0L)
+    Manifest.listGens(path)
+      .filter(Manifest.genNumber(_) > liveN)
+      .foreach(g => deleteRecursively(Paths.get(path, g)))
     val src = Manifest.resolve(path)
-    val nextN = Manifest.listGens(path)
-      .map(_.stripPrefix("gen-").toLong).foldLeft(0L)(math.max) + 1L
-    val gen = Manifest.genName(nextN)
+    val gen = Manifest.genName(liveN + 1L)
     val genDir = Paths.get(path, gen)
-    deleteRecursively(genDir) // partial copy from a crashed earlier run
     // Spark materializes the read lazily inside `write`; the source is
     // either the flat root (whose reader listed its files before gen-N
     // gains any) or a sibling gen directory — never the output tree.
     write(spark.read.parquet(src), genDir.toString)
     Manifest.publish(path, gen)
-    if (live.isEmpty) {
-      // legacy->versioned migration: remove the now-dead flat data files
-      // (only direct children; the new gen-N subtree is not touched)
-      val s = Files.list(Paths.get(path))
-      try s.iterator().asScala
-        .filter(f => Files.isRegularFile(f) &&
-          !f.getFileName.toString.startsWith(Manifest.PointerFile))
-        .toSeq.foreach(Files.delete)
-      finally s.close()
-    } else Manifest.vacuum(path, retainPrevious = true)
+    Manifest.vacuum(path, retainPrevious = true)
   }
 
   private[operators] def deleteRecursively(p: Path): Unit =

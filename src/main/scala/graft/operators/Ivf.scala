@@ -373,6 +373,11 @@ object Ivf {
       .filter(col("__rk") <= k)
       .select("__qid", "__tid")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a corpus of < 2 vectors yields no (query, neighbor) pairs and no
+    // coverage evidence — fail with the function's own vocabulary, not
+    // scala's "empty.max"
+    require(topPairs.nonEmpty,
+      s"deriveOperatingPoint: no sampled-kNN pairs (corpus has fewer than 2 rows?)")
     val queryIds = topPairs.map(_._1).distinct
     val targetIds = topPairs.map(_._2).distinct
     // the ≤ (k+1)·sampleSize vectors the sweep needs, fetched with the

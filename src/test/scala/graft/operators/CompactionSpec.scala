@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpec
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The streaming-lifecycle maintenance ops: appended stores accumulate
   * one small file per trigger; compaction must shrink the file count
@@ -223,6 +224,65 @@ class CompactionSpec extends SparkSpec {
       assert(Compaction.Manifest.liveGen(path) == liveBefore,
         "crash must leave the pointer on the previous generation")
       assert(Compaction.readLive(spark, path).collect().toSet == before)
+    } finally Compaction.deleteRecursively(dir)
+  }
+
+  test("crashed partial generation is recovered: next rewrite deletes it and reuses its number") {
+    val dir = java.nio.file.Files.createTempDirectory("partial_gen_")
+    try {
+      val path = dir.resolve("store").toString
+      val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      rows.write.parquet(path)
+      Compaction.compactClustered(spark, path, Seq("id")) // live = gen-1
+      // simulate a crash AFTER some gen-2 data landed but BEFORE publish:
+      // a partial, unpublished generation directory with bogus content
+      intercept[RuntimeException] {
+        Compaction.rewriteVersioned(spark, path) { (df, out) =>
+          df.limit(1).write.parquet(out) // partial data committed
+          throw new RuntimeException("crash after partial write")
+        }
+      }
+      val partial = dir.resolve("store/gen-00000002")
+      assert(java.nio.file.Files.exists(partial), "fixture: partial must exist")
+      // the next rewrite must (a) delete the partial BEFORE numbering —
+      // the partial may not inflate the sequence and survive — and
+      // (b) produce a complete, correct gen-2
+      Compaction.compactClustered(spark, path, Seq("id"))
+      assert(Compaction.Manifest.resolve(path).endsWith("gen-00000002"),
+        "recovered rewrite must reuse the partial's number, not skip past it")
+      assert(Compaction.readLive(spark, path).collect().toSet ==
+        rows.collect().toSet, "recovered generation must be complete")
+      // and vacuum's retained predecessor is the real one (gen-1), which
+      // must still exist for in-flight readers
+      assert(java.nio.file.Files.exists(dir.resolve("store/gen-00000001")),
+        "true predecessor must survive the recovery rewrite's vacuum")
+    } finally Compaction.deleteRecursively(dir)
+  }
+
+  test("legacy migration retains flat data for in-flight readers; second rewrite reclaims it, partitioned dirs included") {
+    val dir = java.nio.file.Files.createTempDirectory("flat_migrate_")
+    try {
+      val path = dir.resolve("store").toString
+      val rows = (1L to 40L).map(i => (i, i % 4)).toDF("id", "cell")
+      rows.write.partitionBy("cell").parquet(path)
+      // an in-flight reader resolved the FLAT root before any migration
+      val preMigration = Compaction.Manifest.resolve(path)
+      assert(preMigration == path)
+      // first compaction migrates flat -> gen-1; the flat data is the
+      // pseudo-predecessor and MUST survive for the in-flight reader
+      Compaction.compactPartitioned(spark, path, "cell")
+      assert(spark.read.parquet(preMigration + "/cell=0").count() == 10,
+        "in-flight flat reader must keep its files after migration")
+      // second compaction: the flat leftovers are now two generations
+      // old — reclaimed, INCLUDING the cell=N partition directories
+      // (deleting only root files would orphan the whole old dataset)
+      Compaction.compactPartitioned(spark, path, "cell")
+      val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filterNot(n => n.matches("gen-\\d{8}") || n.startsWith("_current"))
+        .toSeq
+      assert(leftovers.isEmpty, s"flat leftovers must be reclaimed: $leftovers")
+      assert(Compaction.readLive(spark, path).count() == 40)
     } finally Compaction.deleteRecursively(dir)
   }
 }
