@@ -379,4 +379,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__pid"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
+
+  test("shard manifest rides the same __pid-keyed prefix sum, never a single partition") {
+    val plan = finalPlan(q("pack_shard_manifest"))
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("domain split: map-only — one scan, no join, no shuffle before the output sort") {
+    val plan = finalPlan(q("sample_split_bydomain"))
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    // the only exchange is the output orderBy's range partitioning
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Exchange rangepartitioning(doc_id"), plan)
+  }
 }
