@@ -26,29 +26,46 @@ import org.apache.spark.sql.functions._
   *   3. default ports dropped (`:443` for https, `:80` for http);
   *      non-default ports survive;
   *   4. fragment dropped (never sent to the server);
-  *   5. tracking query parameters removed — `utm_*`, `fbclid`, `gclid`,
-  *      `ref` — and the `?` dropped when nothing survives; other
+  *   5. tracking query parameters removed — `utm_*`, `fbclid`, `gclid`
+  *      by default — and the `?` dropped when nothing survives; other
   *      parameters and their order are preserved (re-sorting parameters
-  *      can change semantics; not done);
+  *      can change semantics; not done). The default set is
+  *      deliberately limited to UNAMBIGUOUS tracking keys: `ref` looks
+  *      like one but is content-bearing on real crawls (`?ref=<branch>`
+  *      on code hosts selects a different page), so dropping it would
+  *      make canonical-URL dedup silently delete unique content —
+  *      callers with a known-safe corpus can widen the set via the
+  *      `trackKeys` parameter;
   *   6. one trailing slash stripped from a non-root path; an empty path
   *      becomes `/`.
   */
 object UrlFunctions {
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.\\-]*)://"
-  /** Tracking params dropped by rule 5 — keep in sync with the oracle
-    * SQL in queries/Pipeline.scala (urlCanonSql). The `=` is REQUIRED:
-    * without it, `ref` would eat the prefix of `referrer=x`, and the
-    * lookahead that could guard a bare-key form does not exist in RE2
-    * (the DuckDB oracle's engine) — so the rule targets key=value
-    * tracking params only, identically in both engines. */
-  private val TrackRe = "(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*"
+  /** Tracking-param KEY patterns dropped by rule 5 (each is a regex
+    * fragment matching the key, never containing `=` or `&`) — keep in
+    * sync with the oracle SQL in queries/Pipeline.scala (urlCanonCtes).
+    * Unambiguous tracking keys only; `ref` is deliberately absent (see
+    * rule 5 above). */
+  val DefaultTrackKeys: Seq[String] = Seq("utm_[^=&]*", "fbclid", "gclid")
+
+  /** The `key=value` stripper for a key-pattern set. The `=` is
+    * REQUIRED: without it, a key pattern would eat the prefix of a
+    * longer real key (`utm` vs `utmost=x`), and the lookahead that
+    * could guard a bare-key form does not exist in RE2 (the DuckDB
+    * oracle's engine) — so the rule targets key=value tracking params
+    * only, identically in both engines. */
+  private def trackRe(keys: Seq[String]): String =
+    s"(^|&)(${keys.mkString("|")})=[^&]*"
 
   /** The canonical form of `u` under rules 1-6 above. Inputs without a
     * `scheme://` prefix come back with empty scheme/host (garbage-in
     * surfaces loudly as `://...` rather than silently passing through —
     * filter non-URLs upstream). */
-  def canonicalizeUrl(u: Column): Column = {
+  def canonicalizeUrl(u: Column): Column =
+    canonicalizeUrl(u, DefaultTrackKeys)
+
+  def canonicalizeUrl(u: Column, trackKeys: Seq[String]): Column = {
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
     val afterScheme = regexp_replace(u, SchemeRe, "")
     val hostport = lower(regexp_extract(afterScheme, "^([^/?#]*)", 1))
@@ -66,7 +83,8 @@ object UrlFunctions {
     val path = when(path0 === "", lit("/"))
       .otherwise(regexp_replace(path0, "(.)/$", "$1"))
     val query0 = regexp_extract(noFrag, "\\?(.*)$", 1)
-    val query1 = regexp_replace(regexp_replace(query0, TrackRe, ""), "^&+", "")
+    val query1 =
+      regexp_replace(regexp_replace(query0, trackRe(trackKeys), ""), "^&+", "")
     val query = when(query1 === "", lit(""))
       .otherwise(concat(lit("?"), query1))
     concat(scheme, lit("://"), host, keepPort, path, query)

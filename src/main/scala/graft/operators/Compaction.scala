@@ -88,8 +88,11 @@ object Compaction {
       else {
         val s = Files.list(p)
         try s.iterator().asScala
+          // {8,}: %08d pads but does NOT truncate, so gen 10^8+ writes 9
+          // digits — an exact {8} would make those invisible to partial
+          // cleanup/vacuum while _current still resolves them
           .filter(f => Files.isDirectory(f) &&
-            f.getFileName.toString.matches("gen-\\d{8}"))
+            f.getFileName.toString.matches("gen-\\d{8,}"))
           .map(_.getFileName.toString).toSeq
         finally s.close()
       }
@@ -134,7 +137,7 @@ object Compaction {
         try s.iterator().asScala
           .filter { f =>
             val n = f.getFileName.toString
-            !n.matches("gen-\\d{8}") && !n.startsWith(PointerFile)
+            !n.matches("gen-\\d{8,}") && !n.startsWith(PointerFile)
           }
           .toSeq.foreach(deleteRecursively)
         finally s.close()

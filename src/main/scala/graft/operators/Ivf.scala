@@ -408,20 +408,29 @@ object Ivf {
     * it was derived FOR (same philosophy as [[AnnModels]]: parameters
     * are part of the model; re-deriving on a different corpus state
     * silently changes the query's meaning). Plain one-line properties
-    * file — human-auditable in the artifact dir. */
+    * file — human-auditable in the artifact dir. Only the INTEGER
+    * fields are persisted: `volume` is definitionally
+    * depth·nProbe/nCells, so recomputing it on load is exact, while a
+    * formatted decimal is both lossy (7/24 has no finite decimal) and
+    * locale-sensitive (`%.4f` under a comma-decimal default locale
+    * writes `1,0000`, which `toDouble` then rejects on reload). */
   def saveOperatingPoint(dir: String, op: OperatingPoint): Unit =
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "operating_point"),
-      f"nCells=${op.nCells}%d depth=${op.depth}%d nProbe=${op.nProbe}%d sampleSize=${op.sampleSize}%d volume=${op.volume}%.4f\n"
+      s"nCells=${op.nCells} depth=${op.depth} nProbe=${op.nProbe} sampleSize=${op.sampleSize}\n"
         .getBytes("UTF-8"))
 
   def loadOperatingPoint(dir: String): OperatingPoint = {
     val line = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "operating_point")), "UTF-8").trim
+    // unknown keys (e.g. the retired `volume=` field in pre-existing
+    // artifact dirs) parse into the map and are simply ignored
     val kv = line.split(' ').map { t =>
       val Array(a, b) = t.split('='); a -> b
     }.toMap
-    OperatingPoint(kv("nCells").toInt, kv("depth").toInt, kv("nProbe").toInt,
-      kv("sampleSize").toInt, kv("volume").toDouble)
+    val (nCells, depth, nProbe) =
+      (kv("nCells").toInt, kv("depth").toInt, kv("nProbe").toInt)
+    OperatingPoint(nCells, depth, nProbe, kv("sampleSize").toInt,
+      depth.toDouble * nProbe / nCells)
   }
 }

@@ -2748,9 +2748,14 @@ object Pipeline {
     // corpus) the product loses sub-token exactness — operationally
     // irrelevant for a token budget, and a DECIMAL(38) swap restores it.
     "sample_epoch_plan" -> ((s, dir) => {
+      // tok > 0 guard (mirrored as HAVING in the oracle): an all-empty
+      // source would otherwise divide 0/0 → NaN, which Spark casts to
+      // 0L while ANSI engines (DuckDB, Spark with ansi on) reject —
+      // and a zero-token source has no meaningful epoch plan anyway
       val tokCnt = docs(s, dir).select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
         .groupBy("source").agg(sum("toks").as("tok"))
+        .filter(col("tok") > 0)
       val tot = tokCnt.agg(sum("tok").as("t"))
       val pa = tokCnt.crossJoin(broadcast(tot))
         .select(col("source"), col("tok"), col("t"),
@@ -3081,7 +3086,7 @@ object Pipeline {
       |pq AS (SELECT *, regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
       |  regexp_extract(nofrag, '\?(.*)$', 1) AS query0 FROM f),
       |qq AS (SELECT *, regexp_replace(regexp_replace(query0,
-      |  '(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '^&+', '') AS q2 FROM pq),
+      |  '(^|&)(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') AS q2 FROM pq),
       |c AS (SELECT doc_id, url,
       |  scheme || '://' || host ||
       |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
@@ -4883,7 +4888,8 @@ object Pipeline {
 
     "sample_epoch_plan" ->
       s"""WITH tc AS (SELECT source, CAST(sum($tokenCountSql) AS BIGINT) AS tok
-         |            FROM documents GROUP BY source),
+         |            FROM documents GROUP BY source
+         |            HAVING sum($tokenCountSql) > 0),
          |tt AS (SELECT sum(tok) AS t FROM tc),
          |pa AS (SELECT source, tok, t,
          |         CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0) AS BIGINT) AS pa_nano

@@ -13,6 +13,11 @@ class UrlFunctionsSpec extends SparkSpec {
       .select(UrlFunctions.canonicalizeUrl(col("u")))
       .collect().head.getString(0)
 
+  private def canonWith(u: String, keys: Seq[String]): String =
+    Seq(u).toDF("u")
+      .select(UrlFunctions.canonicalizeUrl(col("u"), keys))
+      .collect().head.getString(0)
+
   private def domain(u: String): String =
     Seq(u).toDF("u")
       .select(UrlFunctions.urlDomain(col("u")))
@@ -41,7 +46,17 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://a.com/x?utm_source=s&b=2&a=1&fbclid=f") ==
       "https://a.com/x?b=2&a=1")
     assert(canon("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
-    assert(canon("https://a.com/x?gclid=1&ref=hn") == "https://a.com/x")
+    assert(canon("https://a.com/x?gclid=1") == "https://a.com/x")
+  }
+
+  test("ref is content-bearing, not tracking: it must survive the default set") {
+    // ?ref=<branch> on code hosts selects a DIFFERENT page — dropping it
+    // would make canonical-URL dedup delete unique content
+    assert(canon("https://a.com/repo/blob/f.txt?ref=main") ==
+      "https://a.com/repo/blob/f.txt?ref=main")
+    // callers with a known-safe corpus can widen the set explicitly
+    val wide = graft.functions.UrlFunctions.DefaultTrackKeys :+ "ref"
+    assert(canonWith("https://a.com/x?gclid=1&ref=hn", wide) == "https://a.com/x")
   }
 
   test("a param merely PREFIXED by a tracking key survives (no lookahead needed)") {

@@ -285,4 +285,28 @@ class CompactionSpec extends SparkSpec {
       assert(Compaction.readLive(spark, path).count() == 40)
     } finally Compaction.deleteRecursively(dir)
   }
+
+  test("generation numbers past 8 digits stay visible to listing/vacuum (width rollover)") {
+    // %08d pads but does not truncate: gen 10^8 writes 9 digits. The
+    // listing regex must match it, or partial-cleanup/vacuum/flat-
+    // leftover logic silently stops seeing generations _current still
+    // resolves — retention and crash recovery break at the rollover.
+    val dir = java.nio.file.Files.createTempDirectory("gen_rollover_")
+    try {
+      val path = dir.toString
+      val wide = Compaction.Manifest.genName(100000000L)
+      assert(wide == "gen-100000000", wide)
+      java.nio.file.Files.createDirectory(dir.resolve(wide))
+      java.nio.file.Files.createDirectory(dir.resolve("gen-00000007"))
+      val gens = Compaction.Manifest.listGens(path)
+      assert(gens.toSet == Set("gen-100000000", "gen-00000007"), gens.toString)
+      // numeric, not lexicographic, ordering: 9-digit gen is the max
+      assert(gens.maxBy(Compaction.Manifest.genNumber) == "gen-100000000")
+      // vacuum keyed off the wide live gen must reclaim the old one,
+      // not mistake the wide dir for flat-store debris
+      Compaction.Manifest.publish(path, wide)
+      Compaction.Manifest.vacuum(path, retainPrevious = false)
+      assert(Compaction.Manifest.listGens(path) == Seq("gen-100000000"))
+    } finally Compaction.deleteRecursively(dir)
+  }
 }

@@ -36,6 +36,24 @@ class OperatingPointSpec extends SparkSpec {
       val op = Ivf.OperatingPoint(32, 2, 27, 64, 2.0 * 27 / 32)
       Ivf.saveOperatingPoint(dir.toString, op)
       assert(Ivf.loadOperatingPoint(dir.toString) == op)
+      // a volume with no finite decimal expansion (7/24) must round-trip
+      // bit-exactly too — volume is recomputed from the integer fields on
+      // load, never parsed from a formatted decimal
+      val lossy = Ivf.OperatingPoint(24, 1, 7, 64, 7.0 / 24)
+      Ivf.saveOperatingPoint(dir.toString, lossy)
+      assert(Ivf.loadOperatingPoint(dir.toString) == lossy)
+      // the persisted file must be decimal-free: under a comma-decimal
+      // default locale a %.4f float field would write `1,0000` and break
+      // the space-separated k=v grammar on reload
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("operating_point")), "UTF-8")
+      assert(!raw.contains(".") && !raw.contains(","), raw)
+      // pre-existing artifact dirs carry the retired volume= field;
+      // loaders must ignore it rather than crash
+      java.nio.file.Files.write(dir.resolve("operating_point"),
+        "nCells=8 depth=1 nProbe=8 sampleSize=64 volume=1.0000\n".getBytes("UTF-8"))
+      assert(Ivf.loadOperatingPoint(dir.toString) ==
+        Ivf.OperatingPoint(8, 1, 8, 64, 1.0))
     } finally Compaction.deleteRecursively(dir)
   }
 
