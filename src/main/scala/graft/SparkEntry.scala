@@ -54,8 +54,21 @@ object SparkEntry {
     * (every no-oracle entry has a proof row; every proof is
     * oracle-checked; no entry is in both maps). */
   def oracleProofs: Map[String, Seq[String]] = Map(
-    // raw banded-LSH candidate set: xxhash64 buckets aren't expressible
-    // in DuckDB; recall proven by the md5-algebra twins
+    // The three remaining no-oracle entries all emit RAW SKETCH STATE —
+    // xxhash64-derived signatures/candidate sets. That output is the
+    // operator's real product (a downstream join key / incremental-store
+    // payload), so swapping it for the verified twin's output would
+    // delete the operator these entries exist to exercise; and xxhash64
+    // does not exist in DuckDB (no SQL extension can reproduce the seed
+    // schedule), so the raw values are untestable there BY CONSTRUCTION,
+    // not by omission. Each entry instead ships two proof directions:
+    // a VERIFIED twin (the sketch's downstream decision hash-matches
+    // ground truth) and a PORTABLE twin (the identical sketch algebra
+    // re-seeded from md5 integers, recomputed end-to-end in DuckDB).
+    //
+    // raw banded-LSH candidate set: recall proven by dedup_lsh_recall
+    // (every true pair survives banding), decisions by _neardups,
+    // algebra bit-for-bit by _portable, cardinality by _estcheck
     "dedup_minhash_lsh" -> Seq("dedup_lsh_recall", "dedup_minhash_neardups",
       "dedup_minhash_portable", "dedup_minhash_estcheck"),
     // raw 64-bit simhash signatures: proven by the planted-clone pair
@@ -63,12 +76,5 @@ object SparkEntry {
     "dedup_simhash" -> Seq("dedup_simhash_dups", "dedup_simhash_portable"),
     // raw winnowing fingerprint sets: proven by the verified pair set
     // and the window-min value-set algebra recomputed in DuckDB
-    "dedup_winnow" -> Seq("dedup_winnow_pairs", "dedup_winnow_portable"),
-    // RHP-LSH bucket top-k / near-dup pairs: signed-hyperplane signatures
-    // use xxhash64 seeds; recall + the full quantize→dot→sign→pack
-    // algebra proven by the recall/portable companions
-    "emb_ann_topk" -> Seq("emb_ann_topk_recall", "emb_ann_recall",
-      "emb_ann_portable"),
-    "emb_ann_neardups" -> Seq("emb_ann_recall", "emb_ann_portable",
-      "emb_near_dup_pairs"))
+    "dedup_winnow" -> Seq("dedup_winnow_pairs", "dedup_winnow_portable"))
 }

@@ -1093,12 +1093,16 @@ object Pipeline {
       Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding", threshold = 0.4)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
-    // approximate (no oracle; recall unit-tested against brute force).
-    // Operating point measured (RecallTune): 4 signature tables × 8 planes,
-    // probe radius 3 — recall 1.000 at sf0.001/0.01/0.1. One table at any
-    // radius needs ~96% probed for recall 1 on this corpus (iid random
-    // embeddings score near-uniformly against the ones query), multi-table
-    // OR-probing reaches it at ~82%; for single-query top-k at scale the
+    // RHP-LSH multi-probe top-k at its MEASURED recall-1.0 operating
+    // point (RecallTune): 4 signature tables × 8 planes, probe radius 3
+    // — recall 1.000 at sf0.001/0.01/0.1, so the ANN result set EQUALS
+    // the exact top-20 and the entry inherits the brute-force oracle
+    // directly (candidates are ranked by exact cosine with the same
+    // (score desc, id) tie-break as cosineTopK — identical rows, not
+    // just identical ids). One table at any radius needs ~96% probed
+    // for recall 1 on this corpus (iid random embeddings score
+    // near-uniformly against the ones query), multi-table OR-probing
+    // reaches it at ~82%; for single-query top-k at scale the
     // cell-pruned IVF path (emb_ivf_topk) is the real answer.
     "emb_ann_topk" -> ((s, dir) =>
       Similarity.annTopK(embs(s, dir), "vec_id", "embedding", onesQuery,
@@ -1143,9 +1147,18 @@ object Pipeline {
             .otherwise(0L)).cast("long").as("sig"))
         .orderBy("vec_id")
     }),
+    // Banded RHP-LSH near-dup pairs at the MEASURED recall-1.0 operating
+    // point (2 planes × 12 bands — the emb_ann_recall twin's point,
+    // recall 1.000 at sf0.001/0.01/0.1): candidates are exact-cosine
+    // verified (no false positives by construction), so at recall 1 the
+    // pair set EQUALS the exact pair join and the entry inherits the
+    // brute-force pairs oracle directly. Low-threshold (0.4 ≈ 66°)
+    // pairs need short band signatures: per-band match probability is
+    // (1-θ/π)^nPlanes, so 8-plane bands (the r09 point) miss true pairs
+    // while 2-plane × 12-band OR-probing catches them all.
     "emb_ann_neardups" -> ((s, dir) =>
       Similarity.annNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nPlanes = 8, nBands = 4)
+        threshold = 0.4, nPlanes = 2, nBands = 12)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
     // Candidate-recall oracle for the banded random-hyperplane LSH (the
@@ -1153,7 +1166,8 @@ object Pipeline {
     // SEMI-joined with the ANN pair set. Hash-matching the exact-pairs
     // oracle proves every true pair survived banding — recall = 1,
     // checked in SQL. Operating point (2 planes x 12 bands) measured
-    // recall 1.000 at sf0.01 (59/59) AND sf0.1 (920/920) — low-threshold
+    // recall 1.000 at sf0.001 (66/66), sf0.01 (59/59) AND sf0.1
+    // (920/920) — low-threshold
     // (0.4 ≈ 66°) pairs need short band signatures; the per-band match
     // probability is (1-θ/π)^nPlanes.
     "emb_ann_recall" -> ((s, dir) => {
@@ -2864,6 +2878,15 @@ object Pipeline {
        |FROM embeddings
        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
        |LIMIT 20""".stripMargin
+  /** The exact cosine ≥ 0.4 pair join — shared by the brute-force pairs
+    * entry and the banded-LSH entry that equals it at recall 1.0. */
+  private lazy val exactPairs04Sql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The [[bruteForceTop20Sql]] shape against the alternating ±1 query —
     * the oracle for the reloaded-model entries. */
   private lazy val altBruteForceTop20Sql =
@@ -3805,6 +3828,10 @@ object Pipeline {
     // shares ONE brute-force top-20 oracle (defined once — a silent
     // divergence between copies was the review finding)
     "emb_cosine_topk" -> bruteForceTop20Sql,
+    // recall-1.0 operating point (4 tables × 8 planes, radius 3; pinned
+    // by the emb_ann_topk_recall twin at all three SFs): ANN top-20 =
+    // exact top-20, same exact-cosine scores, same tie-break
+    "emb_ann_topk" -> bruteForceTop20Sql,
     "emb_pq_topk" -> bruteForceTop20Sql,
     "emb_sq8_topk" -> bruteForceTop20Sql,
     "emb_ivfpq_topk" -> bruteForceTop20Sql,
@@ -3844,12 +3871,12 @@ object Pipeline {
         |         FROM q JOIN ph ON ph.d = q.d GROUP BY q.vec_id, ph.p)
         |SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-    "emb_near_dup_pairs" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-         |ORDER BY id_a, id_b""".stripMargin,
+    "emb_near_dup_pairs" -> exactPairs04Sql,
+    // recall-1.0 operating point (2 planes × 12 bands; pinned by the
+    // emb_ann_recall twin at all three SFs): every true pair survives
+    // banding and candidates are exact-cosine verified, so the ANN pair
+    // set = the exact pair join — ONE shared oracle, not a copy
+    "emb_ann_neardups" -> exactPairs04Sql,
     "pipeline_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, text, $qualitySql AS quality, $langIdSql AS lang
