@@ -91,18 +91,24 @@ object UrlFunctions {
   }
 
   /** The registrable-domain key for per-domain curation (caps, dedup,
-    * mixing): lowercased host minus `www.` and port, reduced to its last
-    * two labels — `a.b.site7.com` -> `site7.com`. This is the standard
-    * LAST-TWO-LABELS heuristic; a production deployment on real web data
-    * swaps in the Public Suffix List (broadcast lookup table keyed by
-    * longest-matching suffix — same plan shape) so `example.co.uk`-style
-    * registrations group correctly. */
+    * mixing): lowercased host minus `www.` and port, reduced to its
+    * registrable domain (eTLD+1) under the vendored Public Suffix List
+    * snapshot — `a.b.site7.com` → `site7.com`, and crucially
+    * `a.example.co.uk` → `example.co.uk`, NOT `co.uk` (the last-two-
+    * labels heuristic this replaced merged every UK-commercial site
+    * into one cap/split bucket). Unknown TLDs fall under the PSL's
+    * implicit `*` rule, which IS last-two-labels — so the heuristic
+    * remains the fallback and known suffixes only refine the grouping.
+    * See [[PublicSuffixList]] for rule semantics and the snapshot.
+    *
+    * No `www.`-strip here (unlike the heuristic this replaced): the PSL
+    * lookup keeps trailing labels, so a leading `www.` never changes the
+    * result for an ordinary host (`www.site.com` → `site.com` either
+    * way) — while stripping it WOULD corrupt the rare hosts where `www`
+    * is load-bearing (`www.ck`, the PSL's canonical exception rule, and
+    * the registrable domain `www.com`). */
   def urlDomain(u: Column): Column = {
     val hostport = lower(regexp_extract(u, SchemeRe + "([^/?#]*)", 2))
-    val host = regexp_replace(
-      regexp_replace(hostport, ":\\d+$", ""), "^www\\.", "")
-    when(host.rlike("[^.]+\\.[^.]+$"),
-      regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
-      .otherwise(host)
+    RegistrableDomain(regexp_replace(hostport, ":\\d+$", ""))
   }
 }

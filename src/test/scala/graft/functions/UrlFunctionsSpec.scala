@@ -70,10 +70,43 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(canon("https://WWW.a.com?id=1#f") == "https://a.com/?id=1")
   }
 
-  test("domain: last-two-labels heuristic, port/www stripped, single-label host unchanged") {
+  test("domain: registrable domain (eTLD+1), port/www stripped, single-label host unchanged") {
     assert(domain("https://a.b.Site7.COM:8443/x") == "site7.com")
     assert(domain("HTTP://WWW.Example.com/y") == "example.com")
     assert(domain("http://localhost:8080/") == "localhost")
+  }
+
+  test("domain: PSL ccTLD registrations group by registrant, not by public suffix") {
+    // the last-two-labels heuristic returned `co.uk` here, merging every
+    // UK-commercial site into ONE cap/split bucket
+    assert(domain("https://example.co.uk/x") == "example.co.uk")
+    assert(domain("https://shop.example.co.uk/x") == "example.co.uk")
+    assert(domain("https://a.b.example.co.uk/x") == "example.co.uk")
+    assert(domain("https://news.example.com.au/") == "example.com.au")
+    assert(domain("https://www.example.ac.jp/") == "example.ac.jp")
+    assert(domain("https://sub.example.gob.mx/") == "example.gob.mx")
+    // a host that IS a public suffix has no registrable domain — comes
+    // back unchanged rather than inventing one
+    assert(domain("https://co.uk/") == "co.uk")
+  }
+
+  test("domain: PSL wildcard and exception rules") {
+    // *.ck: every direct child of ck is itself a public suffix
+    assert(domain("https://a.shop.ck/") == "a.shop.ck")
+    assert(domain("https://deep.a.shop.ck/") == "a.shop.ck")
+    // !www.ck: the exception makes www.ck registrable despite *.ck —
+    // reachable through urlDomain precisely BECAUSE it no longer strips
+    // a leading `www.` (redundant under PSL for ordinary hosts,
+    // destructive for this one)
+    assert(domain("https://www.ck/") == "www.ck")
+    assert(domain("https://sub.www.ck/") == "www.ck")
+    // fully-wildcarded ccTLD without an exception
+    assert(graft.functions.PublicSuffixList.registrable("b.a.np") == "b.a.np")
+  }
+
+  test("domain: unknown TLDs keep the last-two-labels fallback (implicit * rule)") {
+    assert(domain("https://a.b.example.zz/") == "example.zz")
+    assert(domain("https://example.dev/") == "example.dev")
   }
 
   test("canonicalization is idempotent on its own output") {
