@@ -57,16 +57,31 @@ object Bench {
       .select(length(concat(col("h"), col("m"), col("r"))).as("n"))
   }
 
-  private def timeNoop(df: DataFrame): Double = {
+  private[graft] def timeNoop(df: DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The bench session config, shared with tools.ScaleAudit so scale
+    * slopes are measured under exactly the conditions the bench grades. */
+  private[graft] def session(cpus: String): SparkSession = {
+    val spark = sessionBuilder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = sessionBuilder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    runSuite(spark, sfDir)
+  }
+
+  private def sessionBuilder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -95,9 +110,8 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
+  private def runSuite(spark: SparkSession, sfDir: String): Unit = {
     // JVM/codegen warm-up outside the timed region — including the
     // calibration plan, so its first TIMED sample measures the host, not
     // janino compiling the calibration chain itself.
@@ -167,9 +181,26 @@ object Bench {
     }
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // PER-QUERY cross-pass stall flags (round-10, closing the r09
+    // "calibration straddle" gap): three calibration samples per pass can
+    // miss a roaming 25-40 s stall window that lands between them, so the
+    // artifact additionally self-flags every (query, pass) whose time is
+    // BOTH >10× the query's own min across passes AND >2 s absolute — the
+    // first condition finds the anomaly, the second keeps scheduler
+    // jitter on sub-100 ms entries out. A genuine plan regression
+    // inflates ALL passes (min moves, nothing is flagged); a host stall
+    // inflates one pass (flagged, and the published min ignores it).
+    val passStalls = (for {
+      (name, _) <- ordered
+      m <- best.get(name).toSeq
+      pass <- 0 until runs
+      t <- passTimes(pass).get(name).toSeq
+      if t > 10 * m && t > m + 2.0
+    } yield f"""{"query":"$name","pass":$pass,"time":$t%.3f,"min":$m%.3f}""")
+      .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runs,"calibration":$calJson,"passes":$passesJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","runs":$runs,"calibration":$calJson,"pass_stalls":$passStalls,"passes":$passesJson}"""
     // The full JSON line is long (~86 per-query entries) and the driver's
     // tail-capture clipped it in r3 (BENCH_r03.json: parsed=null, truncated
     // total). Three redundant emissions so no capture mode can lose it:
@@ -182,7 +213,8 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"cal_nominal":$calNominal%.3f,"cal_stall_ratio":$stallRatio%.2f}""")
+    val nPassStalls = passStalls.count(_ == '{')
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"cal_nominal":$calNominal%.3f,"cal_stall_ratio":$stallRatio%.2f,"n_pass_stalls":$nPassStalls}""")
     spark.stop()
   }
 }
