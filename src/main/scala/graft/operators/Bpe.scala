@@ -116,33 +116,81 @@ object Bpe {
   /** Learn `numMerges` merges. Returns the ordered merge table and the
     * final symbolization (word, wcount, syms) — the table a coverage /
     * vocabulary panel reads. Stops early if the vocabulary runs out of
-    * adjacent pairs (every word a single symbol). */
-  def learnMerges(words: DataFrame,
-                  numMerges: Int): (Seq[Merge], DataFrame) = {
+    * adjacent pairs (every word a single symbol).
+    *
+    * BATCHED ROUNDS (round-10; the r09 version ran one Spark job + one
+    * 1-row collect + one localCheckpoint PER MERGE — correct, but a
+    * real 32k-merge vocabulary is 32k sequential scheduler barriers,
+    * days of latency at any data size): each round now computes pair
+    * counts ONCE, pulls the top `batch`+1 pairs (driver traffic stays
+    * model-sized), and accepts the longest PREFIX of the ranking that
+    * is provably serial-equivalent, then applies all accepted merges in
+    * one map-only chain with one checkpoint. Round count drops from
+    * O(merges) to O(merges / batch̄) with the result BIT-IDENTICAL to
+    * the serial algorithm (BpeSpec pins serial == batched on the
+    * fixture) because a prefix is accepted only while:
+    *
+    *   1. pairwise SYMBOL-DISJOINT, where each accepted pair (l, r)
+    *      claims {l, r, l+r}: merging (a,b) only removes adjacencies
+    *      touching a or b and only creates adjacencies touching the
+    *      new symbol ab, so any candidate sharing none of the three
+    *      has its exact serial count already — stale counts are exact
+    *      for the whole accepted prefix;
+    *   2. STRICTLY above the boundary (the first non-accepted pair):
+    *      ties shrink the batch, so every rejected / newly-created
+    *      pair (both bounded by rejected stale counts) stays strictly
+    *      below every accepted count — serial could not have ranked
+    *      anything between or re-ordered the prefix (its own order is
+    *      preserved because prefix counts are unchanged and the
+    *      (cnt DESC, l, r) tie-break is replayed verbatim).
+    *
+    * Worst case (all top pairs chained, or boundary ties) a round
+    * accepts one pair — exactly the serial algorithm. tools/BpeTune
+    * measures the realized batch factor; PERF.md records it. */
+  def learnMerges(words: DataFrame, numMerges: Int,
+                  batch: Int = 64): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     var symbolized = initialSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val best = pairCounts(symbolized)
+      val want = math.min(batch, numMerges - rank + 1)
+      val top = pairCounts(symbolized)
         .orderBy(desc("cnt"), col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(want + 1).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, cnt) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(rank, l, r, cnt)
+        // rule 1: longest symbol-disjoint prefix ({l, r, l+r} claimed)
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var blocked = false
+        while (k < math.min(want, top.length) && !blocked) {
+          val (l, r) = (top(k).getString(0), top(k).getString(1))
+          if (used(l) || used(r) || used(l + r)) blocked = true
+          else { used += l; used += r; used += (l + r); k += 1 }
+        }
+        // rule 2: strict boundary — shrink while the last accepted ties
+        // the first non-accepted (k == top.length means no boundary:
+        // the vocabulary has no further pairs at all)
+        while (k > 1 && k < top.length &&
+          top(k - 1).getLong(2) == top(k).getLong(2)) k -= 1
         val prev = symbolized
-        symbolized = symbolized
-          .withColumn("syms", applyMerge(col("syms"), l, r))
-          .localCheckpoint()
+        var df = symbolized
+        for (i <- 0 until k) {
+          val (l, r, cnt) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          merges += Merge(rank, l, r, cnt)
+          df = df.withColumn("syms", applyMerge(col("syms"), l, r))
+          rank += 1
+        }
+        symbolized = df.localCheckpoint()
         // free the superseded checkpoint (the CC-chain discipline):
-        // without this, executor storage holds numMerges+1 copies of
-        // the vocabulary — harmless at the panel's 6 ranks, linear
-        // growth at a real merge table's thousands
+        // without this, executor storage holds one vocabulary copy per
+        // ROUND — harmless at the panel's ranks, linear growth at a
+        // real merge table's thousands
         prev.unpersist()
-        rank += 1
       }
     }
     (merges.result(), symbolized)

@@ -64,6 +64,42 @@ class BpeSpec extends SparkSpec {
     assert(merges.head.left == "a" && merges.head.right == "b")
   }
 
+  test("batched rounds are bit-identical to serial on the fixture corpus") {
+    // the exactness claim behind the O(merges/batch) round count: the
+    // disjoint-prefix + strict-boundary rules must reproduce the serial
+    // algorithm's merge table EXACTLY, ranks, pairs and counts — on the
+    // real fixture vocabulary, not a toy
+    val words = Bpe.wordCounts(
+      graft.sources.Tables.load(spark, sf, "documents"), "text")
+    val (serial, _) = Bpe.learnMerges(words, numMerges = 16, batch = 1)
+    val (batched, _) = Bpe.learnMerges(words, numMerges = 16, batch = 64)
+    assert(serial.size == 16, serial.size.toString)
+    assert(batched == serial,
+      s"batched diverged from serial:\n$batched\nvs\n$serial")
+  }
+
+  test("strict-boundary shrink: a tie against a conflicting pair falls back toward serial") {
+    // (a,b)=3 tops; (c,d)=2 ties (d,e)=2 which conflicts on d — the
+    // batch must NOT accept (c,d) on stale counts (a merged neighbor
+    // could have re-ranked it serially), so round 1 accepts only (a,b);
+    // the final table still matches serial exactly
+    val words = Seq(("ab", 3L), ("cde", 2L)).toDF("word", "wcount")
+    val (serial, _) = Bpe.learnMerges(words, numMerges = 3, batch = 1)
+    val (batched, _) = Bpe.learnMerges(words, numMerges = 3, batch = 64)
+    assert(serial.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((1, "a", "b", 3L), (2, "c", "d", 2L), (3, "cd", "e", 2L)))
+    assert(batched == serial, batched.toString)
+  }
+
+  test("disjoint batch accepts several merges in one round with serial ranks") {
+    val words = Seq(("ab", 4L), ("cd", 3L), ("ef", 2L)).toDF("word", "wcount")
+    val (batched, fin) = Bpe.learnMerges(words, numMerges = 3, batch = 64)
+    assert(batched.map(m => (m.rank, m.left, m.right, m.pairCount)) ==
+      Seq((1, "a", "b", 4L), (2, "c", "d", 3L), (3, "e", "f", 2L)))
+    val syms = fin.orderBy("word").collect().map(_.getSeq[String](2)).toSeq
+    assert(syms == Seq(Seq("ab"), Seq("cd"), Seq("ef")), syms.toString)
+  }
+
   test("tokenize: in-vocab words reproduce the learned symbolization; OOV words re-merge as far as the ranks reach") {
     val corpus = Seq(("abc", 5L), ("abd", 3L)).toDF("word", "wcount")
     val (merges, fin) = Bpe.learnMerges(corpus, numMerges = 2)
