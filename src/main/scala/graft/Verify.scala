@@ -11,7 +11,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      // ansi=false is the engine's documented coercion contract (casts of
+      // malformed strings → NULL, the reference's permissive typing) —
+      // but every entry is ANSI-CLEAN by construction (guarded divisions,
+      // no overflow-prone casts): AnsiParitySpec + the SPARK_GRAFT_ANSI=
+      // true full-suite run recorded in PERF.md prove a default Spark 4
+      // session (ANSI on) returns identical rows for all 245 entries.
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       // default threshold is Int.MaxValue: a huge .limit(n) then allocates
       // an n-entry top-k buffer per partition (TakeOrderedAndProject);
       // above this, plans fall back to distributed Sort + GlobalLimit
