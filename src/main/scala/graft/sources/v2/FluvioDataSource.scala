@@ -121,10 +121,21 @@ object FluvioDsv2 {
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
 
+  /** PLANNER-side footer parses actually performed (cache misses) —
+    * the steady-state contract is that `latestOffset` on an unchanged
+    * topic costs file stats only: each segment's footer is parsed at
+    * most ONCE per (path, mtime, length) identity, never once per
+    * trigger. FluvioDsv2Spec pins a zero delta across triggers;
+    * tools/StreamBench reports the counter beside throughput.
+    * (Executor-side DATA reads open footers as part of reading — that
+    * is the scan itself, not planning overhead, and is not counted.) */
+  val footerParses = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def rowCount(f: File): Long =
     rowCountCache.computeIfAbsent(
       (f.getAbsolutePath, f.lastModified(), f.length()),
       _ => {
+        footerParses.incrementAndGet()
         val r = ParquetFileReader.open(
           HadoopInputFile.fromPath(new Path(f.getAbsolutePath), new Configuration()))
         try r.getRecordCount finally r.close()

@@ -29,6 +29,37 @@ class FluvioDsv2Spec extends SparkSpec {
     (name, q)
   }
 
+  test("steady-state planning parses each segment footer at most once, never per trigger") {
+    // the 100 TB contract behind latestOffset: row counts come from the
+    // (path, mtime, length)-keyed footer cache, so a trigger over an
+    // UNCHANGED topic costs file stats only — at a production trigger
+    // rate, per-trigger footer parsing would be a planner-side read
+    // amplification proportional to segment count x trigger count
+    val (dir, topicDir) = mkTopic("dsv2_footer", 100)
+    // snapshot BEFORE the query binds: bind-time offset resolution is
+    // allowed (and expected) to parse the initial segments' footers
+    val before = FluvioDsv2.footerParses.get()
+    val (name, q) = startQuery("events -B", dir.getAbsolutePath)
+    try {
+      q.processAllAvailable()
+      val afterDrain = FluvioDsv2.footerParses.get()
+      assert(afterDrain - before >= 1, "the initial drain must parse the segment")
+      // repeated no-new-data rounds: zero parses
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(FluvioDsv2.footerParses.get() == afterDrain,
+        "triggers over an unchanged topic must not parse footers")
+      // one appended segment: exactly the new file's footer is parsed
+      Tables.load(spark, sf, "events")
+        .filter(col("event_id") >= 100 && col("event_id") < 130)
+        .coalesce(1).write.mode("append").parquet(topicDir.getAbsolutePath)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 130)
+      val appended = FluvioDsv2.footerParses.get() - afterDrain
+      assert(appended == 1, s"expected 1 new-footer parse, got $appended")
+    } finally q.stop()
+  }
+
   test("micro-batches deliver new segments as the topic grows; offsets are log positions") {
     val (dir, topicDir) = mkTopic("dsv2_grow", 100)
     val (name, q) = startQuery("events -B", dir.getAbsolutePath)
