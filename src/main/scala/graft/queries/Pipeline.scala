@@ -1462,6 +1462,26 @@ object Pipeline {
       TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "hash", "window"), topN = 20)
         .orderBy("rk")),
+    // ---- hybrid retrieval: BM25 lexical ranks ⊕ exact-cosine vector
+    // ranks fused by Reciprocal Rank Fusion (k=60) — the RAG-data
+    // default because rank-based fusion needs no score normalization
+    // between the two scales. Fusion arithmetic is pure INTEGER
+    // parts-per-billion (1e9 div (k+rank)), so the oracle replays it
+    // exactly; both input lists are deep (top-50) so the fused top-20
+    // sees rank agreement, not truncation luck. vec_id ≡ doc_id by
+    // fixture construction (both enumerate the same documents).
+    "retrieval_rrf_hybrid" -> ((s, dir) => {
+      val bm = TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+          terms = Seq("spark", "hash", "window"), topN = 50)
+        .select(col("doc_id"), col("rk"))
+      val em = graft.operators.Retrieval.cosineRanks(
+          embs(s, dir), "vec_id", "embedding", onesQuery, topN = 50)
+        .select(col("vec_id").as("doc_id"), col("rk"))
+      graft.operators.Retrieval.rrfFuse(bm, em, "doc_id", kRrf = 60, topN = 20)
+        .withColumnRenamed("rk_a", "rk_text")
+        .withColumnRenamed("rk_b", "rk_vec")
+        .orderBy("rk")
+    }),
     // ---- corpus length distribution: EXACT linear-interpolation
     // quartiles (p25/p50/p75/p90) of n_chars per source — the
     // distribution panel of the corpus health report. Exact percentile
@@ -2789,6 +2809,46 @@ object Pipeline {
             .cast("double") * 1e6 / col("tok")).cast("long"))
         .select("source", "tok", "weight_micro", "target_toks", "n_epochs",
           "last_epoch_frac_micro")
+        .orderBy("source")
+    }),
+    // ANNEALED two-phase training mix — the "decay to high-quality /
+    // uniform data at the end of training" recipe: phase A (80% of a
+    // 2×-corpus token budget) allocates by temperature weights
+    // (α = 0.7, the sample_temperature algebra verbatim), phase B (the
+    // final 20%) allocates UNIFORMLY across sources — the anneal. Per
+    // source: both phase allocations and the total repeat factor a
+    // data loader applies. Integer algebra throughout: the 80/20 cut
+    // and the uniform share are integral divisions, phase-A targets
+    // multiply through DOUBLE in the exact op order the oracle mirrors
+    // (the sample_epoch_plan discipline).
+    "sample_mixture_anneal" -> ((s, dir) => {
+      val tokCnt = docs(s, dir).select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy("source").agg(sum("toks").as("tok"))
+        .filter(col("tok") > 0)
+      val tot = tokCnt.agg(sum("tok").as("t"),
+        count(lit(1)).as("nsrc"))
+      val pa = tokCnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("tok"), col("t"), col("nsrc"),
+          round(pow(col("tok").cast("double") / col("t"), 0.7) * 1e9)
+            .cast("long").as("pa_nano"))
+      val z = pa.agg(sum("pa_nano").as("z"))
+      pa.crossJoin(broadcast(z))
+        .withColumn("weight_micro",
+          round(col("pa_nano") * 1e6 / col("z")).cast("long"))
+        // integral 80/20 cut of the 2x budget: budget_b = (2t) div 5,
+        // budget_a = 2t - budget_b — exact, no float
+        .withColumn("budget_b", expr("(t * 2) div 5"))
+        .withColumn("budget_a", col("t") * 2 - col("budget_b"))
+        .withColumn("toks_phase_a",
+          floor(col("budget_a").cast("double") * col("weight_micro") / 1e6)
+            .cast("long"))
+        .withColumn("toks_phase_b", expr("budget_b div nsrc"))
+        .withColumn("repeat_micro",
+          floor((col("toks_phase_a") + col("toks_phase_b"))
+            .cast("double") * 1e6 / col("tok")).cast("long"))
+        .select("source", "tok", "weight_micro", "toks_phase_a",
+          "toks_phase_b", "repeat_micro")
         .orderBy("source")
     }),
     // Deterministic SHUFFLED sequence packing: the corpus concatenated
@@ -4208,6 +4268,49 @@ object Pipeline {
          |      FROM sc)
          |SELECT id AS doc_id, score_micro, CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // the bm25 pipeline above at depth 50, the brute-force cosine ranks
+    // at depth 50, full-outer-joined and fused with INTEGER ppb
+    // reciprocal-rank contributions (1e9 // (rank+60)) — no float
+    // enters the fusion, so the replay is exact
+    "retrieval_rrf_hybrid" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT id, tok, count(*) AS tf FROM t
+         |         WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+         |c AS (SELECT post.id,
+         |        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * (1.2 + 1.0))
+         |          / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+         |          * 1000000.0) AS BIGINT) AS sm
+         |      FROM post JOIN dfq ON post.tok = dfq.tok
+         |                JOIN dl ON post.id = dl.id, st),
+         |sc AS (SELECT id, sum(sm) AS score_micro FROM c GROUP BY id),
+         |br AS (SELECT id, row_number() OVER (ORDER BY score_micro DESC, id ASC) AS rk
+         |       FROM sc),
+         |bt AS (SELECT id, rk FROM br WHERE rk <= 50),
+         |et AS (SELECT vec_id AS id,
+         |         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) AS score
+         |       FROM embeddings
+         |       ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |       LIMIT 50),
+         |er AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rk FROM et),
+         |f AS (SELECT coalesce(bt.id, er.id) AS doc_id,
+         |        coalesce(bt.rk, 0) AS rk_text, coalesce(er.rk, 0) AS rk_vec
+         |      FROM bt FULL OUTER JOIN er ON bt.id = er.id),
+         |s AS (SELECT doc_id, rk_text, rk_vec,
+         |        (CASE WHEN rk_text > 0 THEN 1000000000 // (rk_text + 60) ELSE 0 END
+         |         + CASE WHEN rk_vec > 0 THEN 1000000000 // (rk_vec + 60) ELSE 0 END) AS rrf_ppb
+         |      FROM f)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(rk_text AS BIGINT) AS rk_text,
+         |       CAST(rk_vec AS BIGINT) AS rk_vec,
+         |       CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
+         |       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id ASC) AS INTEGER) AS rk
+         |FROM s ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
     // quantile_cont is the same linear-interpolation percentile Spark's
     // exact `percentile` computes
     "stats_quantiles" ->
@@ -4935,6 +5038,30 @@ object Pipeline {
          |       CAST(floor(CAST(target_toks - (n_epochs - 1) * tok AS DOUBLE)
          |              * 1000000.0 / tok) AS BIGINT) AS last_epoch_frac_micro
          |FROM e ORDER BY source""".stripMargin,
+
+    "sample_mixture_anneal" ->
+      s"""WITH tc AS (SELECT source, CAST(sum($tokenCountSql) AS BIGINT) AS tok
+         |            FROM documents GROUP BY source
+         |            HAVING sum($tokenCountSql) > 0),
+         |tt AS (SELECT CAST(sum(tok) AS BIGINT) AS t,
+         |              CAST(count(*) AS BIGINT) AS nsrc FROM tc),
+         |pa AS (SELECT source, tok, t, nsrc,
+         |         CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.0) AS BIGINT) AS pa_nano
+         |       FROM tc, tt),
+         |z AS (SELECT sum(pa_nano) AS z FROM pa),
+         |w AS (SELECT source, tok, t, nsrc,
+         |        CAST(round(pa_nano * 1000000.0 / z) AS BIGINT) AS weight_micro
+         |      FROM pa, z),
+         |b AS (SELECT *, CAST((t * 2) // 5 AS BIGINT) AS budget_b,
+         |        CAST(t * 2 - ((t * 2) // 5) AS BIGINT) AS budget_a FROM w),
+         |p AS (SELECT source, tok, weight_micro,
+         |        CAST(floor(CAST(budget_a AS DOUBLE) * weight_micro / 1000000.0) AS BIGINT) AS toks_phase_a,
+         |        CAST(budget_b // nsrc AS BIGINT) AS toks_phase_b
+         |      FROM b)
+         |SELECT source, tok, weight_micro, toks_phase_a, toks_phase_b,
+         |       CAST(floor(CAST(toks_phase_a + toks_phase_b AS DOUBLE)
+         |              * 1000000.0 / tok) AS BIGINT) AS repeat_micro
+         |FROM p ORDER BY source""".stripMargin,
 
     "pack_shuffled_chunks" ->
       s"""WITH t AS (SELECT doc_id,
