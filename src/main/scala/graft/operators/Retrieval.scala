@@ -52,15 +52,23 @@ object Retrieval {
     * seen in EITHER list — (id, rk_a, rk_b, rrf_ppb, rk), where a
     * missing rank reports 0 and contributes nothing, `rrf_ppb` is the
     * integer parts-per-billion fusion score, and `rk` is the fused
-    * rank under (rrf_ppb DESC, id ASC). */
+    * rank under (rrf_ppb DESC, id ASC).
+    *
+    * UNION + hash-aggregate, not a join: the outer-merge of ranked
+    * lists is tag-union-max (a list never ranks an id twice, so `max`
+    * recovers each side's rank exactly) — Spark cannot broadcast a
+    * FULL OUTER join, so the join formulation sort-merges even
+    * 50-row inputs, while this shape is one tiny hash aggregate and
+    * generalizes to fusing N lists unchanged. */
   def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
               kRrf: Int = 60, topN: Int = 20): DataFrame = {
-    val aa = a.select(col(idCol).as("id"), col("rk").cast("long").as("rk_a"))
-    val bb = b.select(col(idCol).as("id"), col("rk").cast("long").as("rk_b"))
-    val fused = aa.join(bb, Seq("id"), "full_outer")
-      .select(col("id"),
-        coalesce(col("rk_a"), lit(0L)).as("rk_a"),
-        coalesce(col("rk_b"), lit(0L)).as("rk_b"))
+    val aa = a.select(col(idCol).as("id"),
+      col("rk").cast("long").as("rk_a"), lit(0L).as("rk_b"))
+    val bb = b.select(col(idCol).as("id"),
+      lit(0L).as("rk_a"), col("rk").cast("long").as("rk_b"))
+    val fused = aa.unionByName(bb)
+      .groupBy("id")
+      .agg(max("rk_a").as("rk_a"), max("rk_b").as("rk_b"))
       .withColumn("rrf_ppb",
         (when(col("rk_a") > 0,
           expr(s"1000000000 div (rk_a + $kRrf)")).otherwise(0L) +

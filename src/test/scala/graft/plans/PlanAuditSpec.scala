@@ -395,4 +395,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(plan.contains("Exchange rangepartitioning(doc_id"), plan)
   }
+
+  test("RRF hybrid: corpus work stays in the rankers; the fusion is a joinless union-aggregate") {
+    val plan = finalPlan(q("retrieval_rrf_hybrid"))
+    // shortlists form via per-partition top-k (limit=50), the fused
+    // list via another (limit=20) — no global sort anywhere (AQE
+    // reprints query-stage subtrees, so pin presence, not counts)
+    assert(plan.contains("TakeOrderedAndProject(limit=50"), plan)
+    assert(plan.contains("TakeOrderedAndProject(limit=20"), plan)
+    assert(plan.contains("Union"), plan)
+    // the fusion itself: union + hash aggregate over ≤100 rows — the
+    // outer-merge never becomes a join (Spark cannot broadcast a FULL
+    // OUTER join, so a join formulation would sort-merge; the
+    // union-max shape avoids the operator entirely). The only joins
+    // in the plan are the BM25 ranker's internal BROADCAST joins —
+    // including its 1-row corpus-stats crossJoin(broadcast), which
+    // plans as BroadcastNestedLoopJoin Cross with the scalar build
+    // side and is the intended scalar-broadcast idiom.
+    assert(!plan.contains("FullOuter"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both ranker inputs scanned (documents + embeddings), no other table
+    assert(plan.contains("documents.parquet"), plan)
+    assert(plan.contains("embeddings.parquet"), plan)
+    assert(!plan.contains("lineitem.parquet"), plan)
+  }
 }
