@@ -48,7 +48,7 @@ object Bench {
     * measured 15 ms nominal and a healthy run false-alarmed at 4.8×),
     * small enough that 6 samples cost ~1 s of a 100+ s suite — while a
     * 25-30 s host stall window still inflates a landing sample 10-100×. */
-  private def calibrationDf(spark: SparkSession): DataFrame = {
+  private[graft] def calibrationDf(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.range(0, 200000, 1, 8).select(
       sha2(concat_ws(":", col("id"), lit("graft-cal")), 256).as("h"),

@@ -124,6 +124,19 @@ object PublicSuffixList {
       wildcard.iterator.map(_.count(_ == '.') + 2) ++
       exception.iterator.map(_.count(_ == '.') + 1)).max
 
+  // The DuckDB oracle mirrors this table with a fixed-depth CASE
+  // (queries/Pipeline.scala urlCanonCtes interpolates these sets), which
+  // is exact ONLY while every exact rule is 2 labels, every wildcard
+  // parent 1 label, and every exception 2 labels. Extending the snapshot
+  // past those shapes must extend the SQL mirror too — fail loudly here
+  // rather than let the two algorithms drift silently.
+  require(exact.forall(_.count(_ == '.') == 1),
+    "SQL mirror supports 2-label exact rules only — extend urlCanonCtes first")
+  require(wildcard.forall(!_.contains(".")),
+    "SQL mirror supports 1-label wildcard parents only — extend urlCanonCtes first")
+  require(exception.forall(_.count(_ == '.') == 1),
+    "SQL mirror supports 2-label exception rules only — extend urlCanonCtes first")
+
   /** The registrable domain of an already-normalized host (lowercase,
     * no port — [[UrlFunctions.urlDomain]] does that normalization
     * upstream; NO `www.`-strip is needed or wanted, see there).

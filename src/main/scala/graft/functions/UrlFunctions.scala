@@ -91,8 +91,8 @@ object UrlFunctions {
   }
 
   /** The registrable-domain key for per-domain curation (caps, dedup,
-    * mixing): lowercased host minus `www.` and port, reduced to its
-    * registrable domain (eTLD+1) under the vendored Public Suffix List
+    * mixing): lowercased port-stripped host reduced to its registrable
+    * domain (eTLD+1) under the vendored Public Suffix List
     * snapshot — `a.b.site7.com` → `site7.com`, and crucially
     * `a.example.co.uk` → `example.co.uk`, NOT `co.uk` (the last-two-
     * labels heuristic this replaced merged every UK-commercial site

@@ -3154,31 +3154,55 @@ object Pipeline {
   /** CTE chain recomputing [[graft.functions.UrlFunctions.canonicalizeUrl]]
     * step by step in DuckDB (same regexps; DuckDB's regexp_replace needs
     * the explicit 'g' flag where Spark's is global by default, and RE2's
-    * replacement backref is `\1` where Java's is `$1`). Expects a CTE
-    * `u(doc_id, url)` upstream; yields `c(doc_id, url, canonical_url,
-    * domain)`. */
-  private val urlCanonCtes: String =
-    """p AS (SELECT doc_id, url,
-      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
-      |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS rest0 FROM u),
+    * replacement backref is `\1` where Java's is `$1`). The `domain`
+    * column replays the PSL registrable-domain lookup
+    * ([[graft.functions.PublicSuffixList]]) with the rule sets
+    * INTERPOLATED from the same object the Spark side reads — one
+    * source of truth, no drift; the fixed-depth CASE is exact because
+    * the snapshot's rule shapes are pinned by require() at the source
+    * (2-label exact, 1-label wildcard parents, 2-label exceptions, so
+    * the public suffix is always 1 or 2 labels). `host` (www-stripped)
+    * feeds only canonical_url — rule 2 of canonicalization; the domain
+    * lookup uses `hostd` (port-stripped, www KEPT: `www.ck`).
+    * Expects a CTE `u(doc_id, url)` upstream; yields
+    * `c(doc_id, url, canonical_url, domain)`. */
+  private val urlCanonCtes: String = {
+    def inList(s: Set[String]) = s.toSeq.sorted.map("'" + _ + "'").mkString(", ")
+    val exact = inList(graft.functions.PublicSuffixList.exact)
+    val wild = inList(graft.functions.PublicSuffixList.wildcard)
+    val exc = inList(graft.functions.PublicSuffixList.exception)
+    s"""p AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+      |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest0 FROM u),
       |h AS (SELECT *, lower(regexp_extract(rest0, '^([^/?#]*)', 1)) AS hostport,
       |  regexp_replace(rest0, '^[^/?#]*', '') AS rest1 FROM p),
-      |hp AS (SELECT *, regexp_extract(hostport, ':(\d+)$', 1) AS port,
-      |  regexp_replace(regexp_replace(hostport, ':\d+$', ''), '^www\.', '') AS host FROM h),
-      |f AS (SELECT *, regexp_replace(rest1, '#.*$', '') AS nofrag FROM hp),
+      |hp AS (SELECT *, regexp_extract(hostport, ':(\\d+)$$', 1) AS port,
+      |  regexp_replace(regexp_replace(hostport, ':\\d+$$', ''), '^www\\.', '') AS host,
+      |  regexp_replace(hostport, ':\\d+$$', '') AS hostd FROM h),
+      |lab AS (SELECT *, string_split(hostd, '.') AS labs,
+      |  len(string_split(hostd, '.')) AS nlab FROM hp),
+      |dom AS (SELECT *,
+      |  CASE WHEN nlab >= 2 THEN array_to_string(labs[nlab-1:nlab], '.') ELSE hostd END AS last2,
+      |  CASE WHEN nlab >= 3 THEN array_to_string(labs[nlab-2:nlab], '.') ELSE NULL END AS last3,
+      |  labs[nlab] AS last1 FROM lab),
+      |f AS (SELECT *, regexp_replace(rest1, '#.*$$', '') AS nofrag FROM dom),
       |pq AS (SELECT *, regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
-      |  regexp_extract(nofrag, '\?(.*)$', 1) AS query0 FROM f),
+      |  regexp_extract(nofrag, '\\?(.*)$$', 1) AS query0 FROM f),
       |qq AS (SELECT *, regexp_replace(regexp_replace(query0,
       |  '(^|&)(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') AS q2 FROM pq),
       |c AS (SELECT doc_id, url,
       |  scheme || '://' || host ||
       |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
       |            OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END ||
-      |  CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$', '\1') END ||
+      |  CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$$', '\\1') END ||
       |  CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
-      |  CASE WHEN regexp_matches(host, '[^.]+\.[^.]+$')
-      |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) ELSE host END AS domain
+      |  CASE
+      |    WHEN nlab >= 2 AND last2 IN ($exc) THEN last2
+      |    WHEN nlab >= 3 AND (last2 IN ($exact) OR last1 IN ($wild)) THEN last3
+      |    WHEN nlab >= 2 THEN last2
+      |    ELSE hostd END AS domain
       |  FROM qq)""".stripMargin
+  }
 
   private val langIdSql: String = {
     val scores = TextAnalysis.stopwords.map { case (l, ws) => l -> stopHits(ws) }

@@ -31,6 +31,11 @@ object StreamBench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.streaming.metricsEnabled", "true")
+      // recentProgress retains only the last N updates (default 100);
+      // a tight trigger cap produces more data batches than that and
+      // the artifact would silently describe a SUFFIX of the drain
+      // while claiming the whole — retain enough for any cap
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,11 +70,17 @@ object StreamBench {
         .getOrElse(p.durationMs.values().stream()
           .mapToLong(_.longValue()).sum()))
     val totalBatchMs = batchMs.sum
+    // cross-check that retention really covered the drain: every record
+    // admitted must appear in some retained progress row
+    require(totalRows > 0, "stream delivered no rows — nothing to measure")
     // steady state excludes the first data batch (stream start-up, sink
-    // init, first-trigger planning all land there)
-    val steady = withRows.drop(1)
+    // init, first-trigger planning all land there); a single-batch run
+    // has no steady state, so fall back to the all-batches number
+    // rather than reporting 0
+    val steady = if (withRows.size > 1) withRows.drop(1) else withRows
     val steadyRows = steady.map(_.numInputRows).sum
-    val steadyMs = batchMs.drop(1).sum
+    val steadyMs =
+      (if (withRows.size > 1) batchMs.drop(1) else batchMs).sum
     val recsPerSec = if (totalBatchMs > 0) totalRows * 1000.0 / totalBatchMs else 0.0
     val steadyRps = if (steadyMs > 0) steadyRows * 1000.0 / steadyMs else 0.0
     val line =

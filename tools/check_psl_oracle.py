@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Adversarial parity check for the PSL registrable-domain SQL mirror.
+
+The DuckDB oracle for the URL-curation entries interpolates the
+PublicSuffixList rule sets into a fixed-depth CASE (Pipeline.urlCanonCtes).
+The fixture URLs only exercise `.com`, so this script replays the oracle's
+OWN canonicalization CTEs over adversarial URLs that hit every rule class
+(ccTLD exact rules, *.ck wildcard, !www.ck exception, unknown-TLD
+fallback, public-suffix-only hosts) and compares against the expected
+eTLD+1 — the values UrlFunctionsSpec pins for the Scala side. Both
+engines checked against one truth table = the algorithms agree.
+
+Usage: python3 tools/check_psl_oracle.py <verifyOutDir>
+       (needs <dir>/oracle_sql.json containing text_url_normalize,
+        e.g. from `runMain graft.tools.VerifyOne text_url_normalize ...`)
+"""
+import json, sys, os
+import duckdb
+
+CASES = [
+    ("https://shop.example.co.uk/x", "example.co.uk"),
+    ("https://a.b.example.co.uk:443/y/", "example.co.uk"),
+    ("https://news.example.com.au/", "example.com.au"),
+    ("https://www.ck/", "www.ck"),                  # !www.ck exception
+    ("https://sub.www.ck/", "www.ck"),
+    ("https://deep.a.shop.ck/", "a.shop.ck"),       # *.ck wildcard
+    ("https://WWW.Site3.COM/Articles/5", "site3.com"),
+    ("https://example.dev/", "example.dev"),        # unknown TLD fallback
+    ("http://localhost:8080/", "localhost"),        # single label
+    ("https://co.uk/", "co.uk"),                    # host IS a public suffix
+    ("https://b.a.np/", "b.a.np"),                  # *.np wildcard
+    ("https://www.example.ac.jp/", "example.ac.jp"),
+]
+
+def main(out_dir):
+    sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[
+        "text_url_normalize"]
+    tail = sql[sql.index("p AS ("):]
+    vals = ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(CASES))
+    q = f"WITH u(doc_id, url) AS (VALUES {vals}), {tail}"
+    n_bad = 0
+    for doc_id, url, _canon, domain in duckdb.sql(q).fetchall():
+        want = CASES[doc_id][1]
+        status = "PASS" if domain == want else f"FAIL (expected {want})"
+        if domain != want:
+            n_bad += 1
+        print(f"{status}  {url} -> {domain}")
+    print(f"== {len(CASES) - n_bad}/{len(CASES)} PSL oracle cases match ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1]))
