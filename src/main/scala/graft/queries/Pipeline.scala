@@ -1486,6 +1486,40 @@ object Pipeline {
     // quartiles (p25/p50/p75/p90) of n_chars per source — the
     // distribution panel of the corpus health report. Exact percentile
     // over integers; micro-rounded once for the cross-engine compare.
+    // ---- Zipf-slope fit per source: OLS of ln(freq) on ln(rank) over
+    // each source's top-100 tokens — natural text sits near slope −1;
+    // a source that deviates hard (templated/boilerplate ≪ −1, or
+    // near-uniform gibberish ≈ 0) is a corpus-health red flag. Exactness
+    // via the house pattern: ln values quantize to integer micro PER
+    // ROW, the OLS moment sums are then pure BIGINT (order-free), and
+    // the final slope is one deterministic double expression from exact
+    // integers. The rank window is SOURCE-partitioned (no global sort);
+    // the only corpus-sized shuffle is the (source, token) count.
+    "stats_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, dir)
+        .select(col("source"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("tok").asc)
+      val pts = freq.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("source"),
+          round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+      pts.groupBy("source").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n") >= 2) // n>=2 ⇒ distinct ranks ⇒ denominator > 0
+        .select(col("source"), col("n").as("n_points"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * 1e6)
+            .cast("long").as("zipf_slope_micro"))
+        .orderBy("source")
+    }),
     "stats_quantiles" -> ((s, dir) =>
       docs(s, dir).groupBy("source").agg(
         count(lit(1)).as("n"),
@@ -2115,6 +2149,54 @@ object Pipeline {
     // per-row terms → exact BIGINT sums → one micro rounding per
     // component) make the whole linear-algebra loop exactly reproducible
     // in DuckDB's unrolled replay of the same algebra.
+    // ---- per-dimension moment panel: mean and variance of every
+    // embedding coordinate — the collapsed-dimension diagnostic (a dim
+    // whose variance ≈ 0 carries no information; a drifted mean flags a
+    // normalization bug upstream). Components quantize to integer micro
+    // per row; the per-dim moment sums are pure BIGINT, and mean/var are
+    // single deterministic double expressions from exact integers. One
+    // posexplode shuffle onto 64 keys with map-side partial aggregation.
+    "emb_dim_variance" -> ((s, dir) =>
+      embs(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("d"), floor(col("v").cast("double") * 1e6)
+          .cast("long").as("q"))
+        .groupBy("d").agg(count(lit(1)).as("n"), sum("q").as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .select(col("d"),
+          round(col("s").cast("double") / col("n")).cast("long")
+            .as("mean_micro"),
+          round((col("ss").cast("double") / col("n")
+            - (col("s").cast("double") / col("n"))
+            * (col("s").cast("double") / col("n"))) / 1e6)
+            .cast("long").as("var_micro"))
+        .orderBy("d")),
+    // ---- participation ratio of the per-dimension variance spectrum:
+    // PR = (Σ var_d)² / Σ var_d² — the effective dimensionality the
+    // embedding space actually uses (PR = n_dims for a flat spectrum,
+    // → 1 as the space collapses onto one axis). The diagonal
+    // approximation of the covariance-eigenvalue PR: no eigensolve, the
+    // 64 per-dim variances come from the emb_dim_variance aggregation
+    // and the PR itself is arithmetic on a 64-row table.
+    "emb_participation_ratio" -> ((s, dir) => {
+      val dv = embs(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("d"), floor(col("v").cast("double") * 1e6)
+          .cast("long").as("q"))
+        .groupBy("d").agg(count(lit(1)).as("n"), sum("q").as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .select(
+          round((col("ss").cast("double") / col("n")
+            - (col("s").cast("double") / col("n"))
+            * (col("s").cast("double") / col("n"))) / 1e6)
+            .cast("long").as("var_micro"))
+      dv.agg(count(lit(1)).as("n_dims"),
+          sum("var_micro").as("sv"),
+          sum(col("var_micro") * col("var_micro")).as("svv"))
+        .select(col("n_dims"),
+          round((col("sv") * col("sv")).cast("double") / col("svv") * 1e6)
+            .cast("long").as("pr_micro"))
+    }),
     "emb_power_iteration" -> ((s, dir) =>
       graft.operators.Spectral.powerIteration(embs(s, dir), "embedding")
         .orderBy("d")),
@@ -4335,6 +4417,52 @@ object Pipeline {
          |       CAST(rrf_ppb AS BIGINT) AS rrf_ppb,
          |       CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id ASC) AS INTEGER) AS rk
          |FROM s ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin,
+    "stats_zipf_fit" ->
+      s"""WITH t AS (SELECT source, tok FROM (SELECT source,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |fr AS (SELECT source, tok, count(*) AS freq FROM t GROUP BY source, tok),
+         |rk AS (SELECT source, freq,
+         |         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank
+         |       FROM fr),
+         |pt AS (SELECT source,
+         |         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |       FROM rk WHERE rank <= 100),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM pt GROUP BY source HAVING count(*) >= 2)
+         |SELECT source, n AS n_points,
+         |       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |              / (n * sxx - sx * sx) * 1000000.0) AS BIGINT) AS zipf_slope_micro
+         |FROM m ORDER BY source""".stripMargin,
+    "emb_dim_variance" ->
+      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |q AS (SELECT d, CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
+        |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |        CAST(sum(q * q) AS BIGINT) AS ss FROM q GROUP BY d)
+        |SELECT CAST(d AS INTEGER) AS d,
+        |       CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+        |       CAST(round((CAST(ss AS DOUBLE) / n
+        |              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |              / 1000000.0) AS BIGINT) AS var_micro
+        |FROM m ORDER BY d""".stripMargin,
+    "emb_participation_ratio" ->
+      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+        |q AS (SELECT d, CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
+        |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+        |        CAST(sum(q * q) AS BIGINT) AS ss FROM q GROUP BY d),
+        |dv AS (SELECT CAST(round((CAST(ss AS DOUBLE) / n
+        |                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        |                / 1000000.0) AS BIGINT) AS var_micro FROM m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dims,
+        |       CAST(round(CAST(CAST(sum(var_micro) AS BIGINT)
+        |              * CAST(sum(var_micro) AS BIGINT) AS DOUBLE)
+        |              / CAST(sum(var_micro * var_micro) AS BIGINT) * 1000000.0) AS BIGINT) AS pr_micro
+        |FROM dv""".stripMargin,
     // quantile_cont is the same linear-interpolation percentile Spark's
     // exact `percentile` computes
     "stats_quantiles" ->
