@@ -2193,6 +2193,10 @@ object Pipeline {
       dv.agg(count(lit(1)).as("n_dims"),
           sum("var_micro").as("sv"),
           sum(col("var_micro") * col("var_micro")).as("svv"))
+        // svv = 0 only if EVERY dimension has zero variance (a constant
+        // corpus) — no meaningful PR exists, and the guard keeps the
+        // division ANSI-clean on that degenerate edge (HAVING-mirrored)
+        .filter(col("svv") > 0)
         .select(col("n_dims"),
           round((col("sv") * col("sv")).cast("double") / col("svv") * 1e6)
             .cast("long").as("pr_micro"))
@@ -4462,7 +4466,7 @@ object Pipeline {
         |       CAST(round(CAST(CAST(sum(var_micro) AS BIGINT)
         |              * CAST(sum(var_micro) AS BIGINT) AS DOUBLE)
         |              / CAST(sum(var_micro * var_micro) AS BIGINT) * 1000000.0) AS BIGINT) AS pr_micro
-        |FROM dv""".stripMargin,
+        |FROM dv HAVING sum(var_micro * var_micro) > 0""".stripMargin,
     // quantile_cont is the same linear-interpolation percentile Spark's
     // exact `percentile` computes
     "stats_quantiles" ->

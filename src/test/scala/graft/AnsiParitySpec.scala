@@ -34,7 +34,10 @@ class AnsiParitySpec extends SparkSpec {
     "corpus_source_kl",       // log(p/q) with smoothing
     "sample_temperature",     // pow(tok/total, alpha) weight algebra
     "text_bpe_fertility",     // tokens/words per rank
-    "vocab_coverage")         // coverage fractions
+    "vocab_coverage",         // coverage fractions
+    "stats_zipf_fit",         // OLS slope: moment-sum division
+    "emb_participation_ratio", // (Σv)²/Σv² with the svv > 0 guard
+    "retrieval_rrf_hybrid")   // integral div fusion (div vs //)
 
   test("division/cast-heavy entries return identical rows under a default (ANSI) Spark 4 session") {
     val ansi = spark.newSession()

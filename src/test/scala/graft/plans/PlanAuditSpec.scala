@@ -396,6 +396,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Exchange rangepartitioning(doc_id"), plan)
   }
 
+  test("zipf fit: the rank window is SOURCE-partitioned, never a single global partition") {
+    val plan = finalPlan(q("stats_zipf_fit"))
+    assert(plan.contains("windowspecdefinition(source"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("dim variance: one posexplode shuffle with map-side partial aggregation, no join") {
+    val plan = finalPlan(q("emb_dim_variance"))
+    assert(plan.contains("partial_count"), plan) // map-side combine ran
+    assert(!plan.contains("Join"), plan)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("RRF hybrid: corpus work stays in the rankers; the fusion is a joinless union-aggregate") {
     val plan = finalPlan(q("retrieval_rrf_hybrid"))
     // shortlists form via per-partition top-k (limit=50), the fused
