@@ -160,6 +160,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixture anneal: phase budgets partition the 2x total; uniform phase B; repeat factor consistent") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val totalToks = d.select(org.apache.spark.sql.functions.sum(
+        graft.operators.TextAnalysis.tokenCount(
+          org.apache.spark.sql.functions.col("text")).cast("long")))
+      .head().getLong(0)
+    val plan = graft.SparkEntry.queries("sample_mixture_anneal")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    val nsrc = plan.length.toLong
+    val budgetB = (totalToks * 2) / 5
+    val budgetA = totalToks * 2 - budgetB
+    // phase B is UNIFORM: every source gets exactly budget_b div nsrc
+    val uniform = budgetB / nsrc
+    assert(plan.forall(_.getAs[Long]("toks_phase_b") == uniform),
+      plan.map(_.getAs[Long]("toks_phase_b")).mkString(","))
+    // phase A fills its budget up to one floor step per source plus the
+    // weight-rounding drift (Σ weight_micro = 1e6 ± one step per source,
+    // so the filled total can sit a hair over or under the budget)
+    val sumA = plan.map(_.getAs[Long]("toks_phase_a")).sum
+    val slack = nsrc + budgetA * nsrc / 1000000L + 1
+    assert(math.abs(sumA - budgetA) <= slack,
+      s"phase A sum $sumA vs budget $budgetA (slack $slack)")
+    // the repeat factor reconstructs from the phase allocations exactly
+    for (r <- plan) {
+      val (tok, ta, tb, rep) = (r.getAs[Long]("tok"),
+        r.getAs[Long]("toks_phase_a"), r.getAs[Long]("toks_phase_b"),
+        r.getAs[Long]("repeat_micro"))
+      assert(rep == math.floor((ta + tb).toDouble * 1e6 / tok).toLong,
+        s"source ${r.getString(0)}")
+    }
+  }
+
   test("passage store: aligned clones hit fully, a one-word prefix shifts the frame to zero") {
     val dir = java.nio.file.Files.createTempDirectory("pstore_").toFile.getAbsolutePath
     val hist = Seq((1L, s"$w8a $w8b"), (2L, s"$w8b one two three four five six seven"))
