@@ -122,6 +122,37 @@ pa AS (SELECT source, CAST(round(pow(CAST(tok AS DOUBLE) / t, 0.7) * 1000000000.
        FROM tc, tt),
 z AS (SELECT sum(pa_nano) AS z FROM pa)
 SELECT pa_nano * 1000000.0 / z AS y FROM pa, z"""),
+        # stats_zipf_fit: the per-point ln quantizations feeding the OLS
+        # moment sums (a flip in any point shifts sx/sy/sxy/sxx)
+        ("zipf_ln_micro", f"""WITH t AS (SELECT source, tok FROM
+  (SELECT source, unnest(string_split({NORM}, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0),
+fr AS (SELECT source, tok, count(*) AS freq FROM t GROUP BY source, tok),
+rk AS (SELECT source, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank
+       FROM fr),
+pt AS (SELECT * FROM rk WHERE rank <= 100)
+SELECT ln(CAST(rank AS DOUBLE)) * 1000000.0 AS y FROM pt
+UNION ALL
+SELECT ln(CAST(freq AS DOUBLE)) * 1000000.0 AS y FROM pt"""),
+        # stats_zipf_fit: the final slope quantization itself
+        ("zipf_slope_micro", f"""WITH t AS (SELECT source, tok FROM
+  (SELECT source, unnest(string_split({NORM}, ' ')) AS tok FROM documents)
+  WHERE length(tok) > 0),
+fr AS (SELECT source, tok, count(*) AS freq FROM t GROUP BY source, tok),
+rk AS (SELECT source, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank
+       FROM fr),
+pt AS (SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+       FROM rk WHERE rank <= 100),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pt GROUP BY source HAVING count(*) >= 2)
+SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+       / (n * sxx - sx * sx) * 1000000.0 AS y FROM m"""),
     ]
 
 
