@@ -143,9 +143,18 @@ object PublicSuffixList {
     * Single-label hosts (`localhost`) and hosts that ARE a public
     * suffix come back unchanged. */
   def registrable(host: String): String = {
-    val labels = host.split('.')
+    // trailing-dot FQDNs ("example.com.") normalize first, in lockstep
+    // with the SQL mirror: Scala's split drops trailing empty labels
+    // while DuckDB's string_split keeps them, and the
+    // return-host-unchanged paths below must agree on WHICH host string
+    // that is — the dotless one, in both engines
+    val h =
+      if (host.nonEmpty && host.charAt(host.length - 1) == '.')
+        host.replaceAll("\\.+$", "")
+      else host
+    val labels = h.split('.')
     val n = labels.length
-    if (n <= 1) return host
+    if (n <= 1) return h
     val maxK = math.min(n, maxRuleLabels)
     // exception rules beat everything: public suffix = rule minus its
     // leftmost label
@@ -167,7 +176,7 @@ object PublicSuffixList {
       }
     }
     val take = math.min(n, psLen + 1)
-    if (take == n) host else labels.drop(n - take).mkString(".")
+    if (take == n) h else labels.drop(n - take).mkString(".")
   }
 
   private def suffixOf(labels: Array[String], k: Int): String = {

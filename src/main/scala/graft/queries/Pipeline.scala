@@ -17,6 +17,27 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Per-dimension moment sums of the micro-quantized embedding
+    * components — (d, n, s, ss), all BIGINT-exact. The ONE aggregation
+    * behind both emb_dim_variance and emb_participation_ratio (and
+    * mirrored once as dimMomentsCtes in the oracle SQL): a fix to the
+    * quantization or the moments lands in both panels or neither. */
+  private def dimMoments(s: SparkSession, dir: String) =
+    embs(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("d"), floor(col("v").cast("double") * 1e6)
+        .cast("long").as("q"))
+      .groupBy("d").agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("ss"))
+
+  /** var_micro from [[dimMoments]] output — the exact double op order
+    * the oracle replays. */
+  private def dimVarMicroCol =
+    round((col("ss").cast("double") / col("n")
+      - (col("s").cast("double") / col("n"))
+      * (col("s").cast("double") / col("n"))) / 1e6)
+      .cast("long").as("var_micro")
+
   /** The corpus scored by the PERSISTED English stupid-backoff LM —
     * train-once-score-many (the AnnModels/BPE artifact discipline
     * applied to the CCNet-style quality LM, which is every bit as much
@@ -2157,39 +2178,22 @@ object Pipeline {
     // single deterministic double expressions from exact integers. One
     // posexplode shuffle onto 64 keys with map-side partial aggregation.
     "emb_dim_variance" -> ((s, dir) =>
-      embs(s, dir)
-        .select(posexplode(col("embedding")).as(Seq("d", "v")))
-        .select(col("d"), floor(col("v").cast("double") * 1e6)
-          .cast("long").as("q"))
-        .groupBy("d").agg(count(lit(1)).as("n"), sum("q").as("s"),
-          sum(col("q") * col("q")).as("ss"))
+      dimMoments(s, dir)
         .select(col("d"),
           round(col("s").cast("double") / col("n")).cast("long")
             .as("mean_micro"),
-          round((col("ss").cast("double") / col("n")
-            - (col("s").cast("double") / col("n"))
-            * (col("s").cast("double") / col("n"))) / 1e6)
-            .cast("long").as("var_micro"))
+          dimVarMicroCol)
         .orderBy("d")),
     // ---- participation ratio of the per-dimension variance spectrum:
     // PR = (Σ var_d)² / Σ var_d² — the effective dimensionality the
     // embedding space actually uses (PR = n_dims for a flat spectrum,
     // → 1 as the space collapses onto one axis). The diagonal
     // approximation of the covariance-eigenvalue PR: no eigensolve, the
-    // 64 per-dim variances come from the emb_dim_variance aggregation
-    // and the PR itself is arithmetic on a 64-row table.
+    // 64 per-dim variances come from the SHARED emb_dim_variance
+    // aggregation (dimMoments/dimVarMicroCol — the two panels cannot
+    // desynchronize) and the PR itself is arithmetic on a 64-row table.
     "emb_participation_ratio" -> ((s, dir) => {
-      val dv = embs(s, dir)
-        .select(posexplode(col("embedding")).as(Seq("d", "v")))
-        .select(col("d"), floor(col("v").cast("double") * 1e6)
-          .cast("long").as("q"))
-        .groupBy("d").agg(count(lit(1)).as("n"), sum("q").as("s"),
-          sum(col("q") * col("q")).as("ss"))
-        .select(
-          round((col("ss").cast("double") / col("n")
-            - (col("s").cast("double") / col("n"))
-            * (col("s").cast("double") / col("n"))) / 1e6)
-            .cast("long").as("var_micro"))
+      val dv = dimMoments(s, dir).select(dimVarMicroCol)
       dv.agg(count(lit(1)).as("n_dims"),
           sum("var_micro").as("sv"),
           sum(col("var_micro") * col("var_micro")).as("svv"))
@@ -3024,6 +3028,22 @@ object Pipeline {
        |FROM embeddings
        |ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
        |LIMIT 20""".stripMargin
+  /** The oracle mirror of [[dimMoments]] — e/q/m CTE chain yielding
+    * m(d, n, s, ss); shared by emb_dim_variance and
+    * emb_participation_ratio so the two panels replay ONE algebra. */
+  private val dimMomentsCtes: String =
+    """e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+      |q AS (SELECT d, CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
+      |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
+      |        CAST(sum(q * q) AS BIGINT) AS ss FROM q GROUP BY d)""".stripMargin
+
+  /** The oracle mirror of [[dimVarMicroCol]] (reads m's columns). */
+  private val dimVarMicroSql: String =
+    """CAST(round((CAST(ss AS DOUBLE) / n
+      |              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+      |              / 1000000.0) AS BIGINT)""".stripMargin
+
   /** The exact cosine ≥ 0.4 pair join — shared by the brute-force pairs
     * entry and the banded-LSH entry that equals it at recall 1.0. */
   private lazy val exactPairs04Sql =
@@ -3264,7 +3284,7 @@ object Pipeline {
       |  regexp_replace(rest0, '^[^/?#]*', '') AS rest1 FROM p),
       |hp AS (SELECT *, regexp_extract(hostport, ':(\\d+)$$', 1) AS port,
       |  regexp_replace(regexp_replace(hostport, ':\\d+$$', ''), '^www\\.', '') AS host,
-      |  regexp_replace(hostport, ':\\d+$$', '') AS hostd FROM h),
+      |  regexp_replace(regexp_replace(hostport, ':\\d+$$', ''), '\\.+$$', '') AS hostd FROM h),
       |lab AS (SELECT *, string_split(hostd, '.') AS labs,
       |  len(string_split(hostd, '.')) AS nlab FROM hp),
       |dom AS (SELECT *,
@@ -4442,26 +4462,14 @@ object Pipeline {
          |              / (n * sxx - sx * sx) * 1000000.0) AS BIGINT) AS zipf_slope_micro
          |FROM m ORDER BY source""".stripMargin,
     "emb_dim_variance" ->
-      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
-        |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-        |q AS (SELECT d, CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
-        |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
-        |        CAST(sum(q * q) AS BIGINT) AS ss FROM q GROUP BY d)
+      s"""WITH $dimMomentsCtes
         |SELECT CAST(d AS INTEGER) AS d,
         |       CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_micro,
-        |       CAST(round((CAST(ss AS DOUBLE) / n
-        |              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-        |              / 1000000.0) AS BIGINT) AS var_micro
+        |       $dimVarMicroSql AS var_micro
         |FROM m ORDER BY d""".stripMargin,
     "emb_participation_ratio" ->
-      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
-        |                  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
-        |q AS (SELECT d, CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
-        |m AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS s,
-        |        CAST(sum(q * q) AS BIGINT) AS ss FROM q GROUP BY d),
-        |dv AS (SELECT CAST(round((CAST(ss AS DOUBLE) / n
-        |                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
-        |                / 1000000.0) AS BIGINT) AS var_micro FROM m)
+      s"""WITH $dimMomentsCtes,
+        |dv AS (SELECT $dimVarMicroSql AS var_micro FROM m)
         |SELECT CAST(count(*) AS BIGINT) AS n_dims,
         |       CAST(round(CAST(CAST(sum(var_micro) AS BIGINT)
         |              * CAST(sum(var_micro) AS BIGINT) AS DOUBLE)

@@ -70,9 +70,15 @@ object StreamBench {
         .getOrElse(p.durationMs.values().stream()
           .mapToLong(_.longValue()).sum()))
     val totalBatchMs = batchMs.sum
-    // cross-check that retention really covered the drain: every record
-    // admitted must appear in some retained progress row
-    require(totalRows > 0, "stream delivered no rows — nothing to measure")
+    // cross-check that retention really covered the drain: the retained
+    // progress rows must account for EVERY record in the topic (a `-B`
+    // full drain), or the artifact would describe a suffix of the drain
+    // while claiming the whole — the failure mode the retention conf
+    // guards against, verified rather than assumed
+    val expected = FluvioDsv2.leo(sfDir, "events").values.sum
+    require(totalRows == expected,
+      s"progress rows cover $totalRows of $expected topic records — " +
+        "retention clipped the drain; raise numRecentProgressUpdates")
     // steady state excludes the first data batch (stream start-up, sink
     // init, first-trigger planning all land there); a single-batch run
     // has no steady state, so fall back to the all-batches number

@@ -109,6 +109,16 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(domain("https://example.dev/") == "example.dev")
   }
 
+  test("domain: trailing-dot FQDNs normalize before the lookup (split-semantics parity)") {
+    // Scala's split drops trailing empty labels, DuckDB's string_split
+    // keeps them — both engines now strip the dots FIRST, so the
+    // return-host-unchanged paths agree on the dotless string
+    assert(domain("https://example.com./") == "example.com")
+    assert(domain("https://shop.example.co.uk./x") == "example.co.uk")
+    assert(graft.functions.PublicSuffixList.registrable("example.com..") ==
+      "example.com")
+  }
+
   test("canonicalization is idempotent on its own output") {
     val urls = Seq(
       "HTTPS://WWW.Site3.COM:443/Articles/5/?utm_source=a&id=2#frag",

@@ -30,6 +30,8 @@ CASES = [
     ("https://co.uk/", "co.uk"),                    # host IS a public suffix
     ("https://b.a.np/", "b.a.np"),                  # *.np wildcard
     ("https://www.example.ac.jp/", "example.ac.jp"),
+    ("https://example.com./", "example.com"),       # trailing-dot FQDN
+    ("https://shop.example.co.uk./x", "example.co.uk"),
 ]
 
 def main(out_dir):
@@ -49,4 +51,8 @@ def main(out_dir):
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) != 2:
+        print("Usage: python3 tools/check_psl_oracle.py <verifyOutDir>  "
+              "(dir must contain oracle_sql.json with text_url_normalize)")
+        sys.exit(2)
     sys.exit(main(sys.argv[1]))
