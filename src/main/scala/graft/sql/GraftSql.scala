@@ -279,6 +279,8 @@ object GraftSql {
       viaColumn("graft_fingerprint", TextAnalysis.fingerprint),
       viaColumn("graft_scrub_pii", TextAnalysis.scrubPii),
       viaColumn("graft_nfc", graft.functions.NfcNormalize.apply),
+      viaColumn("graft_canon_url", graft.functions.UrlFunctions.canonicalizeUrl(_)),
+      viaColumn("graft_domain", graft.functions.UrlFunctions.urlDomain),
       viaColumn("graft_simhash", c => shim.column(
         graft.functions.SimHashText(shim.expression(c)))),
       textInt("graft_top_gram_frac", (e, n) => graft.functions.TopGramFrac(e, n)),

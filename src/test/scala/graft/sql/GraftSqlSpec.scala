@@ -166,6 +166,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("URL kernels from SQL: canonicalization and PSL domain match the API") {
+    val s = registered()
+    import s.implicits._
+    Seq((1L, "HTTPS://WWW.Site3.COM:443/A/?utm_source=x&id=2#f"),
+        (2L, "https://shop.example.co.uk./x?ref=main"))
+      .toDF("id", "url").createOrReplaceTempView("t_urls")
+    val viaSql = s.sql(
+      """SELECT id, graft_canon_url(url) AS c, graft_domain(url) AS d
+        |FROM t_urls ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val viaApi = s.table("t_urls").select(col("id"),
+      graft.functions.UrlFunctions.canonicalizeUrl(col("url")).as("c"),
+      graft.functions.UrlFunctions.urlDomain(col("url")).as("d"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // rule 6: the single trailing slash strips from the non-root path
+    assert(viaSql(0) == ((1L, "https://site3.com/A?id=2", "site3.com")),
+      viaSql(0).toString)
+    assert(viaSql(1)._3 == "example.co.uk", viaSql(1).toString)
+  }
+
   test("round-8 kernels from SQL: positional grams and Z-values match the API") {
     val s = registered()
     import s.implicits._
