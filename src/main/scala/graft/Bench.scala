@@ -185,9 +185,9 @@ object Bench {
     // "calibration straddle" gap): three calibration samples per pass can
     // miss a roaming 25-40 s stall window that lands between them, so the
     // artifact additionally self-flags every (query, pass) whose time is
-    // BOTH >10× the query's own min across passes AND >2 s absolute — the
-    // first condition finds the anomaly, the second keeps scheduler
-    // jitter on sub-100 ms entries out. A genuine plan regression
+    // BOTH >10× the query's own min across passes AND more than 2 s ABOVE
+    // that min (t > m + 2.0) — the first condition finds the anomaly, the
+    // second keeps scheduler jitter on sub-100 ms entries out. A genuine plan regression
     // inflates ALL passes (min moves, nothing is flagged); a host stall
     // inflates one pass (flagged, and the published min ignores it).
     val passStalls = (for {

@@ -135,7 +135,18 @@ object Bpe {
     *      touching a or b and only creates adjacencies touching the
     *      new symbol ab, so any candidate sharing none of the three
     *      has its exact serial count already — stale counts are exact
-    *      for the whole accepted prefix;
+    *      for the whole accepted prefix. The claim extends ACROSS
+    *      rounds: l+r must also differ from every previously learned
+    *      merge's concatenation (every multi-character vocabulary
+    *      symbol is exactly one of those, so the driver knows the full
+    *      set without touching the data). Without that, a merge whose
+    *      product string-equals a symbol built earlier under a
+    *      different bracketing (vocabulary holds 'abc' from (ab,c)
+    *      while (a,bc) is accepted now) would ADD occurrences of the
+    *      EXISTING symbol — boosting the stale count of a
+    *      below-boundary pair touching it to stale+created, which
+    *      serial (recounting after each merge) could have ranked
+    *      ahead of the rest of the batch;
     *   2. STRICTLY above the boundary (the first non-accepted pair):
     *      ties shrink the batch, so every rejected / newly-created
     *      pair (both bounded by rejected stale counts) stays strictly
@@ -153,6 +164,9 @@ object Bpe {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     var symbolized = initialSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
+    // every multi-character symbol the vocabulary can contain is the
+    // concatenation of a learned merge — the cross-round leg of rule 1
+    val learnedSyms = scala.collection.mutable.Set.empty[String]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
@@ -162,13 +176,16 @@ object Bpe {
         .limit(want + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        // rule 1: longest symbol-disjoint prefix ({l, r, l+r} claimed)
+        // rule 1: longest symbol-disjoint prefix ({l, r, l+r} claimed
+        // within the batch, AND l+r not re-creating a symbol an earlier
+        // round already built — see the cross-round leg above)
         val used = scala.collection.mutable.Set.empty[String]
         var k = 0
         var blocked = false
         while (k < math.min(want, top.length) && !blocked) {
           val (l, r) = (top(k).getString(0), top(k).getString(1))
-          if (used(l) || used(r) || used(l + r)) blocked = true
+          if (used(l) || used(r) || used(l + r) || learnedSyms(l + r))
+            blocked = true
           else { used += l; used += r; used += (l + r); k += 1 }
         }
         // rule 2: strict boundary — shrink while the last accepted ties
@@ -182,6 +199,7 @@ object Bpe {
           val (l, r, cnt) =
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
           merges += Merge(rank, l, r, cnt)
+          learnedSyms += (l + r)
           df = df.withColumn("syms", applyMerge(col("syms"), l, r))
           rank += 1
         }

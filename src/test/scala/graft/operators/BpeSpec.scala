@@ -100,6 +100,32 @@ class BpeSpec extends SparkSpec {
     assert(syms == Seq(Seq("ab"), Seq("cd"), Seq("ef")), syms.toString)
   }
 
+  test("batched == serial on a bracketing-aliasing corpus (cross-round symbol re-creation guard)") {
+    // adversarial vocabulary for the cross-round leg of rule 1: dense in
+    // words whose merge products alias under different bracketings
+    // ('abc' reachable as (ab,c) or (a,bc); 'bbc', 'abbc', 'bcc'
+    // likewise), with weights staged so batches span rounds where an
+    // aliasing candidate can surface mid-list. Batched acceptance must
+    // block any pair whose product re-creates an earlier round's symbol
+    // (it would add occurrences of the EXISTING symbol and boost stale
+    // below-boundary counts); the merge table must stay bit-identical
+    // to serial at every batch width.
+    val words = Seq(
+      ("ab", 100L), ("abc", 90L), ("abcc", 85L), ("zabcc", 80L),
+      ("ebc", 75L), ("bcc", 70L), ("abbcc", 65L), ("aabbc", 60L),
+      ("bbc", 55L), ("abbc", 50L), ("aabc", 45L), ("zab", 40L),
+      ("bc", 35L), ("cab", 30L), ("bca", 25L), ("cba", 20L),
+      ("aabbcc", 15L), ("abab", 10L), ("bcbc", 8L), ("ccc", 5L)
+    ).toDF("word", "wcount")
+    val (serial, _) = Bpe.learnMerges(words, numMerges = 14, batch = 1)
+    assert(serial.size == 14, serial.toString)
+    for (b <- Seq(2, 4, 64)) {
+      val (batched, _) = Bpe.learnMerges(words, numMerges = 14, batch = b)
+      assert(batched == serial,
+        s"batch=$b diverged from serial:\n$batched\nvs\n$serial")
+    }
+  }
+
   test("tokenize: in-vocab words reproduce the learned symbolization; OOV words re-merge as far as the ranks reach") {
     val corpus = Seq(("abc", 5L), ("abd", 3L)).toDF("word", "wcount")
     val (merges, fin) = Bpe.learnMerges(corpus, numMerges = 2)
