@@ -31,17 +31,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * not a broadcast join: domain extraction stays a map-only codegen'd
   * expression with zero shuffle — at 100 TB the difference between a
   * per-row hash-set probe and joining every row against a rules table.
-  * The snapshot covers the high-traffic ccTLD registration suffixes and
-  * the stable wildcard/exception entries; a production deployment
-  * refreshes [[PublicSuffixList]] from the upstream list file (same
-  * sets, same algorithm — the data is MPL-2.0, refreshed periodically).
+  * The snapshot covers the high-traffic ccTLD registration suffixes,
+  * the stable wildcard/exception entries, AND the private-section
+  * platform-hosting suffixes (`github.io`, `blogspot.*`, the
+  * `amazonaws.com` website/compute families, …) — kept in a separate
+  * set so a refresh that pulls only the ICANN section preserves them
+  * deliberately; a production deployment refreshes [[PublicSuffixList]]
+  * from the upstream list file (same sets, same algorithm — the data
+  * is MPL-2.0, refreshed periodically).
   */
 object PublicSuffixList {
 
   /** Multi-label exact rules (single-label TLDs need no entry: the
     * default `*` rule already makes any top label a public suffix).
     * Snapshot subset of the ICANN section, keyed by the second-level
-    * registration conventions that dominate crawl traffic. */
+    * registration conventions that dominate crawl traffic, plus the
+    * deeper US locality conventions (`k12.<state>.us` and the
+    * 4-label Massachusetts private-school entries) — the depth-3+
+    * shapes that forced the oracle CTE to go depth-general. */
   val exact: Set[String] = Set(
     // United Kingdom
     "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
@@ -104,38 +111,87 @@ object PublicSuffixList {
     "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
     "co.hu", "org.hu", "info.hu", "priv.hu",
     "com.ro", "org.ro", "info.ro", "arts.ro",
-    // misc high-traffic
-    "co.nl", "com.de", "co.com", "us.com", "uk.com", "eu.com",
+    // Canadian provinces
     "gc.ca", "qc.ca", "on.ca", "bc.ca", "ab.ca", "mb.ca", "ns.ca",
-    "nb.ca", "sk.ca", "nl.ca", "pe.ca", "nt.ca", "nu.ca", "yt.ca")
+    "nb.ca", "sk.ca", "nl.ca", "pe.ca", "nt.ca", "nu.ca", "yt.ca",
+    // US locality second-levels: k12/community-college/library per
+    // state; Massachusetts has no public k12.ma.us rule — its
+    // school registrations live one label deeper (4-label rules)
+    "k12.ak.us", "k12.al.us", "k12.ca.us", "k12.co.us", "k12.fl.us",
+    "k12.ga.us", "k12.il.us", "k12.mi.us", "k12.mn.us", "k12.ny.us",
+    "k12.oh.us", "k12.or.us", "k12.pa.us", "k12.tx.us", "k12.va.us",
+    "k12.wa.us", "k12.wi.us",
+    "cc.ca.us", "cc.fl.us", "cc.il.us", "cc.ny.us", "cc.tx.us",
+    "lib.ca.us", "lib.fl.us", "lib.il.us", "lib.ny.us", "lib.tx.us",
+    "pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us")
+
+  /** PRIVATE-section exact rules — platform hosting suffixes where
+    * every customer subdomain is an independent registrant. Kept in a
+    * SEPARATE set from the ICANN section deliberately: a snapshot
+    * refresh that pulls only the ICANN list must not silently drop
+    * them (they change domain-cap/split grouping for all of GitHub
+    * Pages, Blogspot, S3 website hosting, …). Without these, every
+    * GitHub-Pages site groups as ONE registrable domain (`github.io`)
+    * — `sample_domain_cap` would cap the whole platform under one
+    * token budget and `sample_split_bydomain` would put it all on one
+    * split side: the same corpus-shaping error class the ccTLD rules
+    * fix, one PSL section over. */
+  val privateExact: Set[String] = Set(
+    // generic-TLD resellers (private section despite the ccTLD look)
+    "co.nl", "com.de", "co.com", "us.com", "uk.com", "eu.com",
+    // code / pages hosting
+    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
+    "readthedocs.io", "neocities.org", "glitch.me", "repl.co",
+    // PaaS / edge
+    "herokuapp.com", "netlify.app", "pages.dev", "workers.dev",
+    "vercel.app", "now.sh", "surge.sh", "onrender.com", "fly.dev",
+    "web.app", "firebaseapp.com", "appspot.com", "run.app",
+    "azurewebsites.net", "cloudapp.net", "trafficmanager.net",
+    "azureedge.net", "cloudfront.net",
+    // blog / site builders
+    "wordpress.com", "wixsite.com", "weebly.com",
+    "blogspot.com", "blogspot.ca", "blogspot.de", "blogspot.fr",
+    "blogspot.in", "blogspot.it", "blogspot.jp", "blogspot.kr",
+    "blogspot.mx", "blogspot.nl", "blogspot.se", "blogspot.sg",
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
+    "blogspot.co.nz", "blogspot.co.za", "blogspot.com.ar",
+    // object storage website endpoints (3- and 4-label shapes)
+    "s3.amazonaws.com", "s3.us-east-2.amazonaws.com",
+    "s3.us-west-2.amazonaws.com", "s3.eu-west-1.amazonaws.com",
+    "s3-website-us-east-1.amazonaws.com",
+    "s3.dualstack.us-east-1.amazonaws.com",
+    "s3.dualstack.eu-west-1.amazonaws.com",
+    "blob.core.windows.net")
 
   /** Wildcard rules `*.<parent>`, stored by parent: every DIRECT child
     * label of the parent is itself a public suffix. The long-stable
-    * fully-wildcarded ccTLDs. */
-  val wildcard: Set[String] = Set("ck", "er", "fk", "np", "pg")
+    * fully-wildcarded ccTLDs (ICANN) plus the multi-label EC2/ELB
+    * hostname parents (private section): every `ec2-…` public hostname
+    * is its own registrable space. */
+  val wildcard: Set[String] = Set("ck", "er", "fk", "np", "pg",
+    "compute.amazonaws.com", "compute-1.amazonaws.com",
+    "elb.amazonaws.com")
 
   /** Exception rules `!<rule>`: the named host IS registrable even
     * though a wildcard would make it a public suffix. */
   val exception: Set[String] = Set("www.ck")
 
+  /** The probe set: ICANN + private exact rules — one longest-match
+    * lookup, section kept only for refresh bookkeeping. */
+  val allExact: Set[String] = exact ++ privateExact
+
   /** Longest rule length in labels — bounds the probe loop. */
   val maxRuleLabels: Int =
-    (exact.iterator.map(_.count(_ == '.') + 1) ++
+    (allExact.iterator.map(_.count(_ == '.') + 1) ++
       wildcard.iterator.map(_.count(_ == '.') + 2) ++
       exception.iterator.map(_.count(_ == '.') + 1)).max
 
-  // The DuckDB oracle mirrors this table with a fixed-depth CASE
-  // (queries/Pipeline.scala urlCanonCtes interpolates these sets), which
-  // is exact ONLY while every exact rule is 2 labels, every wildcard
-  // parent 1 label, and every exception 2 labels. Extending the snapshot
-  // past those shapes must extend the SQL mirror too — fail loudly here
-  // rather than let the two algorithms drift silently.
-  require(exact.forall(_.count(_ == '.') == 1),
-    "SQL mirror supports 2-label exact rules only — extend urlCanonCtes first")
-  require(wildcard.forall(!_.contains(".")),
-    "SQL mirror supports 1-label wildcard parents only — extend urlCanonCtes first")
-  require(exception.forall(_.count(_ == '.') == 1),
-    "SQL mirror supports 2-label exception rules only — extend urlCanonCtes first")
+  // The DuckDB oracle mirrors this table with a GENERATED depth-general
+  // CASE (queries/Pipeline.scala urlCanonCtes groups the rule sets by
+  // label depth and emits one guarded suffix-membership term per depth),
+  // so arbitrary-depth rules — 4-label exacts, multi-label wildcard
+  // parents — need no SQL rework. tools/check_psl_oracle.py replays the
+  // generated CASE against adversarial hosts for every rule class.
 
   /** The registrable domain of an already-normalized host (lowercase,
     * no port — [[UrlFunctions.urlDomain]] does that normalization
@@ -169,7 +225,7 @@ object PublicSuffixList {
       k = 2
       while (k <= maxK) {
         val s = suffixOf(labels, k)
-        if (exact.contains(s)) psLen = math.max(psLen, k)
+        if (allExact.contains(s)) psLen = math.max(psLen, k)
         else if (wildcard.contains(suffixOf(labels, k - 1)))
           psLen = math.max(psLen, k)
         k += 1

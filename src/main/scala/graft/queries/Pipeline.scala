@@ -3264,19 +3264,48 @@ object Pipeline {
     * column replays the PSL registrable-domain lookup
     * ([[graft.functions.PublicSuffixList]]) with the rule sets
     * INTERPOLATED from the same object the Spark side reads — one
-    * source of truth, no drift; the fixed-depth CASE is exact because
-    * the snapshot's rule shapes are pinned by require() at the source
-    * (2-label exact, 1-label wildcard parents, 2-label exceptions, so
-    * the public suffix is always 1 or 2 labels). `host` (www-stripped)
-    * feeds only canonical_url — rule 2 of canonicalization; the domain
-    * lookup uses `hostd` (port-stripped, www KEPT: `www.ck`).
-    * Expects a CTE `u(doc_id, url)` upstream; yields
-    * `c(doc_id, url, canonical_url, domain)`. */
+    * source of truth, no drift. The public-suffix length (`ps_len`) is
+    * a GENERATED depth-general CASE: the generator groups each rule
+    * set by label depth and emits one guarded suffix-membership term
+    * per depth (exception rules first, ascending depth, exactly the
+    * Scala probe's first-match order; then `greatest` over the
+    * exact/wildcard match depths with the implicit `*` rule's 1 as the
+    * floor) — so 4-label exact rules (`pvt.k12.ma.us`,
+    * `s3.dualstack.….amazonaws.com`) and multi-label wildcard parents
+    * (`*.compute.amazonaws.com`) need no SQL rework when the snapshot
+    * grows. `host` (www-stripped) feeds only canonical_url — rule 2 of
+    * canonicalization; the domain lookup uses `hostd` (port-stripped,
+    * www KEPT: `www.ck`). Expects a CTE `u(doc_id, url)` upstream;
+    * yields `c(doc_id, url, canonical_url, domain)`. */
   private val urlCanonCtes: String = {
-    def inList(s: Set[String]) = s.toSeq.sorted.map("'" + _ + "'").mkString(", ")
-    val exact = inList(graft.functions.PublicSuffixList.exact)
-    val wild = inList(graft.functions.PublicSuffixList.wildcard)
-    val exc = inList(graft.functions.PublicSuffixList.exception)
+    import graft.functions.PublicSuffixList
+    def inList(s: Iterable[String]) =
+      s.toSeq.sorted.map("'" + _ + "'").mkString(", ")
+    def labelsOf(r: String) = r.count(_ == '.') + 1
+    // last-k-labels suffix of the dotless host (1-based inclusive
+    // slice; callers guard nlab >= k)
+    def sfx(k: Int) =
+      if (k == 1) "labs[nlab]"
+      else s"array_to_string(labs[nlab-${k - 1}:nlab], '.')"
+    // exception rules: first match wins ascending depth; ps = rule
+    // minus its leftmost label
+    val excWhens = PublicSuffixList.exception.groupBy(labelsOf)
+      .toSeq.sortBy(_._1).map { case (k, rs) =>
+        s"WHEN nlab >= $k AND ${sfx(k)} IN (${inList(rs)}) THEN ${k - 1}"
+      }.mkString(" ")
+    // exact rules match at their own depth; a wildcard parent of depth
+    // j makes every (j+1)-label suffix public
+    val matchTerms =
+      PublicSuffixList.allExact.groupBy(labelsOf).toSeq.sortBy(_._1)
+        .map { case (k, rs) =>
+          s"CASE WHEN nlab >= $k AND ${sfx(k)} IN (${inList(rs)}) THEN $k ELSE 1 END"
+        } ++
+      PublicSuffixList.wildcard.groupBy(labelsOf(_) + 1).toSeq.sortBy(_._1)
+        .map { case (k, ps) =>
+          s"CASE WHEN nlab >= $k AND ${sfx(k - 1)} IN (${inList(ps)}) THEN $k ELSE 1 END"
+        }
+    val psLen =
+      s"CASE $excWhens ELSE greatest(${matchTerms.mkString(", ")}) END"
     s"""p AS (SELECT doc_id, url,
       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
       |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest0 FROM u),
@@ -3287,10 +3316,7 @@ object Pipeline {
       |  regexp_replace(regexp_replace(hostport, ':\\d+$$', ''), '\\.+$$', '') AS hostd FROM h),
       |lab AS (SELECT *, string_split(hostd, '.') AS labs,
       |  len(string_split(hostd, '.')) AS nlab FROM hp),
-      |dom AS (SELECT *,
-      |  CASE WHEN nlab >= 2 THEN array_to_string(labs[nlab-1:nlab], '.') ELSE hostd END AS last2,
-      |  CASE WHEN nlab >= 3 THEN array_to_string(labs[nlab-2:nlab], '.') ELSE NULL END AS last3,
-      |  labs[nlab] AS last1 FROM lab),
+      |dom AS (SELECT *, $psLen AS ps_len FROM lab),
       |f AS (SELECT *, regexp_replace(rest1, '#.*$$', '') AS nofrag FROM dom),
       |pq AS (SELECT *, regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
       |  regexp_extract(nofrag, '\\?(.*)$$', 1) AS query0 FROM f),
@@ -3302,11 +3328,8 @@ object Pipeline {
       |            OR (scheme = 'http' AND port = '80') THEN '' ELSE ':' || port END ||
       |  CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.)/$$', '\\1') END ||
       |  CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canonical_url,
-      |  CASE
-      |    WHEN nlab >= 2 AND last2 IN ($exc) THEN last2
-      |    WHEN nlab >= 3 AND (last2 IN ($exact) OR last1 IN ($wild)) THEN last3
-      |    WHEN nlab >= 2 THEN last2
-      |    ELSE hostd END AS domain
+      |  CASE WHEN nlab <= ps_len + 1 THEN hostd
+      |       ELSE array_to_string(labs[nlab - ps_len:nlab], '.') END AS domain
       |  FROM qq)""".stripMargin
   }
 

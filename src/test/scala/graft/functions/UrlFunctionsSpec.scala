@@ -104,6 +104,45 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(graft.functions.PublicSuffixList.registrable("b.a.np") == "b.a.np")
   }
 
+  test("domain: PSL private-section platform suffixes keep customers apart") {
+    // without the private section, alice and bob collapse into ONE
+    // registrable domain (`github.io`) — a domain cap would budget all
+    // of GitHub Pages as one site and a domain split would put the
+    // whole platform on one side
+    assert(domain("https://alice.github.io/project/") == "alice.github.io")
+    assert(domain("https://bob.github.io/") == "bob.github.io")
+    assert(domain("https://a.b.alice.github.io/") == "alice.github.io")
+    assert(domain("https://myapp.herokuapp.com/x") == "myapp.herokuapp.com")
+    assert(domain("https://site.example.us.com/") == "example.us.com")
+    // 3-label private rules (per-ccTLD blogspot registrations)
+    assert(domain("https://foo.blogspot.co.uk/") == "foo.blogspot.co.uk")
+    assert(domain("https://x.y.blogspot.com.br/") == "y.blogspot.com.br")
+    // a host that IS a private suffix comes back unchanged
+    assert(domain("https://github.io/") == "github.io")
+  }
+
+  test("domain: deep exact rules and multi-label wildcard parents (depth-general)") {
+    // 4-label exact (Massachusetts private-school registrations)
+    assert(domain("https://www.sch.pvt.k12.ma.us/") == "sch.pvt.k12.ma.us")
+    assert(domain("https://app.pvt.k12.ma.us/") == "app.pvt.k12.ma.us")
+    // 3-label exact (state k12), vs a state with no public k12 rule
+    assert(domain("https://hs.district.k12.ca.us/") == "district.k12.ca.us")
+    // 4-label S3 dualstack website endpoints
+    assert(domain("https://data.s3.dualstack.us-east-1.amazonaws.com/") ==
+      "data.s3.dualstack.us-east-1.amazonaws.com")
+    assert(domain("https://bucket.s3.amazonaws.com/key") ==
+      "bucket.s3.amazonaws.com")
+    // *.compute-1.amazonaws.com: every EC2 public hostname is its own
+    // registrable space; deeper subdomains group under it
+    assert(domain("https://ec2-1-2-3-4.compute-1.amazonaws.com/") ==
+      "ec2-1-2-3-4.compute-1.amazonaws.com")
+    assert(domain("https://a.b.ec2-55.compute-1.amazonaws.com/") ==
+      "b.ec2-55.compute-1.amazonaws.com")
+    // the wildcard PARENT itself is not a rule match: amazonaws.com
+    // stays an ordinary registrable domain
+    assert(domain("https://compute.amazonaws.com/") == "amazonaws.com")
+  }
+
   test("domain: unknown TLDs keep the last-two-labels fallback (implicit * rule)") {
     assert(domain("https://a.b.example.zz/") == "example.zz")
     assert(domain("https://example.dev/") == "example.dev")

@@ -2,11 +2,13 @@
 """Adversarial parity check for the PSL registrable-domain SQL mirror.
 
 The DuckDB oracle for the URL-curation entries interpolates the
-PublicSuffixList rule sets into a fixed-depth CASE (Pipeline.urlCanonCtes).
+PublicSuffixList rule sets into a GENERATED depth-general CASE
+(Pipeline.urlCanonCtes: one guarded suffix-membership term per rule depth).
 The fixture URLs only exercise `.com`, so this script replays the oracle's
 OWN canonicalization CTEs over adversarial URLs that hit every rule class
-(ccTLD exact rules, *.ck wildcard, !www.ck exception, unknown-TLD
-fallback, public-suffix-only hosts) and compares against the expected
+(ccTLD exact rules, private-section platform suffixes, deep 3-/4-label
+exact rules, single- and multi-label wildcards, !www.ck exception,
+unknown-TLD fallback, public-suffix-only hosts) and compares against the expected
 eTLD+1 — the values UrlFunctionsSpec pins for the Scala side. Both
 engines checked against one truth table = the algorithms agree.
 
@@ -32,6 +34,26 @@ CASES = [
     ("https://www.example.ac.jp/", "example.ac.jp"),
     ("https://example.com./", "example.com"),       # trailing-dot FQDN
     ("https://shop.example.co.uk./x", "example.co.uk"),
+    # private section: platform-hosting suffixes
+    ("https://alice.github.io/project/", "alice.github.io"),
+    ("https://a.b.alice.github.io/", "alice.github.io"),
+    ("https://myapp.herokuapp.com/x", "myapp.herokuapp.com"),
+    ("https://site.example.us.com/", "example.us.com"),
+    ("https://foo.blogspot.co.uk/", "foo.blogspot.co.uk"),     # 3-label rule
+    ("https://x.y.blogspot.com.br/", "y.blogspot.com.br"),
+    ("https://github.io/", "github.io"),            # host IS a private suffix
+    # deep exact rules (depth-general CASE)
+    ("https://www.sch.pvt.k12.ma.us/", "sch.pvt.k12.ma.us"),   # 4-label rule
+    ("https://hs.district.k12.ca.us/", "district.k12.ca.us"),  # 3-label rule
+    ("https://data.s3.dualstack.us-east-1.amazonaws.com/",
+     "data.s3.dualstack.us-east-1.amazonaws.com"),
+    ("https://bucket.s3.amazonaws.com/key", "bucket.s3.amazonaws.com"),
+    # multi-label wildcard parents (*.compute-1.amazonaws.com)
+    ("https://ec2-1-2-3-4.compute-1.amazonaws.com/",
+     "ec2-1-2-3-4.compute-1.amazonaws.com"),
+    ("https://a.b.ec2-55.compute-1.amazonaws.com/",
+     "b.ec2-55.compute-1.amazonaws.com"),
+    ("https://compute.amazonaws.com/", "amazonaws.com"),  # parent not a rule
 ]
 
 def main(out_dir):
