@@ -85,7 +85,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      // stock Spark 4 default (ANSI on): parity with the ansi=false
+      // coercion leg is proven (full-suite experiment in PERF.md +
+      // AnsiParitySpec tripwire), so the engine now pins the default a
+      // stock session gets
+      .config("spark.sql.ansi.enabled", "true")
       // default threshold is Int.MaxValue: a huge .limit(n) then allocates
       // an n-entry top-k buffer per partition (TakeOrderedAndProject);
       // above this, plans fall back to distributed Sort + GlobalLimit

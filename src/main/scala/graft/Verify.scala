@@ -11,14 +11,17 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // ansi=false is the engine's documented coercion contract (casts of
-      // malformed strings → NULL, the reference's permissive typing) —
-      // but every entry is ANSI-CLEAN by construction (guarded divisions,
-      // no overflow-prone casts): AnsiParitySpec + the SPARK_GRAFT_ANSI=
-      // true full-suite run recorded in PERF.md prove a default Spark 4
-      // session (ANSI on) returns identical rows for all 245 entries.
+      // ANSI on is the stock Spark 4 default and, since round 11, the
+      // engine's pinned default too: every entry is ANSI-CLEAN by
+      // construction (guarded divisions, no overflow-prone casts;
+      // malformed-input coercions ride try_cast-style kernels), and the
+      // full-suite SPARK_GRAFT_ANSI experiment recorded in PERF.md
+      // proved both legs return identical rows for all entries.
+      // SPARK_GRAFT_ANSI=false re-runs the permissive compatibility leg
+      // (the reference's coercion semantics); AnsiParitySpec is the
+      // per-build tripwire that the legs stay identical.
       .config("spark.sql.ansi.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "true"))
       // default threshold is Int.MaxValue: a huge .limit(n) then allocates
       // an n-entry top-k buffer per partition (TakeOrderedAndProject);
       // above this, plans fall back to distributed Sort + GlobalLimit

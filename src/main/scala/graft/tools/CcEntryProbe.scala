@@ -13,7 +13,7 @@ object CcEntryProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.execution.topKSortFallbackThreshold", "100000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -12,7 +12,7 @@ object ExplainExecuted {
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.files.maxPartitionBytes", "8m")

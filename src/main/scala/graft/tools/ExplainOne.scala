@@ -12,7 +12,7 @@ object ExplainOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
       // default threshold is Int.MaxValue: a huge .limit(n) then allocates
       // an n-entry top-k buffer per partition (TakeOrderedAndProject);
       // above this, plans fall back to distributed Sort + GlobalLimit

@@ -11,7 +11,7 @@ object VerifyOne {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.ansi.enabled", "true")
       // default threshold is Int.MaxValue: a huge .limit(n) then allocates
       // an n-entry top-k buffer per partition (TakeOrderedAndProject);
       // above this, plans fall back to distributed Sort + GlobalLimit

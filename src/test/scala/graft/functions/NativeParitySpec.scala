@@ -112,8 +112,13 @@ class NativeParitySpec extends SparkSpec {
       }
     }.toDF("id", "v")
     for (lo <- Seq(0, 32)) {
+      // try_element_at, not element_at: the short-array rows index past
+      // the end, which yields NULL (-> otherwise-0) under the permissive
+      // leg but THROWS under the engine's ANSI default — try_element_at
+      // is the mode-independent spelling of "dims past the end pack as 0"
       val composed = (lo until lo + 32).map { d =>
-        when(element_at(col("v"), d + 1) > 0f, lit(1L << (d - lo))).otherwise(0L)
+        when(try_element_at(col("v"), lit(d + 1)) > 0f,
+          lit(1L << (d - lo))).otherwise(0L)
       }.reduce(_ + _)
       val rows = vecs.select(
         org.apache.spark.sql.graft.shim.column(
