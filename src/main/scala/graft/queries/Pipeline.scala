@@ -1563,6 +1563,32 @@ object Pipeline {
           min("q").as("q_min"), max("q").as("q_max"))
         .orderBy("bin")
     }),
+    // ---- the PRODUCTION twin of quality_decile_bins: the decile cut
+    // runs over the (quality) HISTOGRAM, not an ntile over the corpus.
+    // The exact global ntile(10) above is a deliberate oracle-exact
+    // report whose window is one task on the whole corpus (documented
+    // in SURVEY §2); this twin aggregates to one row per DISTINCT
+    // quality value first — bounded by the integer basis-point range
+    // (≤ 10,001 rows), NOT by corpus size, the ccnetBuckets discipline
+    // — then cuts deciles on cumulative counts: bin = ceil(cum·10 / n)
+    // in pure integer arithmetic. Ties are VALUE-sliced (every row with
+    // the same quality lands in one bin), so bins can be uneven or
+    // empty under heavy ties — the exact trade the histogram cut makes,
+    // and why the report twin stays for small-data exactness.
+    "quality_decile_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = docs(s, dir)
+        .select(TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy("q").agg(count(lit(1)).as("c"))
+      val total = hist.agg(sum("c").as("n"))
+      hist
+        .withColumn("cum", sum("c").over(Window.orderBy(col("q").asc)))
+        .crossJoin(broadcast(total))
+        .withColumn("bin", expr("CAST((cum * 10 + n - 1) DIV n AS INT)"))
+        .groupBy("bin").agg(sum("c").as("n_docs"),
+          min("q").as("q_min"), max("q").as("q_max"))
+        .orderBy("bin")
+    }),
     // ---- duplicate-multiplicity histogram: how many exact-dup clusters
     // of each size the corpus carries (the dedup "what will we delete"
     // panel); clusters keyed by the normalized-text fingerprint, sizes
@@ -4513,6 +4539,18 @@ object Pipeline {
          |SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_docs,
          |       min(q) AS q_min, max(q) AS q_max
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    // the histogram-cut production twin: same quality algebra, cut on
+    // cumulative counts over the per-value histogram (the default RANGE
+    // frame is harmless — q values are distinct after the GROUP BY)
+    "quality_decile_hist" ->
+      s"""WITH s AS (SELECT $qualitySql AS q FROM documents),
+         |h AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY q),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+         |b AS (SELECT q, c, CAST(sum(c) OVER (ORDER BY q ASC) AS BIGINT) AS cum FROM h)
+         |SELECT CAST((cum * 10 + n - 1) // n AS INTEGER) AS bin,
+         |       CAST(sum(c) AS BIGINT) AS n_docs,
+         |       min(q) AS q_min, max(q) AS q_max
+         |FROM b, t GROUP BY 1 ORDER BY bin""".stripMargin,
     "text_novelty_score" ->
       s"""$shinglesCte,
          |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

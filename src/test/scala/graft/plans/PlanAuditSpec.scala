@@ -317,6 +317,24 @@ class PlanAuditSpec extends SparkSpec {
       s"a window not partitioned by source leaked into the interleave\n$plan")
   }
 
+  test("histogram decile twin: the window runs over the quality histogram, never the corpus") {
+    val plan = finalPlan(q("quality_decile_hist"))
+    val w = plan.indexOf("Window")
+    assert(w >= 0, plan)
+    // an aggregate sits BELOW the window in the tree: the window's
+    // input is one row per distinct quality value (bounded by the
+    // basis-point range), so the single-partition sort it needs is
+    // metadata-sized — the exact-ntile report twin is the one whose
+    // window eats the corpus
+    assert(plan.indexOf("HashAggregate", w) > w, plan)
+    // the corpus-sized side contributes exactly one scan and the
+    // histogram aggregation's one hash exchange; the 1-row total rides
+    // a broadcast, never a shuffle join
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("dedup_url: map-side partial agg, one canonical-string shuffle, one corpus scan") {
     val plan = finalPlan(q("dedup_url"))
     // partial + final HashAggregate around exactly one hash exchange —
