@@ -1503,6 +1503,91 @@ object Pipeline {
         .withColumnRenamed("rk_b", "rk_vec")
         .orderBy("rk")
     }),
+    // ---- ranking-quality evaluation: nDCG@10 of the BM25 ranking
+    // against PLANTED graded relevance (rel = distinct query terms a
+    // doc contains, 0..3 — deterministic, no labels needed). The
+    // retrieval-evaluation panel every RAG-data pipeline runs before
+    // trusting a ranker. Exactness via the house pattern: per-position
+    // gain/discount contributions quantize to integer micro BEFORE the
+    // sums (order-free BIGINT; discount = ln(pos+1)/ln 2 in BOTH
+    // engines so the double algebra is identical), nDCG in ppm is one
+    // deterministic double expression from exact integers. Scale shape:
+    // relevance lives on the POSTINGS (docs matching a term), the
+    // ideal list is a TakeOrderedAndProject top-10 (never a global
+    // window), the final join is 10×10 rows.
+    "retrieval_ndcg" -> ((s, dir) => {
+      val terms = Seq("spark", "hash", "window")
+      val ranked = TextAnalysis.bm25Rank(docs(s, dir), "doc_id", "text",
+          terms = terms, topN = 10)
+        .select(col("doc_id"), col("rk"))
+      val rel = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id").agg(countDistinct("tok").as("rel"))
+      def contrib(relCol: Column, posCol: Column): Column =
+        round((pow(lit(2.0), relCol.cast("double")) - 1.0)
+          / (log(posCol.cast("double") + 1.0) / log(lit(2.0))) * 1e6)
+          .cast("long")
+      val dcg = ranked.join(rel, Seq("doc_id"), "left")
+        .select(contrib(coalesce(col("rel"), lit(0L)), col("rk")).as("c"))
+        .agg(count(lit(1)).as("n_ranked"), sum("c").as("dcg_micro"))
+      // ideal ordering: best-10 relevance grades in the corpus
+      // (rel=0 docs gain nothing — the postings-sized rel table covers
+      // every doc that can contribute)
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rel").desc, col("doc_id").asc)))
+        .select(contrib(col("rel"), col("pos")).as("c"))
+        .agg(sum("c").as("idcg_micro"))
+      dcg.crossJoin(ideal)
+        .select(col("n_ranked"), col("dcg_micro"), col("idcg_micro"),
+          round(col("dcg_micro").cast("double") * 1e6 / col("idcg_micro"))
+            .cast("long").as("ndcg_ppm"))
+    }),
+    // ---- Heaps-law vocabulary-growth fit: V(T) = K·T^β measured at
+    // 1/8, 1/4, 1/2, and full-corpus checkpoints (contiguous doc_id
+    // prefixes — the ingestion order), then OLS of ln V on ln T. β in
+    // natural text sits ~0.4-0.6; β → 1 means no vocabulary reuse
+    // (gibberish / ids), β → 0 means a closed template vocabulary —
+    // the "is more data buying new language?" panel for scaling a
+    // corpus. Scale shape: one (tok → first doc) aggregation + one
+    // per-doc token count; checkpoints join as a broadcast 4-row
+    // table; NO running-distinct window (the first-occurrence trick
+    // turns cumulative distinct counting into a plain filter).
+    "stats_heaps_fit" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val firstOcc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val cks = docs(s, dir).agg((max("doc_id") + 1).as("n"))
+        .select(explode(array(lit(8), lit(4), lit(2), lit(1))).as("ckpt_denom"),
+          col("n"))
+        .select(col("ckpt_denom"), expr("CAST(n DIV ckpt_denom AS BIGINT)").as("c"))
+      val vocab = firstOcc.crossJoin(broadcast(cks))
+        .filter(col("fd") < col("c"))
+        .groupBy("ckpt_denom").agg(count(lit(1)).as("n_vocab"))
+      val tokens = perDoc.crossJoin(broadcast(cks))
+        .filter(col("doc_id") < col("c"))
+        .groupBy("ckpt_denom").agg(sum("nt").as("n_tokens"))
+      val pts = vocab.join(tokens, "ckpt_denom")
+        .select(col("ckpt_denom"), col("n_tokens"), col("n_vocab"),
+          round(log(col("n_tokens").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("n_vocab").cast("double")) * 1e6).cast("long").as("y"))
+      val beta = pts.agg(
+          count(lit(1)).as("np"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("np") * col("sxx") - col("sx") * col("sx")) * 1e6)
+          .cast("long").as("heaps_beta_micro"))
+      pts.select("ckpt_denom", "n_tokens", "n_vocab")
+        .crossJoin(broadcast(beta))
+        .orderBy(col("ckpt_denom").desc)
+    }),
     // ---- corpus length distribution: EXACT linear-interpolation
     // quartiles (p25/p50/p75/p90) of n_chars per source — the
     // distribution panel of the corpus health report. Exact percentile
@@ -4447,6 +4532,70 @@ object Pipeline {
          |      FROM sc)
          |SELECT id AS doc_id, score_micro, CAST(rk AS INTEGER) AS rk
          |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // the bm25 chain again at depth 10, evaluated against the planted
+    // graded relevance (distinct query terms per doc); per-position
+    // micro contributions with ln(pos+1)/ln(2) discounts — the SAME
+    // double algebra Spark runs, so the micro rounding agrees
+    "retrieval_ndcg" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+         |st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+         |post AS (SELECT id, tok, count(*) AS tf FROM t
+         |         WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+         |dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+         |c AS (SELECT post.id,
+         |        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+         |          * (tf * (1.2 + 1.0))
+         |          / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+         |          * 1000000.0) AS BIGINT) AS sm
+         |      FROM post JOIN dfq ON post.tok = dfq.tok
+         |                JOIN dl ON post.id = dl.id, st),
+         |sc AS (SELECT id, sum(sm) AS score_micro FROM c GROUP BY id),
+         |r AS (SELECT id, row_number() OVER (ORDER BY score_micro DESC, id ASC) AS rk
+         |      FROM sc),
+         |top10 AS (SELECT id, rk FROM r WHERE rk <= 10),
+         |rel AS (SELECT id, count(DISTINCT tok) AS rel FROM t
+         |        WHERE tok IN ('spark', 'hash', 'window') GROUP BY id),
+         |dcg AS (SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+         |          CAST(sum(CAST(round((pow(2.0, COALESCE(rel, 0)) - 1.0)
+         |            / (ln(rk + 1.0) / ln(2.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |        FROM top10 LEFT JOIN rel USING (id)),
+         |ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, id ASC) AS pos
+         |          FROM rel),
+         |idcg AS (SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+         |            / (ln(pos + 1.0) / ln(2.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS idcg_micro
+         |         FROM ideal WHERE pos <= 10)
+         |SELECT n_ranked, dcg_micro, idcg_micro,
+         |       CAST(round(CAST(dcg_micro AS DOUBLE) * 1000000.0 / idcg_micro) AS BIGINT) AS ndcg_ppm
+         |FROM dcg, idcg""".stripMargin,
+    // Heaps-law fit: first-occurrence trick (tok -> min doc) turns the
+    // cumulative distinct count into a plain filter per checkpoint;
+    // same integer-micro ln + BIGINT OLS moments as the zipf oracle
+    "stats_heaps_fit" ->
+      s"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+         |             unnest(string_split($norm, ' ')) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |fo AS (SELECT tok, min(id) AS fd FROM t GROUP BY tok),
+         |pd AS (SELECT id, count(*) AS nt FROM t GROUP BY id),
+         |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |ck AS (SELECT den AS ckpt_denom, n // den AS c
+         |       FROM nn, (SELECT unnest([8, 4, 2, 1]) AS den)),
+         |v AS (SELECT ckpt_denom, CAST(count(*) AS BIGINT) AS n_vocab
+         |      FROM fo, ck WHERE fd < c GROUP BY ckpt_denom),
+         |tt AS (SELECT ckpt_denom, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |       FROM pd, ck WHERE id < c GROUP BY ckpt_denom),
+         |pts AS (SELECT v.ckpt_denom, n_tokens, n_vocab,
+         |          CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+         |          CAST(round(ln(CAST(n_vocab AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+         |        FROM v JOIN tt ON v.ckpt_denom = tt.ckpt_denom),
+         |b AS (SELECT CAST(round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+         |        / (count(*) * sum(x * x) - sum(x) * sum(x)) * 1000000.0) AS BIGINT) AS heaps_beta_micro
+         |      FROM pts)
+         |SELECT CAST(ckpt_denom AS INTEGER) AS ckpt_denom, n_tokens, n_vocab,
+         |       heaps_beta_micro
+         |FROM pts, b ORDER BY ckpt_denom DESC""".stripMargin,
     // the bm25 pipeline above at depth 50, the brute-force cosine ranks
     // at depth 50, full-outer-joined and fused with INTEGER ppb
     // reciprocal-rank contributions (1e9 // (rank+60)) — no float

@@ -74,7 +74,28 @@ object ScaleAudit {
         "ground truth - validation-only by construction"),
     "semdedup_decontaminate" ->
       ("cross-corpus semantic check against the exact pair set at " +
-        "validation scale; scale path = semdedup_drops (celled)"))
+        "validation scale; scale path = semdedup_drops (celled)"),
+    // EDGE-DENSITY entries: linear in their true input (candidate
+    // pairs/edges), which the 10x fixture grows ~45x BY CONSTRUCTION —
+    // each replica group of 10 turns every planted duplicate into a
+    // C(10,2) clique (crawl-style boilerplate density). Per-doc slopes
+    // read superlinear; per-EDGE the work is linear, which is the right
+    // complexity measure for pair-keyed operators. The same density
+    // shows up (below the flag line) in the pair emitters underneath
+    // (dedup_minhash_neardups/auto).
+    "dedup_clusters" ->
+      ("connected components over near-dup EDGES: linear in edges x " +
+        "log(diameter) rounds; the 10x fixture multiplies clique sizes " +
+        "by 10, so edges grow ~45-100x while docs grow 10x - per-edge " +
+        "work is linear (the CC complexity measure); hot-cluster edge " +
+        "counts on a real crawl scale with duplication density, not " +
+        "corpus size"),
+    "text_fuzzy_pairs" ->
+      ("blocked pair join with per-pair banded levenshtein: linear in " +
+        "candidate pairs; all 10 replicas share each 16-char block by " +
+        "construction, so pairs grow ~45x while docs grow 10x; the " +
+        "production hot-block mitigation is a block-size cap (boilerplate " +
+        "blocks are dedup work, not typo-detection work)"))
 
   private case class SfRun(dir: String, sf: Double,
                            times: Map[String, Option[Double]],

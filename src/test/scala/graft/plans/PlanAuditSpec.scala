@@ -317,6 +317,24 @@ class PlanAuditSpec extends SparkSpec {
       s"a window not partitioned by source leaked into the interleave\n$plan")
   }
 
+  test("nDCG eval: ideal list is a per-partition top-k, never a corpus-wide window sort") {
+    val plan = finalPlan(q("retrieval_ndcg"))
+    // the ideal ordering comes from orderBy+limit(10) (TakeOrdered),
+    // and the only Window in the plan positions those 10 rows — the
+    // corpus-sized side stays in hash aggregates and broadcasts
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("Heaps fit: no window anywhere — first-occurrence turns cumulative distinct into a filter") {
+    val plan = finalPlan(q("stats_heaps_fit"))
+    assert(!plan.contains("Window"), plan)
+    // the 4-row checkpoint table rides broadcasts, never a shuffle join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("histogram decile twin: the window runs over the quality histogram, never the corpus") {
     val plan = finalPlan(q("quality_decile_hist"))
     val w = plan.indexOf("Window")
