@@ -153,6 +153,67 @@ m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
       FROM pt GROUP BY source HAVING count(*) >= 2)
 SELECT CAST(n * sxy - sx * sy AS DOUBLE)
        / (n * sxx - sx * sx) * 1000000.0 AS y FROM m"""),
+        # retrieval_ndcg: per-position gain/discount contributions — the
+        # full (rel, pos) grid the entry can ever quantize (rel 0..3 from
+        # 3 query terms, pos 1..10), data-independent by construction
+        ("ndcg_contrib_micro", """WITH rel AS (SELECT unnest([0, 1, 2, 3]) AS r),
+pos AS (SELECT unnest(generate_series(1, 10)) AS p)
+SELECT (pow(2.0, r) - 1.0) / (ln(p + 1.0) / ln(2.0)) * 1000000.0 AS y
+FROM rel, pos WHERE r > 0"""),
+        # retrieval_ndcg: the final ppm ratio from exact integer sums
+        ("ndcg_ppm", f"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+  unnest(string_split({NORM}, ' ')) AS tok FROM documents) WHERE length(tok) > 0),
+dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+st AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+post AS (SELECT id, tok, count(*) AS tf FROM t
+         WHERE tok IN ('spark', 'hash', 'window') GROUP BY id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY tok),
+c AS (SELECT post.id,
+        CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+          * (tf * (1.2 + 1.0))
+          / (tf + (dl * 0.75 / (CAST(sum_dl AS DOUBLE) / n) + (1.0 - 0.75)) * 1.2)
+          * 1000000.0) AS BIGINT) AS sm
+      FROM post JOIN dfq ON post.tok = dfq.tok
+                JOIN dl ON post.id = dl.id, st),
+sc AS (SELECT id, sum(sm) AS score_micro FROM c GROUP BY id),
+r AS (SELECT id, row_number() OVER (ORDER BY score_micro DESC, id ASC) AS rk FROM sc),
+top10 AS (SELECT id, rk FROM r WHERE rk <= 10),
+rel AS (SELECT id, count(DISTINCT tok) AS rel FROM t
+        WHERE tok IN ('spark', 'hash', 'window') GROUP BY id),
+dcg AS (SELECT CAST(sum(CAST(round((pow(2.0, COALESCE(rel, 0)) - 1.0)
+          / (ln(rk + 1.0) / ln(2.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS dcg_micro
+        FROM top10 LEFT JOIN rel USING (id)),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, id ASC) AS pos FROM rel),
+idcg AS (SELECT CAST(sum(CAST(round((pow(2.0, rel) - 1.0)
+          / (ln(pos + 1.0) / ln(2.0)) * 1000000.0) AS BIGINT)) AS BIGINT) AS idcg_micro
+         FROM ideal WHERE pos <= 10)
+SELECT CAST(dcg_micro AS DOUBLE) * 1000000.0 / idcg_micro AS y FROM dcg, idcg"""),
+        # stats_heaps_fit: the ln point quantizations + the beta slope
+        ("heaps_ln_micro", f"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+  unnest(string_split({NORM}, ' ')) AS tok FROM documents) WHERE length(tok) > 0),
+fo AS (SELECT tok, min(id) AS fd FROM t GROUP BY tok),
+pd AS (SELECT id, count(*) AS nt FROM t GROUP BY id),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+ck AS (SELECT den, n // den AS c FROM nn, (SELECT unnest([8, 4, 2, 1]) AS den)),
+v AS (SELECT den, count(*) AS n_vocab FROM fo, ck WHERE fd < c GROUP BY den),
+tt AS (SELECT den, sum(nt) AS n_tokens FROM pd, ck WHERE id < c GROUP BY den)
+SELECT ln(CAST(n_vocab AS DOUBLE)) * 1000000.0 AS y FROM v
+UNION ALL
+SELECT ln(CAST(n_tokens AS DOUBLE)) * 1000000.0 AS y FROM tt"""),
+        ("heaps_beta_micro", f"""WITH t AS (SELECT id, tok FROM (SELECT doc_id AS id,
+  unnest(string_split({NORM}, ' ')) AS tok FROM documents) WHERE length(tok) > 0),
+fo AS (SELECT tok, min(id) AS fd FROM t GROUP BY tok),
+pd AS (SELECT id, count(*) AS nt FROM t GROUP BY id),
+nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+ck AS (SELECT den, n // den AS c FROM nn, (SELECT unnest([8, 4, 2, 1]) AS den)),
+v AS (SELECT den, count(*) AS n_vocab FROM fo, ck WHERE fd < c GROUP BY den),
+tt AS (SELECT den, sum(nt) AS n_tokens FROM pd, ck WHERE id < c GROUP BY den),
+pts AS (SELECT v.den,
+          CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+          CAST(round(ln(CAST(n_vocab AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        FROM v JOIN tt ON v.den = tt.den)
+SELECT CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+       / (count(*) * sum(x * x) - sum(x) * sum(x)) * 1000000.0 AS y FROM pts"""),
     ]
 
 
