@@ -464,4 +464,51 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_words") && col("r_meanlen") && col("r_symbol") && col("r_stop"))
   }
+
+  /** Typo-distance near-pairs within content blocks: docs sharing the
+    * `blockLen`-char substring at `blockFrom` are candidates; survivors
+    * carry their exact edit distance ≤ `maxDist`.
+    *
+    * Two scale guards, both measured into existence:
+    *
+    *   - THRESHOLDED levenshtein: the banded O(len·k) algorithm
+    *     (k = maxDist+1 band) instead of the full O(len²) DP — ~100×
+    *     less work per candidate on long documents; candidates over the
+    *     threshold return −1 and the filter drops them. The id-inequality
+    *     CASE guard matters: the dist filter gets pushed into the join
+    *     condition, which evaluates on EVERY block-bucket match —
+    *     including each row's self-match (5050 of 6058 evaluations on
+    *     the fixture, measured via tools/FuzzyProbe; near-identical long
+    *     strings are the banded algorithm's worst case at ~0.7 ms/call).
+    *     The CASE short-circuits the scorer to ordered pairs only:
+    *     6058 → 504 calls, ~4.4 → ~1.2 s.
+    *   - HOT-BLOCK CAP: a block shared by more than `maxBlock` docs is
+    *     boilerplate, not a typo cluster — its C(n,2) pairs are dedup
+    *     work (the minhash family's job), not fuzzy-match work. The
+    *     4-step scale ladder measured the failure mode (slope 2.12 at
+    *     10× when every block grows 10-fold); blocks above the cap are
+    *     excluded BEFORE the self-join by a semi-join that reuses the
+    *     block exchange, so a pathological hot block costs one counting
+    *     aggregate instead of a quadratic pair explosion. Excluded-block
+    *     docs simply produce no pairs (they are still dedup candidates
+    *     elsewhere); TextAnalysisSpec plants a hot block and pins the
+    *     exclusion.
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 blockFrom: Int = 6, blockLen: Int = 16,
+                 maxDist: Int = 2, maxBlock: Int = 64): DataFrame = {
+    val all = df.select(col(idCol).as("__id"), col(textCol).as("__tx"))
+      .withColumn("__blk", substring(col("__tx"), blockFrom, blockLen))
+    val ok = all.groupBy("__blk").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBlock).select("__blk")
+    val gated = all.join(ok, Seq("__blk"), "left_semi")
+    gated.as("a").join(gated.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        when(col("a.__id") < col("b.__id"),
+          levenshtein(col("a.__tx"), col("b.__tx"), maxDist + 1))
+          .otherwise(lit(-1)).as("dist"))
+      .filter(col("dist").between(0, maxDist))
+  }
 }

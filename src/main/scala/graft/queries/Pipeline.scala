@@ -2185,32 +2185,16 @@ object Pipeline {
     // blocked fuzzy join: candidates come from a cheap exact block key,
     // the O(len²) distance runs on CANDIDATES only, never all pairs.
     "text_fuzzy_pairs" -> ((s, dir) => {
+      // fuzzyPairs carries both scale guards (thresholded banded
+      // levenshtein + the hot-block cap the scale ladder measured the
+      // need for) — see the operator's scaladoc; the oracle mirrors the
+      // cap with the same HAVING so the gate cannot drift
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val typod = base.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(substring(col("text"), 1, 4), lit("X"),
             substring(col("text"), 6, 1000000)).as("text"))
-      val all = base.unionByName(typod)
-        .withColumn("blk", substring(col("text"), 6, 16))
-      all.as("a").join(all.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          // THRESHOLDED levenshtein: the banded O(len·k) algorithm
-          // (k = 3 band) instead of the full O(len²) DP — ~100× less
-          // work per candidate on long documents; candidates over the
-          // threshold return −1 and the filter drops them, survivors
-          // carry the exact distance the oracle recomputes.
-          // The id-inequality GUARD matters: the dist filter gets pushed
-          // into the join condition, which evaluates on EVERY blk-bucket
-          // match — including each row's self-match, 5050 of 6058
-          // evaluations here (measured via FuzzyProbe; near-identical
-          // long strings are the banded algorithm's worst case at
-          // ~0.7 ms/call). The CASE short-circuits the scorer to the
-          // ordered pairs only: 6058 → 504 calls, ~4.4 → ~1.2 s.
-          when(col("a.doc_id") < col("b.doc_id"),
-            levenshtein(col("a.text"), col("b.text"), 3))
-            .otherwise(lit(-1)).as("dist"))
-        .filter(col("dist").between(0, 2))
+      TextAnalysis.fuzzyPairs(base.unionByName(typod), "doc_id", "text")
         // repartition(1) + local sort instead of orderBy: RangePartitioning
         // SAMPLING re-executes the whole join subtree to pick bounds — for
         // a ~50-row result that doubles the query; one round-robin
@@ -5046,9 +5030,11 @@ object Pipeline {
         |al AS (SELECT doc_id, text FROM documents
         |       UNION ALL SELECT doc_id, text FROM typod),
         |b AS (SELECT doc_id, text, substr(text, 6, 16) AS blk FROM al),
+        |okb AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 64),
+        |bg AS (SELECT b.* FROM b JOIN okb USING (blk)),
         |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
         |             CAST(levenshtein(a.text, bb.text) AS INTEGER) AS dist
-        |      FROM b a JOIN b bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id)
+        |      FROM bg a JOIN bg bb ON a.blk = bb.blk AND a.doc_id < bb.doc_id)
         |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "events_funnel" ->

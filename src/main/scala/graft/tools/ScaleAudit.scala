@@ -93,9 +93,11 @@ object ScaleAudit {
     "text_fuzzy_pairs" ->
       ("blocked pair join with per-pair banded levenshtein: linear in " +
         "candidate pairs; all 10 replicas share each 16-char block by " +
-        "construction, so pairs grow ~45x while docs grow 10x; the " +
-        "production hot-block mitigation is a block-size cap (boilerplate " +
-        "blocks are dedup work, not typo-detection work)"))
+        "construction, so pairs grow ~45x while docs grow 10x — below " +
+        "the IMPLEMENTED hot-block cap (fuzzyPairs maxBlock=64, " +
+        "spec-pinned), which bounds the pathological case: any block " +
+        "past the cap is excluded before the join (boilerplate blocks " +
+        "are dedup work, not typo-detection work)"))
 
   private case class SfRun(dir: String, sf: Double,
                            times: Map[String, Option[Double]],

@@ -189,4 +189,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got == again)
   }
+
+  test("fuzzyPairs: typo pairs found within blocks; hot blocks are capped out") {
+    // blocks key on substring(text, 6, 16): give every doc a 5-char
+    // prefix so the block is the shared body
+    def doc(id: Long, prefix: String, body: String) = (id, prefix + body)
+    val body = "the quick brown fox jumps over the lazy dog again"
+    val rows =
+      // typo pair: same block (body chars 1..16), 2 edits total — one
+      // in the prefix, one past the block window
+      Seq(doc(1L, "AAAA ", body), doc(2L, "AAAB ", body.replace("lazy", "hazy"))) ++
+        // a hot block: 70 docs sharing the identical body — boilerplate,
+        // above the default maxBlock=64
+        (100L until 170L).map(i => doc(i, f"P$i%03d ", "boiler plate body shared by every mirror page exactly"))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the typo pair survives (2 edits); the hot block contributes NOTHING
+    assert(got == Set((1L, 2L, 2)), got.toString)
+    // raising the cap above the block size re-admits the boilerplate
+    // pairs (identical bodies; texts differ only in the ≤3-digit
+    // prefixes, so many pairs land within the distance band) — proving
+    // the cap was the binding difference
+    val uncapped = TextAnalysis.fuzzyPairs(df, "doc_id", "text", maxBlock = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > got.size, s"cap was not the binding difference: ${uncapped.size}")
+    assert(uncapped.contains((1L, 2L)), uncapped.toString)
+  }
 }
