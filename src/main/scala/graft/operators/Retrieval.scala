@@ -82,4 +82,76 @@ object Retrieval {
       .select(col("id").as(idCol), col("rk_a"), col("rk_b"),
         col("rrf_ppb"), col("rk"))
   }
+
+  /** Maximal Marginal Relevance diversified rerank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick the candidate maximizing
+    * `λ·relevance − (1−λ)·max similarity to the already-selected` —
+    * the standard de-redundancy pass a RAG-data pipeline runs between
+    * retrieval and context packing (top-k without it returns the same
+    * paragraph five times).
+    *
+    * Scale shape: everything CORPUS-sized is distributed — the
+    * relevance shortlist is the exact cosine top-`shortlist`
+    * (TakeOrderedAndProject, no global sort) and the candidate×candidate
+    * similarity table is a broadcast self-join over ≤ `shortlist` rows.
+    * The greedy loop itself is inherently sequential (selection t
+    * depends on selections 1..t−1) and runs DRIVER-side over the
+    * collected shortlist — k·n integer comparisons on ≤ `shortlist`
+    * rows, the k-means-seed/model-sized-collect budget class, never a
+    * corpus materialization.
+    *
+    * Cross-engine exactness: λ is expressed in TENTHS so the selection
+    * score stays integer — `sc = λ₁₀·rel_micro − (10−λ₁₀)·maxsim_micro`
+    * (deci-micro units); rel and sims quantize as round-6 cosines
+    * scaled to micro (the pairwise-cosine agreement the near-dup family
+    * already proves); ties break (sc DESC, id ASC). The DuckDB oracle
+    * unrolls the k selection steps as generated CTEs and replays the
+    * identical integer argmax.
+    *
+    * Returns (id, rk, rel_micro, mmr_dmicro), rk = 1..k in selection
+    * order; the seed's score is λ₁₀·rel_micro (no penalty term). */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Double], shortlist: Int = 20, k: Int = 10,
+                lambdaTenths: Int = 7): DataFrame = {
+    require(k >= 1 && k <= shortlist,
+      s"mmrRerank: k=$k must be in [1, shortlist=$shortlist]")
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"mmrRerank: lambdaTenths=$lambdaTenths must be in [0, 10]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosine
+    val cand = Similarity.cosineTopK(df, idCol, vecCol, query, shortlist)
+      .withColumn("rel_micro",
+        round(round(col("score"), 6) * 1e6).cast("long"))
+      .select(col(idCol).as("__id"), col("rel_micro"))
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(cand.select("__id")), "__id")
+    val sims = vecs.as("a").join(broadcast(vecs.as("b")),
+        col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("ia"), col("b.__id").as("ib"),
+        round(round(cosine(col("a.__v"), col("b.__v")), 6) * 1e6)
+          .cast("long").as("sim_micro"))
+    val rel = cand.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sim = sims.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val mu = 10 - lambdaTenths
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val remaining = scala.collection.mutable.Set(rel.keySet.toSeq: _*)
+    while (selected.size < math.min(k, rel.size)) {
+      val pick =
+        if (selected.isEmpty)
+          remaining.map(id => (id, lambdaTenths * rel(id))).toSeq
+            .minBy { case (id, sc) => (-sc, id) }
+        else
+          remaining.map { id =>
+            val maxSim = selected.map(s => sim((id, s._1))).max
+            (id, lambdaTenths * rel(id) - mu * maxSim)
+          }.toSeq.minBy { case (id, sc) => (-sc, id) }
+      selected += pick
+      remaining -= pick._1
+    }
+    selected.zipWithIndex
+      .map { case ((id, sc), i) => (id, i + 1, rel(id), sc) }.toSeq
+      .toDF(idCol, "rk", "rel_micro", "mmr_dmicro")
+  }
 }

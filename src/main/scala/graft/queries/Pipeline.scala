@@ -1588,6 +1588,16 @@ object Pipeline {
         .crossJoin(broadcast(beta))
         .orderBy(col("ckpt_denom").desc)
     }),
+    // ---- MMR diversified rerank: greedy λ·rel − (1−λ)·maxsim selection
+    // over the exact-cosine top-20 (the de-redundancy pass between
+    // retrieval and context packing). Integer deci-micro scores, k=10,
+    // λ=0.7; the oracle unrolls the 10 selection steps as generated
+    // CTEs replaying the identical argmax — see Retrieval.mmrRerank for
+    // the scale shape (corpus work distributed, greedy loop model-sized)
+    "retrieval_mmr" -> ((s, dir) =>
+      graft.operators.Retrieval.mmrRerank(embs(s, dir), "vec_id",
+        "embedding", onesQuery, shortlist = 20, k = 10, lambdaTenths = 7)
+        .orderBy("rk")),
     // ---- corpus length distribution: EXACT linear-interpolation
     // quartiles (p25/p50/p75/p90) of n_chars per source — the
     // distribution panel of the corpus health report. Exact percentile
@@ -3141,6 +3151,45 @@ object Pipeline {
 
   /** The exact cosine ≥ 0.4 pair join — shared by the brute-force pairs
     * entry and the banded-LSH entry that equals it at recall 1.0. */
+  /** Unrolled MMR oracle: candidate/sims CTEs + `k` generated selection
+    * steps replaying [[graft.operators.Retrieval.mmrRerank]]'s integer
+    * argmax exactly — the BPE-chain pattern, including its hard-learned
+    * detail: every chained CTE is `AS MATERIALIZED`. DuckDB re-expands
+    * a plain CTE at every reference, and each sel-step references the
+    * previous one three times — un-materialized, the expansion tree is
+    * EXPONENTIAL in k and re-opens the parquet thousands of times (the
+    * first cut died with fd exhaustion at k=10). rel/sim quantize as
+    * round-6 cosines scaled to micro, the pairwise agreement
+    * [[exactPairs04Sql]] already proves. */
+  private def mmrCtes(k: Int, lambdaTenths: Int): String = {
+    val mu = 10 - lambdaTenths
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH cand AS MATERIALIZED (SELECT vec_id, embedding,
+         |    CAST(round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) * 1000000.0) AS BIGINT) AS rel
+         |  FROM embeddings
+         |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |  LIMIT 20),
+         |sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) * 1000000.0) AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (SELECT vec_id, rel, $lambdaTenths * rel AS sc, 1 AS rk FROM cand
+         |         ORDER BY sc DESC, vec_id LIMIT 1)""".stripMargin)
+    for (t <- 2 to k) {
+      val p = t - 1
+      sb.append(s""",
+         |p$t AS (SELECT c.vec_id, c.rel, $lambdaTenths * c.rel - $mu * max(s.sim) AS sc
+         |        FROM cand c JOIN sims s ON s.ia = c.vec_id
+         |        JOIN sel$p ss ON s.ib = ss.vec_id
+         |        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel$p)
+         |        GROUP BY c.vec_id, c.rel),
+         |pick$t AS (SELECT vec_id, rel, sc, $t AS rk FROM p$t
+         |           ORDER BY sc DESC, vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel$p UNION ALL SELECT * FROM pick$t)""".stripMargin)
+    }
+    sb.toString
+  }
+
   private lazy val exactPairs04Sql =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
@@ -4180,6 +4229,11 @@ object Pipeline {
         |SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
         |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "emb_near_dup_pairs" -> exactPairs04Sql,
+    "retrieval_mmr" ->
+      s"""${mmrCtes(10, 7)}
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rk AS INTEGER) AS rk,
+         |       rel AS rel_micro, CAST(sc AS BIGINT) AS mmr_dmicro
+         |FROM sel10 ORDER BY rk""".stripMargin,
     // recall-1.0 operating point (2 planes × 12 bands; pinned by the
     // emb_ann_recall twin at all three SFs): every true pair survives
     // banding and candidates are exact-cosine verified, so the ANN pair

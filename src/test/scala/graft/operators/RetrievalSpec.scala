@@ -55,4 +55,33 @@ class RetrievalSpec extends SparkSpec {
       assert(ppb == expect, s"row $r")
     }
   }
+
+  test("mmrRerank: diversity beats redundancy at λ=0.7; pure relevance would not") {
+    // 3-D geometry: a is the top hit; b is slightly less relevant but
+    // nearly identical to a (sim ≈ 0.999); c is less relevant than b
+    // but DIVERSE from a (sim ≈ 0.88). Pure relevance ranks a,b,c —
+    // MMR must rank a,c,b because b's redundancy penalty exceeds its
+    // relevance edge: sc_b = 7·rel_b − 3·sim_ab < sc_c = 7·rel_c − 3·sim_ac.
+    val q = Array(1.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, Seq(0.950f, 0.312f, 0.000f)),  // a: rel ≈ .950
+      (2L, Seq(0.940f, 0.341f, 0.000f)),  // b: rel ≈ .940, sim(a,b) ≈ .9995
+      (3L, Seq(0.930f, 0.000f, 0.368f))   // c: rel ≈ .930, sim(a,c) ≈ .883
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(vecs, "vec_id", "embedding", q,
+        shortlist = 3, k = 3, lambdaTenths = 7)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L), got.mkString(", "))
+    // the seed's score is λ·rel with no penalty term
+    assert(got(0)._4 == 7L * got(0)._3, got(0).toString)
+    // every later score is λ·rel − (1−λ)·maxsim < λ·rel
+    assert(got.drop(1).forall(r => r._4 < 7L * r._3), got.mkString(", "))
+    // deterministic across invocations (integer argmax, fixed tie-break)
+    val again = Retrieval.mmrRerank(vecs, "vec_id", "embedding", q,
+        shortlist = 3, k = 3, lambdaTenths = 7)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
 }
