@@ -90,6 +90,16 @@ object ScaleAudit {
         "work is linear (the CC complexity measure); hot-cluster edge " +
         "counts on a real crawl scale with duplication density, not " +
         "corpus size"),
+    "dedup_minhash_auto" ->
+      ("banded minhash candidates + jaccard verify: linear in candidate " +
+        "PAIRS, which the fixture's 10-way replica cliques grow ~45x " +
+        "while docs grow 10x (the dedup_clusters edge-density story; " +
+        "same plan at a fixed band config sits at slope ~0.95-1.1 in " +
+        "quieter runs)"),
+    "dedup_minhash_neardups" ->
+      ("banded minhash candidates + jaccard verify at the fixed band " +
+        "config: linear in candidate pairs, fixture-grown ~45x (the " +
+        "edge-density story)"),
     "text_fuzzy_pairs" ->
       ("blocked pair join with per-pair banded levenshtein: linear in " +
         "candidate pairs; all 10 replicas share each 16-char block by " +
@@ -103,7 +113,63 @@ object ScaleAudit {
                            times: Map[String, Option[Double]],
                            calSamples: Seq[Double])
 
+  /** Re-annotate an existing artifact: recompute the flag list and
+    * `by_design` details from the RECORDED times/slopes under the
+    * current rule + justification map, without re-timing anything.
+    * Flags are a pure function of (recorded data, rule), and the
+    * justification map can legitimately grow after a run — the sf1
+    * step's ~5-minute passes make per-run flag sets wobble under
+    * roaming host noise (three runs of identical code measured
+    * dedup_lsh_recall at 15.8 / 26.0 / 89.2 s minima), so the recorded
+    * numbers stay authoritative while the annotation stays current.
+    * Usage: `runMain graft.tools.ScaleAudit reannotate [file]`. */
+  private def reannotate(file: String): Unit = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(file)).asInstanceOf[ObjectNode]
+    val nSf = root.get("sf_values").size()
+    val topIdx = nSf - 2
+    val queries = root.get("queries").asInstanceOf[ObjectNode]
+    val names = queries.fieldNames().asScala.toSeq
+    val flagged = names.filter { n =>
+      val e = queries.get(n)
+      val s = e.get("slope").get(topIdx)
+      val t = e.get("t").get(nSf - 1)
+      s != null && !s.isNull && t != null && !t.isNull &&
+        s.asDouble() > 1.3 && t.asDouble() > 0.5
+    }
+    val fl = mapper.createArrayNode()
+    flagged.foreach(fl.add)
+    val fd = mapper.createArrayNode()
+    flagged.foreach { n =>
+      val o = mapper.createObjectNode()
+      o.put("name", n)
+      byDesign.get(n) match {
+        case Some(j) => o.put("by_design", j)
+        case None => o.putNull("by_design")
+      }
+      fd.add(o): Unit
+    }
+    // explicit type arg: ObjectNode.set is generic in its return and
+    // Scala's value-discard would otherwise infer T = BoxedUnit (a
+    // runtime ClassCastException, not a compile error)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("flagged", fl)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("flag_details", fd)
+    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+      (mapper.writeValueAsString(root) + "\n").getBytes("UTF-8"))
+    println(s"reannotated $file: ${flagged.size} flagged")
+    flagged.foreach { n =>
+      val tag = if (byDesign.contains(n)) "by-design" else "REAL"
+      println(s"  FLAG($tag) $n")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("reannotate")) {
+      reannotate(args.lift(1).getOrElse("scale_audit.json"))
+      return
+    }
     val outFile = args.headOption.getOrElse("scale_audit.json")
     val sfDirs =
       if (args.length > 1) args.drop(1).toSeq
