@@ -146,7 +146,16 @@ object Bpe {
     *      EXISTING symbol — boosting the stale count of a
     *      below-boundary pair touching it to stale+created, which
     *      serial (recounting after each merge) could have ranked
-    *      ahead of the rest of the batch;
+    *      ahead of the rest of the batch. The FIRST candidate of a
+    *      round is EXEMPT from the cross-round leg: round-start counts
+    *      are exact (nothing merged yet this round), so accepting the
+    *      aliasing pair first is precisely what serial — which also
+    *      sees exact counts and also aliases symbols by string — would
+    *      do; only LATER candidates, whose counts may be stale w.r.t.
+    *      the accepted prefix, need the guard (and `used` already
+    *      carries the alias product forward within the batch). Without
+    *      the exemption a blocked top(0) would end the round with ZERO
+    *      accepted merges and identical state — a driver livelock;
     *   2. STRICTLY above the boundary (the first non-accepted pair):
     *      ties shrink the batch, so every rejected / newly-created
     *      pair (both bounded by rejected stale counts) stays strictly
@@ -177,17 +186,23 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         // rule 1: longest symbol-disjoint prefix ({l, r, l+r} claimed
-        // within the batch, AND l+r not re-creating a symbol an earlier
-        // round already built — see the cross-round leg above)
+        // within the batch, AND — for candidates AFTER the first —
+        // l+r not re-creating a symbol an earlier round already built
+        // (top(0) rides exact round-start counts, so accepting an
+        // aliasing pair first IS serial; see the cross-round leg above)
         val used = scala.collection.mutable.Set.empty[String]
         var k = 0
         var blocked = false
         while (k < math.min(want, top.length) && !blocked) {
           val (l, r) = (top(k).getString(0), top(k).getString(1))
-          if (used(l) || used(r) || used(l + r) || learnedSyms(l + r))
+          if (used(l) || used(r) || used(l + r) ||
+              (k > 0 && learnedSyms(l + r)))
             blocked = true
           else { used += l; used += r; used += (l + r); k += 1 }
         }
+        assert(k >= 1,
+          "learnMerges: round accepted zero merges with candidates " +
+            "present — the k==0 exemption should make this unreachable")
         // rule 2: strict boundary — shrink while the last accepted ties
         // the first non-accepted (k == top.length means no boundary:
         // the vocabulary has no further pairs at all)

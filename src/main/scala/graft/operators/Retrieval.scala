@@ -119,11 +119,17 @@ object Retrieval {
       s"mmrRerank: lambdaTenths=$lambdaTenths must be in [0, 10]")
     val spark = df.sparkSession
     import spark.implicits._
-    import graft.functions.VectorFunctions.cosine
-    val cand = Similarity.cosineTopK(df, idCol, vecCol, query, shortlist)
-      .withColumn("rel_micro",
-        round(round(col("score"), 6) * 1e6).cast("long"))
-      .select(col(idCol).as("__id"), col("rel_micro"))
+    import graft.functions.VectorFunctions.{cosine, vecLit}
+    // the shortlist CUT itself ranks on the QUANTIZED rel_micro (desc,
+    // id) — not the raw double cosine — so a cross-engine ulp at the
+    // rank-20/21 boundary cannot change the candidate set and cascade
+    // through every greedy step (both engines cut on the same integers;
+    // still one TakeOrderedAndProject, shuffle-free)
+    val cand = df.select(col(idCol).as("__id"),
+        round(round(cosine(col(vecCol), vecLit(query)), 6) * 1e6)
+          .cast("long").as("rel_micro"))
+      .orderBy(desc("rel_micro"), col("__id"))
+      .limit(shortlist)
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .join(broadcast(cand.select("__id")), "__id")
     val sims = vecs.as("a").join(broadcast(vecs.as("b")),

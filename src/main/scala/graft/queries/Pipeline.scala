@@ -3168,7 +3168,7 @@ object Pipeline {
       s"""WITH cand AS MATERIALIZED (SELECT vec_id, embedding,
          |    CAST(round(round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList), 6) * 1000000.0) AS BIGINT) AS rel
          |  FROM embeddings
-         |  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), $onesSqlList) DESC, vec_id
+         |  ORDER BY rel DESC, vec_id
          |  LIMIT 20),
          |sims AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |    CAST(round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) * 1000000.0) AS BIGINT) AS sim
@@ -3448,8 +3448,11 @@ object Pipeline {
         .map { case (k, ps) =>
           s"CASE WHEN nlab >= $k AND ${sfx(k - 1)} IN (${inList(ps)}) THEN $k ELSE 1 END"
         }
+    // `CASE <no whens> ELSE x END` is a syntax error — when a snapshot
+    // refresh carries no exception rules, emit the match expression bare
     val psLen =
-      s"CASE $excWhens ELSE greatest(${matchTerms.mkString(", ")}) END"
+      if (excWhens.isEmpty) s"greatest(${matchTerms.mkString(", ")})"
+      else s"CASE $excWhens ELSE greatest(${matchTerms.mkString(", ")}) END"
     s"""p AS (SELECT doc_id, url,
       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
       |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest0 FROM u),

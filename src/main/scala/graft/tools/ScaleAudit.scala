@@ -113,6 +113,21 @@ object ScaleAudit {
                            times: Map[String, Option[Double]],
                            calSamples: Seq[Double])
 
+  /** The ONE flag rule, shared by the run path and [[reannotate]] so the
+    * two can never silently diverge (they previously duplicated the
+    * literals): superlinear at the TOP transition and doing non-trivial
+    * work at the largest factor. */
+  private val SlopeFlagThreshold = 1.3
+  private val TTopFlagThreshold = 0.5
+  private val FlagRule =
+    s"top slope > $SlopeFlagThreshold and t_top > ${TTopFlagThreshold}s"
+  /** Index of the top transition's slope among the `nSf - 1` slopes. */
+  private def topTransitionIdx(nSf: Int): Int = nSf - 2
+  private def isFlagged(topSlope: Option[Double],
+                        tTop: Option[Double]): Boolean =
+    topSlope.exists(_ > SlopeFlagThreshold) &&
+      tTop.exists(_ > TTopFlagThreshold)
+
   /** Re-annotate an existing artifact: recompute the flag list and
     * `by_design` details from the RECORDED times/slopes under the
     * current rule + justification map, without re-timing anything.
@@ -129,15 +144,15 @@ object ScaleAudit {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(new java.io.File(file)).asInstanceOf[ObjectNode]
     val nSf = root.get("sf_values").size()
-    val topIdx = nSf - 2
+    val topIdx = topTransitionIdx(nSf)
     val queries = root.get("queries").asInstanceOf[ObjectNode]
     val names = queries.fieldNames().asScala.toSeq
+    def numOpt(n: com.fasterxml.jackson.databind.JsonNode): Option[Double] =
+      Option(n).filterNot(_.isNull).map(_.asDouble())
     val flagged = names.filter { n =>
       val e = queries.get(n)
-      val s = e.get("slope").get(topIdx)
-      val t = e.get("t").get(nSf - 1)
-      s != null && !s.isNull && t != null && !t.isNull &&
-        s.asDouble() > 1.3 && t.asDouble() > 0.5
+      isFlagged(numOpt(e.get("slope").get(topIdx)),
+        numOpt(e.get("t").get(nSf - 1)))
     }
     val fl = mapper.createArrayNode()
     flagged.foreach(fl.add)
@@ -234,13 +249,10 @@ object ScaleAudit {
       }.toSeq
     }.toMap
 
-    // flag rule: superlinear at the TOP transition and doing non-trivial
-    // work at the largest factor
-    val topIdx = sfRuns.size - 2
+    // flag rule: see the shared predicate above
+    val topIdx = topTransitionIdx(sfRuns.size)
     val flagged = names.filter { n =>
-      val topSlope = slopes(n).lift(topIdx).flatten
-      val tTop = sfRuns.last.times(n)
-      topSlope.exists(_ > 1.3) && tTop.exists(_ > 0.5)
+      isFlagged(slopes(n).lift(topIdx).flatten, sfRuns.last.times(n))
     }
 
     val json = {
@@ -265,7 +277,7 @@ object ScaleAudit {
         val bd = byDesign.get(n).map(jstr).getOrElse("null")
         s"""{"name":"$n","by_design":$bd}"""
       }.mkString("[", ",", "]")
-      s"""{"sfs":$sfsJson,"sf_values":$sfVals,"runs":$runs,"totals":$totals,"calibration":$cals,"flag_rule":"top slope > 1.3 and t_top > 0.5s","flagged":$flaggedJson,"flag_details":$flagDetails,"queries":$qjson}"""
+      s"""{"sfs":$sfsJson,"sf_values":$sfVals,"runs":$runs,"totals":$totals,"calibration":$cals,"flag_rule":"$FlagRule","flagged":$flaggedJson,"flag_details":$flagDetails,"queries":$qjson}"""
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
@@ -273,7 +285,7 @@ object ScaleAudit {
     // human-readable summary: flagged first, then the steepest unflagged
     println(f"%n== scale audit: ${names.size} entries, factors " +
       sfRuns.map(_.sf).mkString("/") + s", runs=$runs ==")
-    println(f"flagged superlinear (top slope > 1.3, t_top > 0.5s): ${flagged.size}")
+    println(s"flagged superlinear ($FlagRule): ${flagged.size}")
     def row(n: String): String = {
       val ts = sfRuns.map(r => r.times(n).map(t => f"$t%8.3f").getOrElse("   fail "))
         .mkString(" ")

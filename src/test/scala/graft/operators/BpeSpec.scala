@@ -126,6 +126,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("randomized corpora: batched == serial and every round makes progress") {
+    // seeded property sweep over dense small-alphabet vocabularies —
+    // the regime where run overlaps, count ties, and bracketing aliases
+    // are most likely. Two invariants: (1) the batched table is
+    // bit-identical to serial at every width; (2) no round ever accepts
+    // zero merges while candidates remain (the k==0 livelock guard in
+    // learnMerges asserts this internally — a regression would fail the
+    // run loudly instead of hanging the suite).
+    val rnd = new scala.util.Random(0x5eed12L)
+    for (trial <- 1 to 3) {
+      val words = Seq.fill(14) {
+        val len = 1 + rnd.nextInt(6)
+        val w = Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+        (w, (1 + rnd.nextInt(50)).toLong)
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+        .toDF("word", "wcount")
+      val (serial, _) = Bpe.learnMerges(words, numMerges = 8, batch = 1)
+      for (b <- Seq(3, 64)) {
+        val (batched, _) = Bpe.learnMerges(words, numMerges = 8, batch = b)
+        assert(batched == serial,
+          s"trial=$trial batch=$b diverged:\n$batched\nvs\n$serial")
+      }
+    }
+  }
+
   test("tokenize: in-vocab words reproduce the learned symbolization; OOV words re-merge as far as the ranks reach") {
     val corpus = Seq(("abc", 5L), ("abd", 3L)).toDF("word", "wcount")
     val (merges, fin) = Bpe.learnMerges(corpus, numMerges = 2)
