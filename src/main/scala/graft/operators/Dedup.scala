@@ -137,28 +137,80 @@ object Dedup {
     * for callers tuning candidate volume by hand. */
   def minhashNearDupsAuto(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 64,
-                          shingleLen: Int = 3): DataFrame = {
+                          shingleLen: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val (bands, _) = paramsFor(threshold, numHashes)
-    minhashNearDups(df, idCol, textCol, threshold, numHashes, bands, shingleLen)
+    minhashNearDups(df, idCol, textCol, threshold, numHashes, bands,
+      shingleLen, maxBucket)
   }
+
+  /** Default hot-bucket cap for banded-LSH candidate generation: a
+    * (band, bucket) group with more members than this is crawl-style
+    * boilerplate density, and its C(m, 2) full clique is capped to an
+    * m−1 STAR (every member paired with the bucket's minimum id). The
+    * 4-step scale ladder measured the uncapped failure mode — candidate
+    * pairs growing ~45-100× on 10× docs when replica cliques scale —
+    * and this is the [[TextAnalysis.fuzzyPairs]] maxBlock discipline
+    * applied to the minhash/RHP band buckets. 256 keeps every
+    * legitimate near-dup cluster below the cap on the fixtures while
+    * bounding a pathological 100k-doc boilerplate bucket at 10⁵ star
+    * pairs instead of 5×10⁹ clique pairs. */
+  val DefaultMaxBucket: Int = 256
 
   /** Banded LSH candidate pairs from minhash signatures: docs sharing any
     * (band, bucket) are candidates. Returns distinct (id_a, id_b), a < b.
-    * Never forms the n² pair space: the join is on (band, bucket). */
+    * Never forms the n² pair space: the join is on (band, bucket).
+    *
+    * HOT-BUCKET CAP: a bucket with m > `maxBucket` members emits an
+    * m−1 STAR around its minimum id instead of the C(m, 2) clique —
+    * the last unbounded spot in the candidate-generation story. Why a
+    * star is the right degradation and not a loss:
+    *
+    *   - a bucket that hot means ≥ maxBucket docs share an entire
+    *     band's signature rows — near-identical boilerplate, which is
+    *     DEDUP work (keep one, drop the rest), not pair-enumeration
+    *     work; the star carries exactly the m−1 edges connected-
+    *     component clustering ([[clusters]]) needs to merge the group,
+    *     and verification still runs per emitted pair, so no false
+    *     positive can enter;
+    *   - below the cap NOTHING changes (the spec pins capped ≡ uncapped
+    *     on sub-cap buckets), and a pair starred out of one band can
+    *     still surface as a full candidate from any of the other
+    *     bands - 1 buckets it collides in;
+    *   - the alternative — dropping hot buckets outright, as the fuzzy
+    *     path does — is wrong HERE, because these pairs are the dedup
+    *     family's own positives, not another operator's job.
+    *
+    * Plan shape: one window (count + min) over the same (band, bucket)
+    * exchange the join shuffles on, so the cap costs no extra
+    * corpus-sized shuffle and the two join sides still collapse into
+    * ONE signature pipeline (Exchange + ReusedExchange — pinned by
+    * PlanAuditSpec). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleLen: Int = 3): DataFrame = {
+                        shingleLen: Int = 3,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val exploded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleLen)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = exploded
+      .withColumn("__m", count(lit(1)).over(w))
+      .withColumn("__hub", min(col("id")).over(w))
+    val small = sized.filter(col("__m") <= maxBucket)
     // shuffle_hash, not broadcast: with both sides shuffled on
     // (band, bucket) the two identical signature subtrees collapse into
     // ONE Exchange + ReusedExchange — the expensive shingle→minhash
     // pipeline runs once, not once per join side. (A broadcast join has
     // no common exchange to reuse, and at corpus scale the signature
     // table could not broadcast anyway.)
-    exploded.as("l").hint("shuffle_hash").join(exploded.as("r"), Seq("band", "bucket"))
+    val cliquePairs = small.as("l").hint("shuffle_hash")
+      .join(small.as("r"), Seq("band", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    // hub = bucket min, so id_a < id_b holds by construction
+    val starPairs = sized.filter(col("__m") > maxBucket && col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    cliquePairs.unionByName(starPairs).distinct()
   }
 
   /** Near-dup pairs = LSH candidates verified by exact shingle Jaccard ≥
@@ -168,12 +220,14 @@ object Dedup {
     * avg-shingles, never the all-pairs shingle join. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 64, bands: Int = 16,
-                      shingleLen: Int = 3): DataFrame = {
+                      shingleLen: Int = 3,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // No .cache(): the shingle explode is a narrow one-pass chain off the
     // scan — recomputing it per use is cheaper than pinning a corpus-sized
     // table in executor memory (and caching leaked across queries in r1).
     val sh = shingles(df, idCol, textCol, shingleLen)
-    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleLen)
+    val cand = minhashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleLen, maxBucket)
     verifyJaccard(cand, "id_a", "id_b", sh, sh, threshold)
   }
 
@@ -638,12 +692,31 @@ object Dedup {
     * is a parquet scan, and candidates share ≥1 LSH band. One
     * shuffle-hash join on (band, bkey); the new batch is typically a day's
     * crawl against years of store, so the join's small side is the batch.
-    * Returns distinct (new_id, store_id). */
+    * Returns distinct (new_id, store_id).
+    *
+    * HOT-BUCKET CAP (the [[minhashCandidates]] discipline on the
+    * incremental axis): a STORE bucket keeps only its `maxBucket`
+    * LOWEST ids as candidate partners — deterministic representatives.
+    * Years of boilerplate history can pile 10⁵ store rows into one
+    * (band, bkey); uncapped, every colliding new doc would fan out into
+    * all of them, and the candidate volume is (new batch hits) ×
+    * (bucket depth). The query this operator answers is "is the new doc
+    * a duplicate of ANYTHING in history" — one verified representative
+    * hit settles it, so a capped bucket loses nothing the caller acts
+    * on, and a pair repressed in one band can still surface from the
+    * other bands' buckets. Below the cap, candidates are IDENTICAL to
+    * the uncapped join (row_number ≤ m ≤ cap keeps every row;
+    * spec-pinned). */
   def minhashStoreCandidates(newBatch: DataFrame, idCol: String,
                              textCol: String, path: String,
                              components: Int = 8, rowsPerBand: Int = 2,
-                             n: Int = 3): DataFrame = {
+                             n: Int = 3,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val store = Compaction.readLive(newBatch.sparkSession, path)
+      .withColumn("__rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("band", "bkey").orderBy("id")))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
     val nb = portableBands(
       portableMinhashSigs(newBatch, idCol, textCol, components, n),
       components, rowsPerBand)

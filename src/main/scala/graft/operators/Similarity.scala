@@ -232,10 +232,23 @@ object Similarity {
     * signature array exploded into (band, bucket) rows) — a per-band
     * union would rescan the corpus nBands times, the difference between
     * one and twelve passes over 100 TB. Shuffle volume is unchanged
-    * (nBands rows/doc either way). */
+    * (nBands rows/doc either way).
+    *
+    * HOT-BUCKET CAP ([[graft.operators.Dedup.minhashCandidates]]'s
+    * discipline on the embedding axis): a bucket with m > `maxBucket`
+    * members emits an m−1 STAR around its minimum id instead of the
+    * C(m, 2) clique. A bucket that hot is a mass of near-identical
+    * embeddings (template pages, exact re-crawls) — dedup-cluster
+    * evidence, not pair-enumeration work; the star still merges the
+    * group under connected components, every emitted pair is still
+    * exact-cosine verified, sub-cap buckets are bit-identical to the
+    * uncapped join, and a starred-out pair can still surface whole from
+    * any of the other bands. */
   def annNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nPlanes: Int = 12, nBands: Int = 4,
-                      seed: Long = 42L, dim: Int = 64): DataFrame = {
+                      seed: Long = 42L, dim: Int = 64,
+                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bandSigs = (0 until nBands).map { b =>
       val planes = randomPlanes(nPlanes, dim, seed + b)
       struct(lit(b).as("band"), rhpSignature(col("vec"), planes).as("bucket"))
@@ -247,15 +260,32 @@ object Similarity {
         explode(array(bandSigs: _*)).as("bb"))
       .select(col("id"), col("vec"), col("nrm"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // bucket census + hub (min id, carried WITH its vector/norm via a
+    // struct-min so the star pairs never need a second join back to the
+    // corpus) over the same (band, bucket) partitioning the join uses
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val sized = banded
+      .withColumn("__m", count(lit(1)).over(w))
+      .withColumn("__hub",
+        min(struct(col("id"), col("vec"), col("nrm"))).over(w))
+    val small = sized.filter(col("__m") <= maxBucket)
     // Self-join the SAME plan aliased twice, renaming only AFTER the join:
     // the two Exchange children then canonicalize equal and AQE reuses the
     // shuffle stage — the signature pipeline runs ONCE per query. (Renaming
     // the sides before the join, as an earlier version did, broke the
     // match: 2 scans + 2 identical shuffles in the executed plan.)
-    banded.as("l").hint("shuffle_hash").join(banded.as("r"), Seq("band", "bucket"))
+    val cliquePairs = small.as("l").hint("shuffle_hash")
+      .join(small.as("r"), Seq("band", "bucket"))
       .filter(col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         (dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm"))).as("score"))
+    // hub = bucket min id, so id_a < id_b by construction
+    val starPairs = sized
+      .filter(col("__m") > maxBucket && col("id") =!= col("__hub").getField("id"))
+      .select(col("__hub").getField("id").as("id_a"), col("id").as("id_b"),
+        (dot(col("__hub").getField("vec"), col("vec")) /
+          (col("__hub").getField("nrm") * col("nrm"))).as("score"))
+    cliquePairs.unionByName(starPairs)
       .filter(col("score") >= threshold)
       .dropDuplicates("id_a", "id_b")
   }

@@ -4096,7 +4096,10 @@ object Pipeline {
          |           FROM toksT),
          |shT AS (SELECT DISTINCT doc_id, shingle FROM gramsT),
          |sigN AS (SELECT doc_id AS id, $sigCols FROM shT GROUP BY doc_id),
-         |bandsS AS (${bandsSql("sigS")}),
+         |bandsS0 AS (${bandsSql("sigS")}),
+         |bandsS AS (SELECT id, band, bkey FROM bandsS0
+         |           QUALIFY row_number() OVER (PARTITION BY band, bkey
+         |                                      ORDER BY id) <= ${graft.operators.Dedup.DefaultMaxBucket}),
          |bandsN AS (${bandsSql("sigN")})
          |SELECT DISTINCT n.id AS new_id, s.id AS store_id
          |FROM bandsN n JOIN bandsS s USING (band, bkey)

@@ -95,11 +95,18 @@ object ScaleAudit {
         "PAIRS, which the fixture's 10-way replica cliques grow ~45x " +
         "while docs grow 10x (the dedup_clusters edge-density story; " +
         "same plan at a fixed band config sits at slope ~0.95-1.1 in " +
-        "quieter runs)"),
+        "quieter runs); CAPPED since r12: a bucket past maxBucket=256 " +
+        "degrades to an m-1 star around its min id (minhashCandidates, " +
+        "spec-pinned), so the pathological boilerplate case is linear - " +
+        "the fixture's 10-member cliques sit far below the cap and " +
+        "legitimately enumerate their pairs"),
     "dedup_minhash_neardups" ->
       ("banded minhash candidates + jaccard verify at the fixed band " +
         "config: linear in candidate pairs, fixture-grown ~45x (the " +
-        "edge-density story)"),
+        "edge-density story); CAPPED since r12 by the minhashCandidates " +
+        "maxBucket=256 star degradation (spec-pinned) - sub-cap cliques " +
+        "like the fixture's enumerate normally, pathological buckets " +
+        "are linear"),
     "text_fuzzy_pairs" ->
       ("blocked pair join with per-pair banded levenshtein: linear in " +
         "candidate pairs; all 10 replicas share each 16-char block by " +

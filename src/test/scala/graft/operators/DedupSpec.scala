@@ -253,6 +253,63 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap: over-cap buckets emit a star; sub-cap buckets are bit-identical to uncapped") {
+    // 8 identical boilerplate docs (ids 10..17: every band's bucket has
+    // m=8 members) planted next to the regular corpus; cap at 4
+    val boiler = (10L to 17L).map(i =>
+      (i, "shared boilerplate navigation header footer copyright menu text body"))
+    val df = corpus.unionByName(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val isBoiler = (id: Long) => id >= 10L
+    // the hot clique degrades to the m-1 star around its min id...
+    val star = (11L to 17L).map(i => (10L, i)).toSet
+    assert(capped.filter(p => isBoiler(p._1) || isBoiler(p._2)) == star,
+      capped.toString)
+    // ...and every sub-cap candidate is EXACTLY what the uncapped join
+    // produces (no verified pair lost below the cap)
+    assert(capped.filterNot(p => isBoiler(p._1) || isBoiler(p._2)) ==
+      uncapped.filterNot(p => isBoiler(p._1) || isBoiler(p._2)))
+    assert(uncapped.filter(p => isBoiler(p._1) && isBoiler(p._2)).size == 28) // C(8,2)
+    // the star still merges the clique under connected components, and
+    // verification passes (identical docs: jaccard 1.0)
+    val nd = Dedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5,
+      maxBucket = 4)
+    val cl = Dedup.clusters(nd.select("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((10L to 17L).map(cl).toSet.size == 1, cl.toString)
+  }
+
+  test("store-candidates cap: a hot store bucket answers with its maxBucket lowest ids") {
+    val dir = java.nio.file.Files.createTempDirectory("mh_storecap_spec_")
+    try {
+      val path = dir.resolve("bands").toString
+      // store: 6 identical docs (one hot bucket per band) + 1 distinct
+      val base = ((1L to 6L).map(i =>
+        (i, "identical stored boilerplate page body repeated across the crawl")) :+
+        (7L, "completely different historical content nothing like the rest"))
+        .toDF("doc_id", "text")
+      Dedup.minhashStoreWrite(base, "doc_id", "text", path)
+      val batch = Seq((100L,
+        "identical stored boilerplate page body repeated across the crawl"))
+        .toDF("doc_id", "text")
+      val capped = Dedup.minhashStoreCandidates(batch, "doc_id", "text", path,
+        maxBucket = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // deterministic representatives: the 3 LOWEST store ids
+      assert(capped == Set((100L, 1L), (100L, 2L), (100L, 3L)), capped.toString)
+      // below the cap the join is identical to uncapped
+      val full = Dedup.minhashStoreCandidates(batch, "doc_id", "text", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(full == (1L to 6L).map((100L, _)).toSet, full.toString)
+    } finally {
+      import java.nio.file.{Files, Path}
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach((p: Path) => { Files.deleteIfExists(p); () })
+    }
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()

@@ -106,6 +106,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("annNearDupPairs hot-bucket cap: over-cap buckets emit a verified star; sub-cap identical to uncapped") {
+    // 7 identical embeddings (ids 10..16 — one hot bucket per band) next
+    // to a colinear pair and a distinct vector; cap at 4
+    val base = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val other = Array.tabulate(64)(i => ((i * 13) % 11 - 5).toFloat)
+    val rows = Seq((1L, other), (2L, other.map(_ * 2.0f))) ++
+      (10L to 16L).map(i => (i, base))
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Similarity.annNearDupPairs(df, "vec_id", "embedding", 0.99,
+        maxBucket = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val isClique = (id: Long) => id >= 10L
+    // star around the clique min, every pair exact-cosine verified at 1.0
+    val star = (11L to 16L).map(i => (10L, i)).toSet
+    assert(capped.keySet.filter(p => isClique(p._1) || isClique(p._2)) == star,
+      capped.toString)
+    star.foreach(p => assert(math.abs(capped(p) - 1.0) < 1e-9, capped(p).toString))
+    // sub-cap pairs identical to the uncapped join (the colinear pair)
+    val uncapped = Similarity.annNearDupPairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.keySet.filterNot(p => isClique(p._1) || isClique(p._2)) ==
+      uncapped.filterNot(p => isClique(p._1) || isClique(p._2)))
+    assert(uncapped.filter(p => isClique(p._1) && isClique(p._2)).size == 21) // C(7,2)
+  }
+
   test("semanticDedup: planted clones dropped, originals kept, nothing else at 0.999") {
     import org.apache.spark.sql.functions.max
     val offset = embs.agg(max(col("vec_id"))).head().getLong(0) + 1L
