@@ -27,154 +27,106 @@ import org.apache.spark.unsafe.types.UTF8String
   * heuristic exactly, so unknown TLDs keep their previous grouping and
   * the vendored snapshot only ever REFINES, never regresses.
   *
-  * The rule table is a STATIC compiled-in set (a few hundred strings),
-  * not a broadcast join: domain extraction stays a map-only codegen'd
-  * expression with zero shuffle — at 100 TB the difference between a
-  * per-row hash-set probe and joining every row against a rules table.
-  * The snapshot covers the high-traffic ccTLD registration suffixes,
-  * the stable wildcard/exception entries, AND the private-section
-  * platform-hosting suffixes (`github.io`, `blogspot.*`, the
-  * `amazonaws.com` website/compute families, …) — kept in a separate
-  * set so a refresh that pulls only the ICANN section preserves them
-  * deliberately; a production deployment refreshes [[PublicSuffixList]]
-  * from the upstream list file (same sets, same algorithm — the data
-  * is MPL-2.0, refreshed periodically).
+  * The rule table is STATIC per JVM (parsed once from a vendored
+  * classpath snapshot), not a broadcast join: domain extraction stays a
+  * map-only codegen'd expression with zero shuffle — at 100 TB the
+  * difference between a per-row hash-set probe and joining every row
+  * against a rules table.
+  *
+  * SNAPSHOT, GENERATED NOT CURATED (round 12): the rules load from
+  * `graft/public_suffix_list.dat` — a vendored snapshot in the
+  * CANONICAL publicsuffix.org file format (`//` comments, `*.`
+  * wildcards, `!` exceptions, ICANN/PRIVATE section markers), built by
+  * `tools/make_psl_snapshot.py` and refreshable by simply dropping in
+  * the upstream `public_suffix_list.dat` (MPL-2.0): the parser
+  * consumes the upstream grammar verbatim. ~790 rules: the ccTLD
+  * second-level conventions, the full US k12/cc/lib locality grid, the
+  * JP designated-city wildcards with their `!city.*` deep exceptions,
+  * and the private-section platform-hosting families (github.io, the
+  * ~70 blogspot ccTLDs, the amazonaws S3/compute families, Azure,
+  * dynamic-DNS). The ICANN/private split is preserved from the file's
+  * section markers, and a refresh that drops the private section fails
+  * LOUDLY (see the require below) instead of silently regrouping all
+  * of GitHub Pages under one registrant.
   */
 object PublicSuffixList {
 
-  /** Multi-label exact rules (single-label TLDs need no entry: the
-    * default `*` rule already makes any top label a public suffix).
-    * Snapshot subset of the ICANN section, keyed by the second-level
-    * registration conventions that dominate crawl traffic, plus the
-    * deeper US locality conventions (`k12.<state>.us` and the
-    * 4-label Massachusetts private-school entries) — the depth-3+
-    * shapes that forced the oracle CTE to go depth-general. */
-  val exact: Set[String] = Set(
-    // United Kingdom
-    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
-    "me.uk", "ltd.uk", "plc.uk", "police.uk",
-    // Australia
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
-    // Japan
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-    "gr.jp", "lg.jp",
-    // Brazil
-    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
-    // India
-    "co.in", "net.in", "org.in", "gov.in", "ac.in", "edu.in", "res.in",
-    "gen.in", "firm.in", "ind.in",
-    // China
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    // New Zealand
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "geek.nz", "maori.nz",
-    // South Africa
-    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
-    // South Korea
-    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
-    // Mexico / Argentina / Colombia / Chile / Peru / Venezuela
-    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
-    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
-    "com.co", "net.co", "org.co", "gov.co", "edu.co",
-    "gob.cl", "gov.cl", "mil.cl",
-    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe",
-    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve",
-    // Turkey
-    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "k12.tr",
-    // Taiwan / Hong Kong / Singapore
-    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
-    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
-    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
-    // Israel
-    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "k12.il",
-    // Thailand / Indonesia / Malaysia / Philippines / Vietnam
-    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th",
-    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id", "sch.id",
-    "com.my", "net.my", "org.my", "gov.my", "edu.my",
-    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
-    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
-    // Ukraine / Poland / Russia
-    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
-    "com.pl", "net.pl", "org.pl", "gov.pl", "edu.pl", "waw.pl",
-    "krakow.pl", "poznan.pl", "wroc.pl", "gda.pl",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    // Egypt / Saudi Arabia / Nigeria / Kenya / Ghana
-    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg",
-    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
-    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "info.ke",
-    "com.gh", "org.gh", "gov.gh", "edu.gh",
-    // Europe ccTLD second levels that take registrations
-    "co.at", "or.at", "ac.at", "gv.at",
-    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
-    "com.pt", "edu.pt", "gov.pt", "org.pt",
-    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
-    "co.hu", "org.hu", "info.hu", "priv.hu",
-    "com.ro", "org.ro", "info.ro", "arts.ro",
-    // Canadian provinces
-    "gc.ca", "qc.ca", "on.ca", "bc.ca", "ab.ca", "mb.ca", "ns.ca",
-    "nb.ca", "sk.ca", "nl.ca", "pe.ca", "nt.ca", "nu.ca", "yt.ca",
-    // US locality second-levels: k12/community-college/library per
-    // state; Massachusetts has no public k12.ma.us rule — its
-    // school registrations live one label deeper (4-label rules)
-    "k12.ak.us", "k12.al.us", "k12.ca.us", "k12.co.us", "k12.fl.us",
-    "k12.ga.us", "k12.il.us", "k12.mi.us", "k12.mn.us", "k12.ny.us",
-    "k12.oh.us", "k12.or.us", "k12.pa.us", "k12.tx.us", "k12.va.us",
-    "k12.wa.us", "k12.wi.us",
-    "cc.ca.us", "cc.fl.us", "cc.il.us", "cc.ny.us", "cc.tx.us",
-    "lib.ca.us", "lib.fl.us", "lib.il.us", "lib.ny.us", "lib.tx.us",
-    "pvt.k12.ma.us", "chtr.k12.ma.us", "paroch.k12.ma.us")
+  private final case class Rules(exact: Set[String],
+                                 privateExact: Set[String],
+                                 wildcard: Set[String],
+                                 exception: Set[String])
+
+  /** Parse the canonical PSL file format. Single-label exact rules
+    * (`com`, `uk`, …) are folded away: the implicit default rule `*`
+    * already makes any top label a public suffix, so they change
+    * nothing — dropping them keeps the probe sets and the generated
+    * oracle CASE lean when the snapshot is the full upstream list. */
+  private val parsed: Rules = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "graft/public_suffix_list.dat missing from " +
+      "classpath — regenerate with tools/make_psl_snapshot.py")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      val exact = Set.newBuilder[String]
+      val priv = Set.newBuilder[String]
+      val wild = Set.newBuilder[String]
+      val exc = Set.newBuilder[String]
+      var section = 0 // 0 = outside, 1 = ICANN, 2 = PRIVATE
+      for (raw <- src.getLines()) {
+        val line = raw.trim
+        if (line.contains("===BEGIN ICANN DOMAINS===")) section = 1
+        else if (line.contains("===BEGIN PRIVATE DOMAINS===")) section = 2
+        else if (line.contains("===END")) section = 0
+        else if (line.nonEmpty && !line.startsWith("//") && section != 0) {
+          // canonical grammar: the rule is everything up to whitespace
+          val rule = line.split("\\s+")(0).toLowerCase
+          if (rule.startsWith("!")) exc += rule.substring(1)
+          else if (rule.startsWith("*.")) wild += rule.substring(2)
+          else if (rule.contains(".")) {
+            if (section == 1) exact += rule else priv += rule
+          }
+        }
+      }
+      Rules(exact.result(), priv.result(), wild.result(), exc.result())
+    } finally src.close()
+  }
+  require(parsed.exact.nonEmpty && parsed.wildcard.nonEmpty,
+    "public_suffix_list.dat parsed to an empty ICANN rule set — " +
+      "corrupt or mis-sectioned snapshot")
+  require(parsed.privateExact.nonEmpty,
+    "public_suffix_list.dat carries no PRIVATE-section rules — a " +
+      "refresh must not silently drop the platform-hosting suffixes " +
+      "(they change domain-cap/split grouping for all of GitHub " +
+      "Pages, Blogspot, S3 website hosting, …)")
+
+  /** Multi-label exact rules from the ICANN section: second-level
+    * registration conventions plus the deeper US locality shapes
+    * (`k12.<state>.us`, the 4-label Massachusetts private-school
+    * entries) that forced the oracle CTE to go depth-general. */
+  val exact: Set[String] = parsed.exact
 
   /** PRIVATE-section exact rules — platform hosting suffixes where
     * every customer subdomain is an independent registrant. Kept in a
-    * SEPARATE set from the ICANN section deliberately: a snapshot
-    * refresh that pulls only the ICANN list must not silently drop
-    * them (they change domain-cap/split grouping for all of GitHub
-    * Pages, Blogspot, S3 website hosting, …). Without these, every
-    * GitHub-Pages site groups as ONE registrable domain (`github.io`)
-    * — `sample_domain_cap` would cap the whole platform under one
-    * token budget and `sample_split_bydomain` would put it all on one
-    * split side: the same corpus-shaping error class the ccTLD rules
-    * fix, one PSL section over. */
-  val privateExact: Set[String] = Set(
-    // generic-TLD resellers (private section despite the ccTLD look)
-    "co.nl", "com.de", "co.com", "us.com", "uk.com", "eu.com",
-    // code / pages hosting
-    "github.io", "githubusercontent.com", "gitlab.io", "bitbucket.io",
-    "readthedocs.io", "neocities.org", "glitch.me", "repl.co",
-    // PaaS / edge
-    "herokuapp.com", "netlify.app", "pages.dev", "workers.dev",
-    "vercel.app", "now.sh", "surge.sh", "onrender.com", "fly.dev",
-    "web.app", "firebaseapp.com", "appspot.com", "run.app",
-    "azurewebsites.net", "cloudapp.net", "trafficmanager.net",
-    "azureedge.net", "cloudfront.net",
-    // blog / site builders
-    "wordpress.com", "wixsite.com", "weebly.com",
-    "blogspot.com", "blogspot.ca", "blogspot.de", "blogspot.fr",
-    "blogspot.in", "blogspot.it", "blogspot.jp", "blogspot.kr",
-    "blogspot.mx", "blogspot.nl", "blogspot.se", "blogspot.sg",
-    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br",
-    "blogspot.co.nz", "blogspot.co.za", "blogspot.com.ar",
-    // object storage website endpoints (3- and 4-label shapes)
-    "s3.amazonaws.com", "s3.us-east-2.amazonaws.com",
-    "s3.us-west-2.amazonaws.com", "s3.eu-west-1.amazonaws.com",
-    "s3-website-us-east-1.amazonaws.com",
-    "s3.dualstack.us-east-1.amazonaws.com",
-    "s3.dualstack.eu-west-1.amazonaws.com",
-    "blob.core.windows.net")
+    * SEPARATE set from the ICANN section (split taken from the
+    * snapshot's section markers): without these, every GitHub-Pages
+    * site groups as ONE registrable domain (`github.io`) —
+    * `sample_domain_cap` would cap the whole platform under one token
+    * budget and `sample_split_bydomain` would put it all on one split
+    * side: the same corpus-shaping error class the ccTLD rules fix,
+    * one PSL section over. */
+  val privateExact: Set[String] = parsed.privateExact
 
   /** Wildcard rules `*.<parent>`, stored by parent: every DIRECT child
-    * label of the parent is itself a public suffix. The long-stable
-    * fully-wildcarded ccTLDs (ICANN) plus the multi-label EC2/ELB
-    * hostname parents (private section): every `ec2-…` public hostname
-    * is its own registrable space. */
-  val wildcard: Set[String] = Set("ck", "er", "fk", "np", "pg",
-    "compute.amazonaws.com", "compute-1.amazonaws.com",
-    "elb.amazonaws.com")
+    * label of the parent is itself a public suffix. The fully
+    * wildcarded ccTLDs and JP designated-city parents (ICANN) plus the
+    * multi-label EC2/ELB hostname parents (private section): every
+    * `ec2-…` public hostname is its own registrable space. */
+  val wildcard: Set[String] = parsed.wildcard
 
   /** Exception rules `!<rule>`: the named host IS registrable even
-    * though a wildcard would make it a public suffix. */
-  val exception: Set[String] = Set("www.ck")
+    * though a wildcard would make it a public suffix (`www.ck`, the
+    * JP `city.<city>.jp` municipal hosts). */
+  val exception: Set[String] = parsed.exception
 
   /** The probe set: ICANN + private exact rules — one longest-match
     * lookup, section kept only for refresh bookkeeping. */

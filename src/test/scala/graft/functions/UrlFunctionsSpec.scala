@@ -143,6 +143,48 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(domain("https://compute.amazonaws.com/") == "amazonaws.com")
   }
 
+  test("domain: generated snapshot classes — JP city exceptions, new wildcards, regioned private suffixes") {
+    // mirror of the tools/check_psl_oracle.py r12 additions, so both
+    // engines pin the same truth table for the generated .dat
+    assert(domain("https://shop.dhaka.bd/") == "shop.dhaka.bd") // *.bd
+    assert(domain("https://www.city.kawasaki.jp/page") == "city.kawasaki.jp")
+    assert(domain("https://ward.kawasaki.jp/") == "ward.kawasaki.jp")
+    assert(domain("https://a.ward.kawasaki.jp/") == "a.ward.kawasaki.jp")
+    assert(domain("https://blogi.blogspot.fi/") == "blogi.blogspot.fi")
+    assert(domain("https://app.eu-central-1.elasticbeanstalk.com/") ==
+      "app.eu-central-1.elasticbeanstalk.com")
+    assert(domain("https://bucket.storage.googleapis.com/obj") ==
+      "bucket.storage.googleapis.com")
+    assert(domain("https://host.duckdns.org/") == "host.duckdns.org")
+    assert(domain("https://vm.westeurope.cloudapp.azure.com/") ==
+      "vm.westeurope.cloudapp.azure.com")
+    assert(domain("https://hs.bergen.k12.nj.us/") == "bergen.k12.nj.us")
+    assert(domain("https://uni.ac.ru/") == "uni.ac.ru")       // ICANN ru
+    assert(domain("https://site.com.ru/") == "site.com.ru")   // private ru
+  }
+
+  test("PSL snapshot parser: section split, rule classes, folded single-label rules") {
+    import graft.functions.PublicSuffixList
+    // the generated snapshot parsed into the four rule classes with the
+    // ICANN/private split taken from the file's section markers
+    assert(PublicSuffixList.exact.contains("co.uk"))
+    assert(PublicSuffixList.exact.contains("pvt.k12.ma.us"))
+    assert(!PublicSuffixList.exact.contains("github.io"))
+    assert(PublicSuffixList.privateExact.contains("github.io"))
+    assert(PublicSuffixList.privateExact.contains("blogspot.fi"))
+    assert(!PublicSuffixList.privateExact.contains("co.uk"))
+    assert(PublicSuffixList.wildcard.contains("ck"))
+    assert(PublicSuffixList.wildcard.contains("kawasaki.jp"))
+    assert(PublicSuffixList.wildcard.contains("compute.amazonaws.com"))
+    assert(PublicSuffixList.exception.contains("www.ck"))
+    assert(PublicSuffixList.exception.contains("city.kawasaki.jp"))
+    // single-label exact rules are folded into the implicit `*` default
+    assert(!PublicSuffixList.exact.contains("com"))
+    // scale sanity: generated, not hand-typed
+    assert(PublicSuffixList.allExact.size > 500,
+      PublicSuffixList.allExact.size.toString)
+  }
+
   test("domain: unknown TLDs keep the last-two-labels fallback (implicit * rule)") {
     assert(domain("https://a.b.example.zz/") == "example.zz")
     assert(domain("https://example.dev/") == "example.dev")

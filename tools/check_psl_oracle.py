@@ -54,6 +54,20 @@ CASES = [
     ("https://a.b.ec2-55.compute-1.amazonaws.com/",
      "b.ec2-55.compute-1.amazonaws.com"),
     ("https://compute.amazonaws.com/", "amazonaws.com"),  # parent not a rule
+    # r12 snapshot additions (generated .dat)
+    ("https://shop.dhaka.bd/", "shop.dhaka.bd"),        # *.bd wildcard
+    ("https://www.city.kawasaki.jp/page", "city.kawasaki.jp"),  # deep !exc
+    ("https://ward.kawasaki.jp/", "ward.kawasaki.jp"),  # *.kawasaki.jp
+    ("https://a.ward.kawasaki.jp/", "a.ward.kawasaki.jp"),
+    ("https://blogi.blogspot.fi/", "blogi.blogspot.fi"),
+    ("https://app.eu-central-1.elasticbeanstalk.com/",
+     "app.eu-central-1.elasticbeanstalk.com"),          # regioned PaaS
+    ("https://bucket.storage.googleapis.com/obj", "bucket.storage.googleapis.com"),
+    ("https://host.duckdns.org/", "host.duckdns.org"),  # dynamic DNS
+    ("https://vm.westeurope.cloudapp.azure.com/", "vm.westeurope.cloudapp.azure.com"),
+    ("https://hs.bergen.k12.nj.us/", "bergen.k12.nj.us"),  # full state grid
+    ("https://uni.ac.ru/", "uni.ac.ru"),                # ru ICANN rules
+    ("https://site.com.ru/", "site.com.ru"),            # ru private reseller
 ]
 
 def main(out_dir):
