@@ -123,7 +123,109 @@ object Multimodal {
       DecodedImage(mediaId, w, h,
         sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
     }
+
+    // ---- JPEG: the format a real crawl hits FIRST, and the one place
+    // the lossless-by-construction plant trick needs a measurement
+    // instead of an identity. tools/JpegProbe measured the JDK codec:
+    //   - solid GRAY at quality 1.0 round-trips BIT-EXACT (RGB→YCbCr
+    //     maps gray to (Y=v, Cb=Cr=128) exactly; a constant block's DCT
+    //     is DC-only and the q=1.0 tables preserve it) — all 256 gray
+    //     levels, non-multiple-of-8 dims included;
+    //   - solid COLOR stays UNIFORM with max per-channel round-trip
+    //     error exactly 1.0 (chroma rounding) at q=1.0 and q=0.9.
+    // Plants: EVEN ids gray (exact leg), ODD ids color (tolerance leg,
+    // bound 2.0 = measured 1.0 with 2x decoder-drift margin).
+
+    def isGrayJpeg(id: Long): Boolean = id % 2 == 0
+    def plantedGray(id: Long): Int = (id * 11 % 256).toInt
+
+    def encodeJpeg(id: Long): Array[Byte] = {
+      val (w, h) = (plantedWidth(id), plantedHeight(id))
+      val (r, g, b) =
+        if (isGrayJpeg(id)) { val v = plantedGray(id); (v, v, v) }
+        else plantedColor(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Real JPEG decode: dimensions, uniformity, and channel means come
+      * from the decoded pixels; the planted parameters enter ONLY to
+      * score the error legs (see [[graft.operators.Multimodal.DecodedJpeg]]). */
+    def decodeJpeg(mediaId: Long, jpeg: Array[Byte]): DecodedJpeg = {
+      val img =
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      require(img != null, s"media_id=$mediaId: payload is not a decodable JPEG")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var uniform = true
+      val first = img.getRGB(0, 0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          if (p != first) uniform = false
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val (mr, mg, mb) = (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      val gray = isGrayJpeg(mediaId)
+      val (pr, pg, pb) =
+        if (gray) { val v = plantedGray(mediaId); (v, v, v) }
+        else plantedColor(mediaId)
+      val maxErr = math.max(math.abs(mr - pr),
+        math.max(math.abs(mg - pg), math.abs(mb - pb)))
+      DecodedJpeg(mediaId, w, h, gray,
+        if (gray) Some(mr) else None, uniform, maxErr <= 2.0)
+    }
   }
+
+  /** Decoded statistics of one JPEG — REAL `javax.imageio` JPEG decode
+    * output, split into an EXACT leg and a MEASURED-TOLERANCE leg (JPEG
+    * is lossy; the oracle design is measurement-driven, see
+    * [[ImageCodec.encodeJpeg]] / tools/JpegProbe):
+    *
+    *  - `gray_mean` (gray plants only, else null): the decoded mean
+    *    channel value — BIT-EXACT equal to the planted gray level, so
+    *    the oracle predicts the full double from the id;
+    *  - `uniform`: all decoded pixels identical (solid plants stay
+    *    solid through the codec — measured);
+    *  - `err_le_2`: max per-channel |decoded mean − planted| ≤ 2.0 —
+    *    the measured round-trip envelope is 1.0 over the complete
+    *    planted color space, shipped with 2× margin; the oracle
+    *    predicts TRUE and MultimodalSpec re-measures the envelope so a
+    *    decoder drift past the margin fails the spec before it could
+    *    fail the gate. */
+  final case class DecodedJpeg(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      is_gray: Boolean,
+      gray_mean: Option[Double],
+      uniform: Boolean,
+      err_le_2: Boolean)
 
   /** Decoded waveform statistics of one audio clip — every field is REAL
     * decode output (`javax.sound.sampled` WAV→PCM), pinned by the DuckDB
@@ -537,6 +639,36 @@ object Multimodal {
             })
         }
       }
+  }
+
+  /** JPEG media fixture: one REAL JPEG per document (planted dims +
+    * gray/color per [[ImageCodec.encodeJpeg]]'s measured legs), encoded
+    * executor-side at quality 1.0. Kept as its OWN fixture (kind
+    * "jpeg") so the lossless PNG family's oracles stay untouched. */
+  def jpegMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          MediaRecord(media_id = id, kind = "jpeg",
+            payload = ImageCodec.encodeJpeg(id),
+            width = ImageCodec.plantedWidth(id),
+            height = ImageCodec.plantedHeight(id),
+            sample_rate = 0, duration_ms = 0L)
+        }
+      }
+  }
+
+  /** Real JPEG decode over [[jpegMedia]] rows: executor-side
+    * `mapPartitions`, `javax.imageio` — exact leg + measured-tolerance
+    * leg per [[DecodedJpeg]], pinned by the multimodal_jpeg oracle. */
+  def decodeJpegs(media: Dataset[MediaRecord]): Dataset[DecodedJpeg] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "jpeg").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => ImageCodec.decodeJpeg(m.media_id, m.payload))
+    }
   }
 
   /** Real image decode over the image-kind rows: executor-side

@@ -1371,6 +1371,18 @@ object Pipeline {
         Multimodal.realMedia(s, docs(s, dir)))
         .toDF()
         .orderBy("media_id")),
+    // REAL JPEG decode end-to-end — the format a real crawl hits first,
+    // and the one modality where the oracle is MEASUREMENT-designed
+    // instead of lossless-by-construction (tools/JpegProbe): even-id
+    // gray plants round-trip BIT-EXACT at quality 1.0 (the oracle
+    // predicts the full decoded mean), odd-id color plants ride the
+    // measured tolerance leg (uniform + err <= 2.0 booleans, envelope
+    // measured at 1.0 with 2x margin, re-measured by MultimodalSpec)
+    "multimodal_jpeg" -> ((s, dir) =>
+      Multimodal.decodeJpegs(
+        Multimodal.jpegMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy("media_id")),
     // REAL audio decode end-to-end: planted WAVs (16-bit mono PCM square
     // wave; rate/length/amplitude from doc_id) written and read back
     // executor-side via javax.sound.sampled; rate/frames/mean-|amp|/peak
@@ -4489,6 +4501,18 @@ object Pipeline {
         |CAST(doc_id * 7 % 256 AS DOUBLE) AS mean_g,
         |CAST(doc_id * 13 % 256 AS DOUBLE) AS mean_b
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
+    // measurement-designed JPEG oracle: gray plants predict the exact
+    // decoded mean (JpegProbe: bit-exact at q=1.0); color plants
+    // predict the measured-envelope booleans (uniform, err <= 2.0)
+    "multimodal_jpeg" ->
+      """SELECT doc_id AS media_id,
+        |CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+        |CAST(doc_id % 5 + 2 AS INTEGER) AS height,
+        |(doc_id % 2 = 0) AS is_gray,
+        |CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id * 11 % 256 AS DOUBLE) END AS gray_mean,
+        |TRUE AS uniform,
+        |TRUE AS err_le_2
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_framesample" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -215,6 +215,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Phash.encodeTexturedPng(1L, shift = 56))
   }
 
+  test("JPEG: gray plants round-trip bit-exact; color envelope stays within the measured bound") {
+    import Multimodal.ImageCodec
+    // the tolerance ARGUMENT, re-measured every build: the shipped
+    // err_le_2 bound rests on a measured round-trip envelope of 1.0
+    // (tools/JpegProbe) — this sweep re-derives it over ids covering
+    // the full planted (color x dims) space, so a JDK decoder drift
+    // past the margin fails HERE before it could reach the gate
+    var colorMaxErr = 0.0
+    for (id <- 0L until 640L) {
+      val d = ImageCodec.decodeJpeg(id, ImageCodec.encodeJpeg(id))
+      assert(d.width == ImageCodec.plantedWidth(id) &&
+        d.height == ImageCodec.plantedHeight(id), d.toString)
+      assert(d.uniform, s"id=$id decoded non-uniform")
+      if (ImageCodec.isGrayJpeg(id)) {
+        // exact leg: decoded mean IS the planted gray level, bit-exact
+        assert(d.gray_mean.contains(ImageCodec.plantedGray(id).toDouble),
+          s"id=$id gray drifted: $d")
+      } else {
+        assert(d.gray_mean.isEmpty)
+        val (pr, pg, pb) = ImageCodec.plantedColor(id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(ImageCodec.encodeJpeg(id)))
+        val p = img.getRGB(0, 0)
+        val err = Seq(((p >> 16) & 0xff) - pr, ((p >> 8) & 0xff) - pg,
+          (p & 0xff) - pb).map(v => math.abs(v.toDouble)).max
+        colorMaxErr = math.max(colorMaxErr, err)
+      }
+      assert(d.err_le_2, s"id=$id outside the shipped bound: $d")
+    }
+    assert(colorMaxErr <= 1.0,
+      f"measured color envelope grew to $colorMaxErr%.3f - re-derive the bound")
+  }
+
+  test("decodeJpegs: distributed real decode over the jpeg fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Multimodal.decodeJpegs(Multimodal.jpegMedia(spark, docs))
+      .collect()
+    assert(out.length == docs.count())
+    assert(out.forall(_.uniform) && out.forall(_.err_le_2))
+    val gray = out.filter(_.is_gray)
+    assert(gray.nonEmpty && gray.forall(d =>
+      d.gray_mean.contains(Multimodal.ImageCodec.plantedGray(d.media_id).toDouble)))
+  }
+
   test("phashPairs: planted exact + brightness clones surface, nothing else") {
     val docs = Tables.load(spark, sf, "documents")
     val pairs = Multimodal.phashPairs(
