@@ -44,13 +44,20 @@ object StreamBench {
       f"""{"records_per_sec":$steadyRps%.0f,"records":$records,"batches":$batches,"wall_secs":$wallSecs%.2f,"busy_secs":$busySecs%.2f,"all_batches_rps":$allRps%.0f,"footer_parses":$footerParses}"""
   }
 
-  /** One measured drain of `topic` at `baseDir` into the noop sink.
-    * `cap` engages both admission paths (records binding, bytes
-    * generous); None runs uncapped under Trigger.AvailableNow.
-    * `flags` carries extra consume options (`-A` = all partitions —
-    * consume defaults to partition 0, the reference contract). */
+  /** One measured drain of `topic` at `baseDir` into the noop sink (or
+    * a `batchSink` foreachBatch function, for legs whose sink IS the
+    * work — e.g. the ANN index append). `cap` engages both admission
+    * paths (records binding, bytes generous); None runs uncapped under
+    * Trigger.AvailableNow. `flags` carries extra consume options
+    * (`-A` = all partitions — consume defaults to partition 0, the
+    * reference contract). `transform` interposes a streaming transform
+    * between source and sink (identity for the pass-through legs;
+    * watermark + state for the stateful ones). */
   private def drain(spark: SparkSession, baseDir: String, topic: String,
-                    cap: Option[Long], flags: String = ""): Drain = {
+                    cap: Option[Long], flags: String = "",
+                    transform: org.apache.spark.sql.DataFrame =>
+                      org.apache.spark.sql.DataFrame = identity,
+                    batchSink: Option[(org.apache.spark.sql.DataFrame, Long) => Unit] = None): Drain = {
     val ckpt = java.nio.file.Files.createTempDirectory("stream_bench_ckpt_")
     val parsesBefore = FluvioDsv2.footerParses.get()
     val t0 = System.nanoTime()
@@ -63,9 +70,15 @@ object StreamBench {
         // cap is the binding one at the default sizes
         .option("maxBytesPerTrigger", 64L * 1024 * 1024)
     }
-    val writer = reader.load()
-      .writeStream.format("noop")
-      .option("checkpointLocation", ckpt.toString)
+    val transformed = transform(reader.load())
+    val writer = batchSink match {
+      case Some(fn) => transformed.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         id: Long) => fn(df, id) }
+        .option("checkpointLocation", ckpt.toString)
+      case None => transformed.writeStream.format("noop")
+        .option("checkpointLocation", ckpt.toString)
+    }
     val q = cap match {
       case Some(_) => val s = writer.start(); s.processAllAvailable(); s
       case None =>
@@ -137,12 +150,68 @@ object StreamBench {
     val mpBase = MpFixture.baseDir(spark, sfDir)
     val multipartition = drain(spark, mpBase, "events_mp", None, "-A")
 
+    // ---- STATEFUL leg 1: watermarked exact dedup over the 4-partition
+    // topic — the state-store path (fingerprint shuffle + keyed state),
+    // not a pass-through. The contract check is stateful-LEO-shaped:
+    // with an effectively-infinite watermark the survivors must equal
+    // the topic's DISTINCT fingerprint count, recomputed in batch mode
+    // over the same DSv2 table.
+    val dedupCounter = spark.sparkContext.longAccumulator("stateful_dedup_out")
+    val statefulDedup = drain(spark, mpBase, "events_mp", None, "-A",
+      transform = df => graft.streaming.StreamingDedup.exactByFingerprint(
+        df, "value", "timestamp", "87600 hours"),
+      batchSink = Some((df, _) => dedupCounter.add(df.count())))
+    val expectedDistinct = {
+      import org.apache.spark.sql.functions.col
+      graft.sources.FluvioDuck.consume(spark, "events_mp -B -A", mpBase)
+        .select(graft.operators.TextAnalysis.fingerprint(col("value")).as("fp"))
+        .distinct().count()
+    }
+    require(dedupCounter.value == expectedDistinct,
+      s"stateful dedup passed ${dedupCounter.value} rows; batch distinct " +
+        s"fingerprints = $expectedDistinct — state dropped or duplicated rows")
+
+    // ---- STATEFUL leg 2: incremental ANN ingest — each micro-batch is
+    // cell-assigned under a FROZEN IVF model and appended into the
+    // partitioned index (the index-append lifecycle as a streaming
+    // sink). Embeddings derive deterministically from the record offset
+    // (the DSv2 value column is a string; the 64-dim synthesis is a
+    // codegen'd map-only expression, so the measured cost is the
+    // assign+append path, not a decode stub).
+    val ingest = {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Ivf
+      val dir = java.nio.file.Files.createTempDirectory("stream_bench_ann_")
+      val idx = dir.resolve("index").toString
+      def embed(idCol: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(63)),
+          i => sin(idCol * 0.1 + i.cast("double") * 0.7).cast("float"))
+      val boot = spark.range(0, 2048).select(col("id").as("vec_id"),
+        embed(col("id").cast("double")).as("embedding"))
+      val frozen = Ivf.centroidsRefined(boot, "vec_id", "embedding", nCells = 8)
+      val d = drain(spark, mpBase, "events_mp", None, "-A",
+        transform = df => df.select(col("offset").as("vec_id"),
+          embed(col("offset").cast("double")).as("embedding")),
+        batchSink = Some((df, _) =>
+          Ivf.indexTable(df, "embedding", frozen)
+            .write.mode("append").partitionBy("cell").parquet(idx)))
+      // ingest-LEO: the persisted index must hold every drained record
+      val written = spark.read.parquet(idx).count()
+      require(written == d.records,
+        s"ANN ingest persisted $written of ${d.records} drained records")
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      d
+    }
+
     // headline value = the multipartition unthrottled drain: parallel
     // per-partition consumption with no artificial trigger quantum is
     // the deployment shape; capped/unthrottled single-partition rows
-    // stay in the artifact as the floor and the per-topic capability
+    // stay in the artifact as the floor and the per-topic capability;
+    // the stateful rows price the state-store and index-append paths
     val line =
-      f"""{"metric":"stream_records_per_sec","value":${multipartition.steadyRps}%.0f,"unit":"records/sec","sf":"$sfDir","records_per_trigger_cap":$cap,"mp_partitions":${MpFixture.NumPartitions},"capped":${capped.json},"unthrottled":${unthrottled.json},"multipartition":${multipartition.json}}"""
+      f"""{"metric":"stream_records_per_sec","value":${multipartition.steadyRps}%.0f,"unit":"records/sec","sf":"$sfDir","records_per_trigger_cap":$cap,"mp_partitions":${MpFixture.NumPartitions},"capped":${capped.json},"unthrottled":${unthrottled.json},"multipartition":${multipartition.json},"stateful_dedup":${statefulDedup.json},"stateful_dedup_unique_rows":${dedupCounter.value},"ann_ingest":${ingest.json}}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("stream_bench.json"),
       (line + "\n").getBytes("UTF-8"))
