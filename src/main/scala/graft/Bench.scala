@@ -213,8 +213,12 @@ object Bench {
     // (carrying the host-health verdict so even a clipped capture can
     // apply the PERF.md stall rule).
     println(full)
+    // SPARK_GRAFT_BENCH_OUT overrides the artifact path (bench_sf1.json
+    // for the committed sf1 ladder-step bench; default unchanged for the
+    // driver's per-round sf0.1 run)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     val nPassStalls = passStalls.count(_ == '{')

@@ -53,28 +53,13 @@ object SparkEntry {
     * beside oracle_sql.json, and OracleContractSpec pins the invariants
     * (every no-oracle entry has a proof row; every proof is
     * oracle-checked; no entry is in both maps). */
-  def oracleProofs: Map[String, Seq[String]] = Map(
-    // The three remaining no-oracle entries all emit RAW SKETCH STATE —
-    // xxhash64-derived signatures/candidate sets. That output is the
-    // operator's real product (a downstream join key / incremental-store
-    // payload), so swapping it for the verified twin's output would
-    // delete the operator these entries exist to exercise; and xxhash64
-    // does not exist in DuckDB (no SQL extension can reproduce the seed
-    // schedule), so the raw values are untestable there BY CONSTRUCTION,
-    // not by omission. Each entry instead ships two proof directions:
-    // a VERIFIED twin (the sketch's downstream decision hash-matches
-    // ground truth) and a PORTABLE twin (the identical sketch algebra
-    // re-seeded from md5 integers, recomputed end-to-end in DuckDB).
-    //
-    // raw banded-LSH candidate set: recall proven by dedup_lsh_recall
-    // (every true pair survives banding), decisions by _neardups,
-    // algebra bit-for-bit by _portable, cardinality by _estcheck
-    "dedup_minhash_lsh" -> Seq("dedup_lsh_recall", "dedup_minhash_neardups",
-      "dedup_minhash_portable", "dedup_minhash_estcheck"),
-    // raw 64-bit simhash signatures: proven by the planted-clone pair
-    // set and the bit-for-bit portable md5 reconstruction
-    "dedup_simhash" -> Seq("dedup_simhash_dups", "dedup_simhash_portable"),
-    // raw winnowing fingerprint sets: proven by the verified pair set
-    // and the window-min value-set algebra recomputed in DuckDB
-    "dedup_winnow" -> Seq("dedup_winnow_pairs", "dedup_winnow_portable"))
+  // EMPTY since round 12: the last three no-oracle entries
+  // (dedup_minhash_lsh / dedup_simhash / dedup_winnow — raw
+  // xxhash64/Rabin-Karp signature pipelines) gained REAL DuckDB oracles
+  // when graft.queries.XxhSql expressed Spark's XXH64 byte kernel and
+  // seed-chained hashLong fold in portable SQL (HUGEINT wraparound
+  // arithmetic + recursive CTEs). Every SparkEntry.queries entry is now
+  // hash-checked against the DuckDB gate; the map stays as the contract
+  // hook (OracleContractSpec pins oracled XOR proofed, no orphans).
+  def oracleProofs: Map[String, Seq[String]] = Map.empty
 }

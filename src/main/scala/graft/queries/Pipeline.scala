@@ -590,10 +590,12 @@ object Pipeline {
       Dedup.ngramJaccard(docs(s, dir), "doc_id", "text", n = 3, maxDocFreq = 1000L)
         .filter(col("jaccard") >= 0.1)
         .orderBy("id_a", "id_b")),
-    // hash-based candidates (no SQL oracle for the raw candidate set —
-    // xxhash64 isn't expressible in DuckDB; recall is oracle-checked by
-    // dedup_lsh_recall below and the verified pair set by the
-    // dedup_minhash_neardups oracle):
+    // native-hash candidates, FULLY oracle-checked since round 12: the
+    // XxhSql kernel mirror replays Spark's XXH64 byte hashing and the
+    // seed-chained banding fold bit-for-bit in DuckDB (minhashLshSql),
+    // so the raw candidate set hash-matches; recall stays additionally
+    // pinned by dedup_lsh_recall and the verified pair set by the
+    // dedup_minhash_neardups oracle
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16).orderBy("id_a", "id_b")),
@@ -3202,6 +3204,136 @@ object Pipeline {
     sb.toString
   }
 
+  // ---- native-hash oracles (round 12): the three raw xxhash64 /
+  // Rabin-Karp signature entries, replayed bit-for-bit in DuckDB via
+  // the XxhSql kernel mirrors. These retire the suite's last
+  // `no_oracle` rows — see XxhSql's scaladoc for the arithmetic.
+
+  /** dedup_simhash: per-token-occurrence XXH64(tok, 42) bit votes →
+    * 64-bit signature → exact hamming ≤ 3 pair join. The Spark side
+    * blocks on 16-bit segments, but capture is COMPLETE at
+    * maxDist 3 < 4 segments (pigeonhole), so the exact pair join is the
+    * same set — the oracle replays the SEMANTICS, the blocking is plan
+    * shape. */
+  private lazy val simhashNativePairsSql: String = {
+    def mask(b: Int): String =
+      if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (h & (${mask(b)})::BIGINT) != 0 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val sig = (0 until 64).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (${mask(b)})::BIGINT ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |tok AS MATERIALIZED (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok FROM documents),
+       |xin AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s) AS gid, s, 42::HUGEINT AS seed, length(s)::BIGINT AS nb
+       |  FROM (SELECT DISTINCT tok AS s FROM tok) dt),
+       |${XxhSql.xxh64Ctes},
+       |th AS MATERIALIZED (
+       |  SELECT t.id, x.h FROM tok t JOIN xin i ON i.s = t.tok JOIN xout x ON x.gid = i.gid),
+       |votes AS (SELECT id, $votes FROM th GROUP BY id),
+       |sigs AS (SELECT id, $sig AS simhash FROM votes)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sigs a JOIN sigs b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** dedup_winnow: Rabin-Karp base-257 char-20-gram hashes (natural
+    * 64-bit wraparound — a pure polynomial with precomputed 257^i
+    * constants, no recursion needed), signed window-16 minima, distinct
+    * fingerprint sets (short docs fall back to the whole-text hash,
+    * m < w to the single final window — both replayed), DF-cap 1000,
+    * jaccard ≥ 0.5 over the capped sets. */
+  private lazy val winnowNativeSql: String = {
+    val k = 20; val w = 16
+    val gram = (0 until k).map(j =>
+      s"ord(substr(s, (i + $j)::BIGINT, 1))::HUGEINT * ${XxhSql.pow257(k - 1 - j)}")
+      .mkString(" + ")
+    val powList = (0 until k).map(i => s"${XxhSql.pow257(i)}::HUGEINT")
+      .mkString("[", ", ", "]")
+    s"""WITH
+       |s AS (SELECT doc_id AS id, $norm AS s, length($norm) AS n FROM documents),
+       |pos AS (SELECT id, s, n, n - $k + 1 AS m, unnest(range(1, n - $k + 2)) AS i
+       |        FROM s WHERE n >= $k),
+       |gh AS (SELECT id, i, m, ${XxhSql.signed(s"($gram) % ${XxhSql.M}")} AS h FROM pos),
+       |wmin AS (SELECT id, i, m,
+       |           min(h) OVER (PARTITION BY id ORDER BY i
+       |                        ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm
+       |         FROM gh),
+       |longfp AS (SELECT DISTINCT id, wm AS fp FROM wmin
+       |           WHERE i <= greatest(m - $w + 1, 1)),
+       |shortpos AS (SELECT id, s, n, unnest(range(1, n + 1)) AS j FROM s WHERE n < $k AND n >= 1),
+       |shortfp AS (SELECT id, ${XxhSql.signed(s"(sum(ord(substr(s, j::BIGINT, 1))::HUGEINT * $powList[(n - j + 1)::BIGINT]) % ${XxhSql.M})")} AS fp
+       |            FROM shortpos GROUP BY id, n),
+       |fps AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp),
+       |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+       |ffp AS (SELECT id, fp FROM fps WHERE fp IN (SELECT fp FROM keep)),
+       |sz AS (SELECT id, count(*) AS sz FROM ffp GROUP BY id),
+       |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |          FROM ffp a JOIN ffp b ON a.fp = b.fp AND a.id < b.id
+       |          GROUP BY a.id, b.id),
+       |scored AS (SELECT id_a, id_b,
+       |             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |           FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM scored
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** dedup_minhash_lsh: distinct word-3-gram shingles × seeds 0..63
+    * through the XXH64 byte kernel, signed column-wise minima →
+    * 64-component signature; band b's bucket = the seed-chained
+    * `hashLong` fold of components 4b..4b+3 (Spark's
+    * `xxhash64(slice(sig, …))`, initial seed 42); (band, bucket) join
+    * with the hot-bucket star cap replayed (m > maxBucket ⇒ m−1
+    * star around the bucket min — sub-cap buckets enumerate normally);
+    * distinct ordered pairs. */
+  private lazy val minhashLshSql: String = {
+    val rpb = 4 // numHashes=64, bands=16
+    val cap = graft.operators.Dedup.DefaultMaxBucket
+    s"""WITH RECURSIVE
+       |toksm AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+       |gramsm AS (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
+       |                 i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+       |          FROM toksm),
+       |shm AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM gramsm),
+       |dsh AS MATERIALIZED (SELECT DISTINCT shingle FROM shm),
+       |xin AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s, sd) AS gid, s, sd,
+       |         sd::HUGEINT AS seed, length(s)::BIGINT AS nb
+       |  FROM (SELECT shingle AS s, unnest(range(0, 64)) AS sd FROM dsh) c),
+       |${XxhSql.xxh64Ctes},
+       |hs AS MATERIALIZED (
+       |  SELECT i.s AS shingle, i.sd, o.h
+       |  FROM xin i JOIN xout o ON o.gid = i.gid),
+       |sig AS MATERIALIZED (
+       |  SELECT shm.doc_id AS id, hs.sd // $rpb AS band, hs.sd % $rpb AS idx, min(hs.h) AS l
+       |  FROM shm JOIN hs ON hs.shingle = shm.shingle
+       |  GROUP BY shm.doc_id, hs.sd // $rpb, hs.sd % $rpb),
+       |bchain(id, band, idx, acc) AS (
+       |  SELECT DISTINCT id, band, -1, 42::HUGEINT FROM sig
+       |  UNION ALL
+       |  ${XxhSql.hashLongStep(s"(SELECT c.id, c.band, c.idx + 1 AS idx, c.acc, e.l FROM bchain c JOIN sig e ON e.id = c.id AND e.band = c.band AND e.idx = c.idx + 1 WHERE c.idx < ${rpb - 1}) bj")}),
+       |bkt AS MATERIALIZED (
+       |  SELECT id, band, ${XxhSql.signed("acc")} AS bucket
+       |  FROM bchain WHERE idx = ${rpb - 1}),
+       |cen AS (SELECT band, bucket, count(*) AS mm, min(id) AS hub
+       |        FROM bkt GROUP BY band, bucket),
+       |prs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |  JOIN cen c ON c.band = a.band AND c.bucket = a.bucket
+       |  WHERE c.mm <= $cap
+       |  UNION
+       |  SELECT c.hub AS id_a, k.id AS id_b
+       |  FROM bkt k JOIN cen c ON c.band = k.band AND c.bucket = k.bucket
+       |  WHERE c.mm > $cap AND k.id <> c.hub)
+       |SELECT DISTINCT id_a, id_b FROM prs ORDER BY id_a, id_b""".stripMargin
+  }
+
   private lazy val exactPairs04Sql =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
@@ -4164,6 +4296,9 @@ object Pipeline {
          |WHERE jaccard >= 0.5
          |ORDER BY drop_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashNativePairsSql,
+    "dedup_winnow" -> winnowNativeSql,
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
