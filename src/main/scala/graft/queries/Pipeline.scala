@@ -2785,6 +2785,39 @@ object Pipeline {
             (col("n") * col("sx"))).cast("long").as("gini_micro"))
         .orderBy("source")
     }),
+    // ---- pairwise two-sample Kolmogorov–Smirnov distance between the
+    // per-source doc-length distributions — the distribution-drift panel
+    // (which sources' length profiles diverge; the KS statistic is the
+    // standard two-sample distribution test, Massey 1951). EXACT integer
+    // algebra: evaluate both empirical CDFs on the shared distinct-value
+    // grid; D = max |F_a − F_b| = max |c_a·n_b − c_b·n_a| / (n_a·n_b),
+    // all integers until ONE final micro-rounded division (the house
+    // pattern). Scale shape: the grid is bounded by the VALUE RANGE
+    // (the quality_decile_hist histogram discipline — never corpus
+    // rows), the per-source CDF window runs over grid×sources rows, and
+    // the pair join is S(S−1)/2 × grid — panel-sized for real source
+    // counts; corpus rows are touched exactly once (the counts groupBy).
+    "stats_ks_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("source"), col("n_chars").cast("long").as("x"))
+      val counts = d.groupBy("source", "x").agg(count(lit(1)).as("c"))
+      val grid = d.select("x").distinct()
+      val srcs = d.groupBy("source").agg(count(lit(1)).as("n"))
+      val full = grid.crossJoin(srcs.select("source"))
+        .join(counts, Seq("source", "x"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = Window.partitionBy("source").orderBy("x")
+      val cum = full.withColumn("f", sum("c").over(w)).join(srcs, "source")
+      cum.as("a").join(cum.as("b"),
+          col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          abs(col("a.f") * col("b.n") - col("b.f") * col("a.n")).as("num"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .groupBy("source_a", "source_b")
+        .agg(round(max("num") * 1e6 / (max("na") * max("nb")))
+          .cast("long").as("ks_micro"))
+        .orderBy("source_a", "source_b")
+    }),
     // ---- event-type transition matrix (first-order Markov counts):
     // per-user ordered sequences, lag window PARTITIONED BY USER
     // (distributed), one keyed count shuffle — the behavioral-model
@@ -5090,6 +5123,24 @@ object Pipeline {
          |SELECT source, n,
          |       CAST(round((swx - n * sx) * 1000000.0 / (n * sx)) AS BIGINT) AS gini_micro
          |FROM a ORDER BY source""".stripMargin,
+    "stats_ks_by_source" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |counts AS (SELECT source, x, count(*) AS c FROM d GROUP BY source, x),
+        |grid AS (SELECT DISTINCT x FROM d),
+        |srcs AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+        |filled AS (SELECT s.source, g.x, coalesce(c.c, 0) AS c
+        |           FROM grid g CROSS JOIN (SELECT source FROM srcs) s
+        |           LEFT JOIN counts c ON c.source = s.source AND c.x = g.x),
+        |cum AS (SELECT f.source, f.x,
+        |          CAST(sum(c) OVER (PARTITION BY f.source ORDER BY f.x) AS BIGINT) AS fc,
+        |          CAST(n AS BIGINT) AS n
+        |        FROM filled f JOIN srcs USING (source))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(round(max(abs(a.fc * b.n - b.fc * a.n)) * 1000000.0
+        |             / (max(a.n) * max(b.n))) AS BIGINT) AS ks_micro
+        |FROM cum a JOIN cum b ON a.x = b.x AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin,
     "emb_label_noise" -> labelNoiseBruteSql,
     // the ANN entry is checked against the SAME brute-force ground truth:
     // at the shipped (nCells=16, nProbe=12) operating point the IVF
