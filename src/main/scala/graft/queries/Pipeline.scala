@@ -599,6 +599,22 @@ object Pipeline {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "doc_id", "text",
         numHashes = 64, bands = 16).orderBy("id_a", "id_b")),
+    // the hot-bucket STAR cap fired AT THE GATE (not only in specs):
+    // 300 planted clones of doc 0 push every bucket doc 0 occupies past
+    // maxBucket=256, so candidate generation degrades those buckets to
+    // the m-1 star around doc 0 while every sub-cap bucket enumerates
+    // normally — and the DuckDB oracle replays the identical census +
+    // star logic over the identically-planted corpus, so the capped
+    // pair set (including the pairs the cap deliberately represses)
+    // hash-matches cross-engine
+    "dedup_minhash_hotbucket" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val clones = s.range(0, 300).toDF("i")
+        .crossJoin(d.filter(col("doc_id") === 0).select("text"))
+        .select((col("i") + 2000000L).as("doc_id"), col("text"))
+      Dedup.minhashCandidates(d.unionByName(clones), "doc_id", "text",
+        numHashes = 64, bands = 16).orderBy("id_a", "id_b")
+    }),
     // LSH candidates verified by exact jaccard: IF candidate recall is 1
     // on the fixture truth set, this equals the SQL jaccard pairs >= 0.2
     // exactly — so the entry is fully hash-checked against that oracle
@@ -3323,11 +3339,19 @@ object Pipeline {
     * with the hot-bucket star cap replayed (m > maxBucket ⇒ m−1
     * star around the bucket min — sub-cap buckets enumerate normally);
     * distinct ordered pairs. */
-  private lazy val minhashLshSql: String = {
+  private lazy val minhashLshSql: String =
+    minhashLshSqlOver("SELECT doc_id, text FROM documents")
+
+  /** [[minhashLshSql]] parameterized by the document source — so the
+    * hot-bucket entry can plant a 300-clone clique and fire the star
+    * cap in BOTH engines (the base fixture has no hot buckets, so the
+    * gate would otherwise never execute the cap's SQL replay). */
+  private def minhashLshSqlOver(docsSql: String): String = {
     val rpb = 4 // numHashes=64, bands=16
     val cap = graft.operators.Dedup.DefaultMaxBucket
     s"""WITH RECURSIVE
-       |toksm AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+       |srcdocs AS ($docsSql),
+       |toksm AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM srcdocs),
        |gramsm AS (SELECT doc_id,
        |          unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
        |                 i -> array_to_string(arr[i:i+2], ' '))) AS shingle
@@ -4330,6 +4354,14 @@ object Pipeline {
          |ORDER BY drop_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardPairsSql("0.1"),
     "dedup_minhash_lsh" -> minhashLshSql,
+    // the SAME generated oracle over the planted 300-clone corpus: the
+    // cen.mm > cap branch (the star replay) actually executes here
+    "dedup_minhash_hotbucket" -> minhashLshSqlOver(
+      """SELECT doc_id, text FROM documents
+        |UNION ALL
+        |SELECT 2000000 + i AS doc_id,
+        |       (SELECT text FROM documents WHERE doc_id = 0) AS text
+        |FROM range(0, 300) t(i)""".stripMargin),
     "dedup_simhash" -> simhashNativePairsSql,
     "dedup_winnow" -> winnowNativeSql,
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
