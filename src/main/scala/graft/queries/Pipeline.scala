@@ -3034,11 +3034,14 @@ object Pipeline {
     // on a source's weight). Pure integer/micro arithmetic on a
     // source-count-sized table: target tokens, whole epochs
     // (ceil(target/size)), and the final partial epoch's fill fraction
-    // — the repeat-factor panel a data loader consumes. target_toks
-    // multiplies through DOUBLE on both engines (identical op order →
-    // identical value); past ~2^53 total-token·micro products (≈4 PB of
-    // corpus) the product loses sub-token exactness — operationally
-    // irrelevant for a token budget, and a DECIMAL(38) swap restores it.
+    // — the repeat-factor panel a data loader consumes. Since r12 the
+    // plan math is EXACT INTEGER end-to-end (the long-documented
+    // DECIMAL swap, implemented): target/epoch/fraction all ride
+    // DECIMAL(38) floor-division on the Spark side and HUGEINT `//` in
+    // the oracle — floor(a/b) = a div b and ceil(a/b) = (a+b-1) div b
+    // for nonnegative integers, so sub-token exactness holds at ANY
+    // corpus size (the old double path lost it past ~2^53
+    // token·micro products ≈ 4 PB).
     "sample_epoch_plan" -> ((s, dir) => {
       // tok > 0 guard (mirrored as HAVING in the oracle): an all-empty
       // source would otherwise divide 0/0 → NaN, which Spark casts to
@@ -3057,14 +3060,24 @@ object Pipeline {
       pa.crossJoin(broadcast(z))
         .withColumn("weight_micro",
           round(col("pa_nano") * 1e6 / col("z")).cast("long"))
+        // exact integer floor-division via DECIMAL(38): x div d =
+        // (x − x % d) / d, every step exact (the oracle mirrors with
+        // HUGEINT `//`)
+        .withColumn("__tp",
+          col("t").cast("decimal(38,0)") * 2 * col("weight_micro"))
         .withColumn("target_toks",
-          floor(col("t").cast("double") * 2 * col("weight_micro") / 1e6)
-            .cast("long"))
+          ((col("__tp") - col("__tp") % 1000000) / 1000000).cast("long"))
+        .withColumn("__ne_num",
+          col("target_toks").cast("decimal(38,0)") + col("tok") - 1)
         .withColumn("n_epochs",
-          ceil(col("target_toks").cast("double") / col("tok")).cast("long"))
+          ((col("__ne_num") - col("__ne_num") % col("tok")) / col("tok"))
+            .cast("long"))
+        .withColumn("__rem",
+          (col("target_toks") - (col("n_epochs") - 1) * col("tok"))
+            .cast("decimal(38,0)") * 1000000)
         .withColumn("last_epoch_frac_micro",
-          floor((col("target_toks") - (col("n_epochs") - 1) * col("tok"))
-            .cast("double") * 1e6 / col("tok")).cast("long"))
+          ((col("__rem") - col("__rem") % col("tok")) / col("tok"))
+            .cast("long"))
         .select("source", "tok", "weight_micro", "target_toks", "n_epochs",
           "last_epoch_frac_micro")
         .orderBy("source")
@@ -5691,14 +5704,14 @@ object Pipeline {
          |        CAST(round(pa_nano * 1000000.0 / z) AS BIGINT) AS weight_micro
          |      FROM pa, z),
          |p AS (SELECT source, tok, weight_micro,
-         |        CAST(floor(CAST(t AS DOUBLE) * 2 * weight_micro / 1000000.0) AS BIGINT) AS target_toks
+         |        CAST((CAST(t AS HUGEINT) * 2 * weight_micro) // 1000000 AS BIGINT) AS target_toks
          |      FROM w),
          |e AS (SELECT source, tok, weight_micro, target_toks,
-         |        CAST(ceil(CAST(target_toks AS DOUBLE) / tok) AS BIGINT) AS n_epochs
+         |        CAST((CAST(target_toks AS HUGEINT) + tok - 1) // tok AS BIGINT) AS n_epochs
          |      FROM p)
          |SELECT source, tok, weight_micro, target_toks, n_epochs,
-         |       CAST(floor(CAST(target_toks - (n_epochs - 1) * tok AS DOUBLE)
-         |              * 1000000.0 / tok) AS BIGINT) AS last_epoch_frac_micro
+         |       CAST((CAST(target_toks - (n_epochs - 1) * tok AS HUGEINT)
+         |              * 1000000) // tok AS BIGINT) AS last_epoch_frac_micro
          |FROM e ORDER BY source""".stripMargin,
 
     "sample_mixture_anneal" ->
