@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The container locale is POSIX (file.encoding=US-ASCII): force scalac
+// to read sources as UTF-8 so non-ASCII string literals (the round-13
+// multilingual oracle fixtures) are parsed byte-exact, not mangled.
+scalacOptions ++= Seq("-encoding", "UTF-8")
 Test / fork := true
 run / fork := true
 // forked-run output goes to stdout VERBATIM — no "[info] " logger prefix.

@@ -17,6 +17,52 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Round-13 multilingual fixture slice (VERDICT r12 task 1): CJK,
+    * kana, Cyrillic, combining marks, and non-BMP emoji — all lowercase
+    * (case mapping is engine-divergent, e.g. Java's final-sigma rule vs
+    * utf8proc's), planted under ids 3000000+ with built-in near-dup
+    * structure (clone pairs, a one-token edit, an empty +
+    * whitespace-only pair) so the UTF-8 legs of the native-hash dedup
+    * entries produce non-vacuous pair sets. The SAME Seq generates both
+    * the Spark union and the DuckDB VALUES (via [[XxhSql.sqlStr]] —
+    * pure-ASCII SQL rebuilt from chr() calls), so the two engines'
+    * planted corpora cannot drift. All literals are raw UTF-8 (the
+    * build pins scalac -encoding UTF-8; container locale is POSIX);
+    * ids 3000010/11 carry COMBINING marks (base letter + U+0301/U+0327,
+    * NFD-style), byte-distinct from the probe ladder's precomposed
+    * accents. */
+  private[queries] val utf8Docs: Seq[(Long, String)] = Seq(
+    3000001L -> "中文 文本 处理 测试 数据 管道 质量 评分 语言 识别 去重 系统 中文 文本 处理 测试",
+    3000002L -> "中文 文本 处理 测试 数据 管道 质量 评分 语言 识别 去重 系统 中文 文本 处理 测试",
+    3000003L -> "中文 文本 处理 测试 数据 管道 质量 评分 语言 识别 去重 流程 中文 文本 处理 测试",
+    3000004L -> "日本語 ひらがな カタカナ 漢字 トークン 分割 正規化 処理 重複 排除 品質 評価",
+    3000005L -> "日本語 ひらがな カタカナ 漢字 トークン 分割 正規化 処理 重複 排除 品質 評価",
+    3000006L -> "кириллица текст обработка данных конвейер качество оценка язык идентификация дедупликация",
+    3000007L -> "кириллица текст обработка данных конвейер качество оценка язык идентификация дедупликация",
+    3000008L -> "emoji 😀 mix 中文 and ascii tokens 😀 😃 repeated emoji 😀 mix 中文 and ascii tokens",
+    3000009L -> "emoji 😀 mix 中文 and ascii tokens 😀 😃 repeated emoji 😀 mix 中文 and ascii tokens",
+    3000010L -> "école française développé données pipeline qualité évaluation langue naturelle traitement",
+    3000011L -> "école française développé données pipeline qualité évaluation langue naturelle traitement",
+    // empty + spaces-only: both normalize to "", exercising the
+    // kernel's n=0 Array(0L) fingerprint and its oracle leg (r12
+    // ADVICE) non-vacuously — the two must pair at jaccard 1.0
+    3000012L -> "",
+    3000013L -> "   ",
+  )
+
+  /** documents ⊕ the planted multilingual slice, Spark side. */
+  private def utf8Corpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select("doc_id", "text")
+      .unionByName(utf8Docs.toDF("doc_id", "text"))
+  }
+
+  /** documents ⊕ the planted multilingual slice, DuckDB side. */
+  private lazy val utf8DocsSql: String =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES " +
+      utf8Docs.map { case (id, t) => s"(${id}::BIGINT, ${XxhSql.sqlStr(t)})" }
+        .mkString(", ") + ") v(doc_id, text)"
+
   /** Per-dimension moment sums of the micro-quantized embedding
     * components — (d, n, s, ss), all BIGINT-exact. The ONE aggregation
     * behind both emb_dim_variance and emb_participation_ratio (and
@@ -615,6 +661,25 @@ object Pipeline {
       Dedup.minhashCandidates(d.unionByName(clones), "doc_id", "text",
         numHashes = 64, bands = 16).orderBy("id_a", "id_b")
     }),
+    // Round 13: the MULTILINGUAL legs of the three native-hash dedup
+    // entries (VERDICT r12 task 1). The base fixture is ASCII, so the
+    // byte-level oracle rewrite (XxhSql.bytesFromHex, UTF-16 expansion
+    // in the winnow oracle) would never execute a multi-byte path at
+    // the gate — these entries plant a CJK/kana/Cyrillic/combining/
+    // emoji slice (utf8Docs) into the corpus on BOTH engines and run
+    // the identical kernels, so the multilingual surface the engine
+    // ships (NFC, langid, fertility) is oracle-proven end-to-end.
+    "dedup_minhash_utf8" -> ((s, dir) =>
+      Dedup.minhashCandidates(utf8Corpus(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16).orderBy("id_a", "id_b")),
+    "dedup_simhash_utf8" -> ((s, dir) =>
+      Dedup.simhashPairs(utf8Corpus(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b")),
+    "dedup_winnow_utf8" -> ((s, dir) =>
+      Dedup.winnowNearDups(utf8Corpus(s, dir), "doc_id", "text",
+        threshold = 0.5, w = 16, maxDocFreq = 1000L)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id_a", "id_b")),
     // LSH candidates verified by exact jaccard: IF candidate recall is 1
     // on the fixture truth set, this equals the SQL jaccard pairs >= 0.2
     // exactly — so the entry is fully hash-checked against that oracle
@@ -3284,7 +3349,14 @@ object Pipeline {
     * maxDist 3 < 4 segments (pigeonhole), so the exact pair join is the
     * same set — the oracle replays the SEMANTICS, the blocking is plan
     * shape. */
-  private lazy val simhashNativePairsSql: String = {
+  private lazy val simhashNativePairsSql: String =
+    simhashNativePairsSqlOver("SELECT doc_id, text FROM documents")
+
+  /** [[simhashNativePairsSql]] parameterized by the document source — so
+    * the UTF-8 entry can plant a multilingual slice (the
+    * minhashLshSqlOver pattern). Token bytes are decoded once per
+    * distinct token via hex(encode()) — byte-exact on any corpus. */
+  private def simhashNativePairsSqlOver(docsSql: String): String = {
     def mask(b: Int): String =
       if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
     val votes = (0 until 64).map(b =>
@@ -3294,10 +3366,15 @@ object Pipeline {
       s"(CASE WHEN v$b > 0 THEN (${mask(b)})::BIGINT ELSE 0 END)")
       .mkString(" + ")
     s"""WITH RECURSIVE
-       |tok AS MATERIALIZED (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok FROM documents),
-       |xin AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY s) AS gid, s, 42::HUGEINT AS seed, length(s)::BIGINT AS nb
+       |srcdocs AS ($docsSql),
+       |tok AS MATERIALIZED (SELECT doc_id AS id, unnest(string_split($norm, ' ')) AS tok FROM srcdocs),
+       |thx AS MATERIALIZED (
+       |  SELECT s, hex(encode(s)) AS hx, strlen(s)::BIGINT AS nb
        |  FROM (SELECT DISTINCT tok AS s FROM tok) dt),
+       |xin AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s) AS gid, s,
+       |         ${XxhSql.bytesFromHex("hx")} AS b, 42::HUGEINT AS seed, nb
+       |  FROM thx),
        |${XxhSql.xxh64Ctes},
        |th AS MATERIALIZED (
        |  SELECT t.id, x.h FROM tok t JOIN xin i ON i.s = t.tok JOIN xout x ON x.gid = i.gid),
@@ -3314,18 +3391,39 @@ object Pipeline {
     * 64-bit wraparound — a pure polynomial with precomputed 257^i
     * constants, no recursion needed), signed window-16 minima, distinct
     * fingerprint sets (short docs fall back to the whole-text hash,
-    * m < w to the single final window — both replayed), DF-cap 1000,
-    * jaccard ≥ 0.5 over the capped sets. */
-  private lazy val winnowNativeSql: String = {
+    * m < w to the single final window, n = 0 to the kernel's
+    * single-zero fingerprint — all replayed), DF-cap 1000, jaccard
+    * ≥ 0.5 over the capped sets. */
+  private lazy val winnowNativeSql: String =
+    winnowNativeSqlOver("SELECT doc_id, text FROM documents")
+
+  /** [[winnowNativeSql]] parameterized by the document source. The
+    * Spark kernel ([[graft.functions.WinnowFingerprint]]) rolls over
+    * JAVA CHARS — UTF-16 code units — so the oracle expands each code
+    * point to its UTF-16 unit(s) (surrogate pairs for non-BMP) before
+    * the polynomial, making it exact on any Unicode corpus, not just
+    * ASCII (where code unit ≡ code point ≡ byte). */
+  private def winnowNativeSqlOver(docsSql: String): String = {
     val k = 20; val w = 16
     val gram = (0 until k).map(j =>
-      s"ord(substr(s, (i + $j)::BIGINT, 1))::HUGEINT * ${XxhSql.pow257(k - 1 - j)}")
+      s"u[(i + $j)::BIGINT] * ${XxhSql.pow257(k - 1 - j)}")
       .mkString(" + ")
     val powList = (0 until k).map(i => s"${XxhSql.pow257(i)}::HUGEINT")
       .mkString("[", ", ", "]")
+    // UTF-16 unit expansion of code point cp: BMP → [cp]; else the
+    // surrogate pair [0xD800 + (cp-0x10000)/1024, 0xDC00 + (cp-0x10000)%1024]
+    val cp = "ord(substr(t, ci, 1))"
+    val u16 =
+      s"""flatten(list_transform(range(1, length(t)::BIGINT + 1), ci ->
+         |  CASE WHEN $cp < 65536 THEN [($cp)::HUGEINT]
+         |       ELSE [(55296 + (($cp - 65536) // 1024))::HUGEINT,
+         |             (56320 + (($cp - 65536) % 1024))::HUGEINT] END))""".stripMargin
     s"""WITH
-       |s AS (SELECT doc_id AS id, $norm AS s, length($norm) AS n FROM documents),
-       |pos AS (SELECT id, s, n, n - $k + 1 AS m, unnest(range(1, n - $k + 2)) AS i
+       |srcdocs AS ($docsSql),
+       |s0 AS (SELECT doc_id AS id, $norm AS t FROM srcdocs),
+       |s AS MATERIALIZED (SELECT id, u, len(u)::BIGINT AS n
+       |     FROM (SELECT id, $u16 AS u FROM s0) su),
+       |pos AS (SELECT id, u, n, n - $k + 1 AS m, unnest(range(1, n - $k + 2)) AS i
        |        FROM s WHERE n >= $k),
        |gh AS (SELECT id, i, m, ${XxhSql.signed(s"($gram) % ${XxhSql.M}")} AS h FROM pos),
        |wmin AS (SELECT id, i, m,
@@ -3334,10 +3432,13 @@ object Pipeline {
        |         FROM gh),
        |longfp AS (SELECT DISTINCT id, wm AS fp FROM wmin
        |           WHERE i <= greatest(m - $w + 1, 1)),
-       |shortpos AS (SELECT id, s, n, unnest(range(1, n + 1)) AS j FROM s WHERE n < $k AND n >= 1),
-       |shortfp AS (SELECT id, ${XxhSql.signed(s"(sum(ord(substr(s, j::BIGINT, 1))::HUGEINT * $powList[(n - j + 1)::BIGINT]) % ${XxhSql.M})")} AS fp
+       |shortpos AS (SELECT id, u, n, unnest(range(1, n + 1)) AS j FROM s WHERE n < $k AND n >= 1),
+       |shortfp AS (SELECT id, ${XxhSql.signed(s"(sum(u[j::BIGINT] * $powList[(n - j + 1)::BIGINT]) % ${XxhSql.M})")} AS fp
        |            FROM shortpos GROUP BY id, n),
-       |fps AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp),
+       |-- n = 0 (empty normalized text): the kernel emits Array(0L) —
+       |-- its short-doc loop over zero chars leaves h = 0 (ADVICE r12)
+       |fps AS (SELECT * FROM longfp UNION ALL SELECT * FROM shortfp
+       |        UNION ALL SELECT id, 0::BIGINT AS fp FROM s WHERE n = 0),
        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
        |ffp AS (SELECT id, fp FROM fps WHERE fp IN (SELECT fp FROM keep)),
        |sz AS (SELECT id, count(*) AS sz FROM ffp GROUP BY id),
@@ -3378,10 +3479,16 @@ object Pipeline {
        |          FROM toksm),
        |shm AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM gramsm),
        |dsh AS MATERIALIZED (SELECT DISTINCT shingle FROM shm),
+       |dshh AS MATERIALIZED (
+       |  SELECT shingle AS s, hex(encode(shingle)) AS hx,
+       |         strlen(shingle)::BIGINT AS nb
+       |  FROM dsh),
+       |dshx AS MATERIALIZED (
+       |  SELECT s, ${XxhSql.bytesFromHex("hx")} AS b, nb FROM dshh),
        |xin AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY s, sd) AS gid, s, sd,
-       |         sd::HUGEINT AS seed, length(s)::BIGINT AS nb
-       |  FROM (SELECT shingle AS s, unnest(range(0, 64)) AS sd FROM dsh) c),
+       |  SELECT row_number() OVER (ORDER BY s, sd) AS gid, s, sd, b,
+       |         sd::HUGEINT AS seed, nb
+       |  FROM (SELECT s, b, nb, unnest(range(0, 64)) AS sd FROM dshx) c),
        |${XxhSql.xxh64Ctes},
        |hs AS MATERIALIZED (
        |  SELECT i.s AS shingle, i.sd, o.h
@@ -4384,6 +4491,9 @@ object Pipeline {
         |FROM range(0, 300) t(i)""".stripMargin),
     "dedup_simhash" -> simhashNativePairsSql,
     "dedup_winnow" -> winnowNativeSql,
+    "dedup_minhash_utf8" -> minhashLshSqlOver(utf8DocsSql),
+    "dedup_simhash_utf8" -> simhashNativePairsSqlOver(utf8DocsSql),
+    "dedup_winnow_utf8" -> winnowNativeSqlOver(utf8DocsSql),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),

@@ -12,10 +12,12 @@ package graft.queries
   *     (`(a·b) mod 2⁶⁴ = (aₗₒ·b + ((aₕᵢ·bₗₒ) mod 2³²)·2³²) mod 2⁶⁴`,
   *     every intermediate < 2⁹⁷ — HUGEINT-safe), rotation splits at
   *     2^(64−r) so no product can overflow INT128;
-  *   - byte access is `ord(substr(...))` — valid because the corpus is
-  *     ASCII (UTF-8 bytes ≡ code units; verified over the fixtures,
-  *     and a non-ASCII corpus would fail the gate loudly as a hash
-  *     mismatch, not silently);
+  *   - byte access is TRUE byte access (round 13): callers materialize
+  *     each input string's UTF-8 bytes ONCE as a BIGINT[] via
+  *     [[bytesFromHex]] (`hex(encode(text))` decoded by integer
+  *     arithmetic — no `ord(substr())` code-unit assumption), so the
+  *     kernels are byte-exact for ANY Unicode corpus, not just ASCII;
+  *     `nb` is `strlen` (bytes), never `length` (code points);
   *   - the full XXH64 layout is implemented: 4-lane 32-byte stripes
   *     (recursive CTE, one level per stripe), lane merge, 8-byte tail
   *     words (unrolled ×3), the 4-byte chunk, byte tail (unrolled ×3),
@@ -25,10 +27,11 @@ package graft.queries
   *     seed-chained `hashLong` fold, generated as a 4-level recursive
   *     CTE.
   *
-  * Callers provide a CTE `xin(gid, s, seed, nb)` — gid unique (join
-  * key), s the ASCII string, seed unsigned HUGEINT, nb = length(s) —
-  * and read `xout(gid, h)` with h the SIGNED BIGINT hash Spark's
-  * expressions produce. */
+  * Callers provide a CTE `xin(gid, b, seed, nb)` — gid unique (join
+  * key), b the BIGINT[] of the string's UTF-8 byte values (1-indexed;
+  * build it with [[bytesFromHex]]), seed unsigned HUGEINT, nb =
+  * strlen (byte count = len(b)) — and read `xout(gid, h)` with h the
+  * SIGNED BIGINT hash Spark's expressions produce. */
 object XxhSql {
 
   val M = "18446744073709551616" // 2^64
@@ -61,17 +64,58 @@ object XxhSql {
   private def round(acc: String, w: String): String =
     mulC(rotl(s"((($acc) + ${mulC(w, P2)}) % $M)", 31), P1)
 
-  /** Little-endian 8-byte word of ASCII string col `s` at 1-based SQL
+  /** ord() of the hex nibble at 1-based position `pos` of uppercase-hex
+    * column `hx`, decoded to its value 0-15 (DuckDB `hex()` emits
+    * uppercase: '0'-'9' = 48-57, 'A'-'F' = 65-70). */
+  private def hexNib(hx: String, pos: String): String = {
+    val o = s"ord(substr($hx, ($pos)::BIGINT, 1))"
+    s"($o - 48 - 7 * (($o >= 65)::INT))"
+  }
+
+  /** BIGINT[] of UTF-8 byte values (1-indexed) decoded from an
+    * uppercase-hex column `hx` = `hex(encode(text))` — byte-exact for
+    * ANY Unicode text (the round-13 fix for the old `ord(substr())`
+    * code-unit shortcut, which was only valid on ASCII corpora).
+    * Callers materialize `hx` once per row, so the decode is one linear
+    * pass per string, and every later byte access is an O(1) list
+    * index. */
+  def bytesFromHex(hx: String): String =
+    s"list_transform(range(1, (length($hx) // 2 + 1)::BIGINT), bp -> " +
+      s"(${hexNib(hx, "2*bp - 1")} * 16 + ${hexNib(hx, "2*bp")})::BIGINT)"
+
+  /** Little-endian 8-byte word of UTF-8 byte list col `b` at 1-based SQL
     * position expression `p`. */
-  private def word64(s: String, p: String): String =
+  private def word64(b: String, p: String): String =
     (0 until 8).map(j =>
-      s"ord(substr($s, (($p) + $j)::BIGINT, 1))::HUGEINT * ${BigInt(1) << (8 * j)}")
+      s"($b)[(($p) + $j)::BIGINT]::HUGEINT * ${BigInt(1) << (8 * j)}")
       .mkString("(", " + ", ")")
 
-  private def word32(s: String, p: String): String =
+  private def word32(b: String, p: String): String =
     (0 until 4).map(j =>
-      s"ord(substr($s, (($p) + $j)::BIGINT, 1))::HUGEINT * ${BigInt(1) << (8 * j)}")
+      s"($b)[(($p) + $j)::BIGINT]::HUGEINT * ${BigInt(1) << (8 * j)}")
       .mkString("(", " + ", ")")
+
+  /** ASCII-safe DuckDB string expression for arbitrary Unicode `s`:
+    * plain quoted runs for printable ASCII, `chr(codepoint)` for
+    * everything else — so generated SQL (and the emitting JVM's stdout,
+    * which is US-ASCII under this container's POSIX locale) stays pure
+    * ASCII while DuckDB reconstructs the exact Unicode string. */
+  def sqlStr(s: String): String = {
+    if (s.isEmpty) return "''"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    def flush(): Unit = if (sb.nonEmpty) { parts += s"'${sb.toString}'"; sb.clear() }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp >= 32 && cp < 127) {
+        if (cp == '\'') sb.append("''") else sb.append(cp.toChar)
+        i += 1
+      } else { flush(); parts += s"chr($cp)"; i += Character.charCount(cp) }
+    }
+    flush()
+    if (parts.length == 1) parts.head else parts.mkString("(", " || ", ")")
+  }
 
   /** Unsigned HUGEINT → the signed BIGINT Spark's Long holds. */
   def signed(e: String): String =
@@ -81,23 +125,23 @@ object XxhSql {
   def unsigned(e: String): String =
     s"(CASE WHEN ($e) < 0 THEN ($e)::HUGEINT + $M ELSE ($e)::HUGEINT END)"
 
-  /** The XXH64-over-bytes CTE chain: `xin(gid, s, seed, nb)` →
+  /** The XXH64-over-bytes CTE chain: `xin(gid, b, seed, nb)` →
     * `xout(gid, h)`. Emit inside a `WITH RECURSIVE` list. */
   def xxh64Ctes: String = {
     val stripeInner =
-      s"""SELECT gid, s, seed, nb, i,
-         |  ${word64("s", "32*i + 1")} AS w1, ${word64("s", "32*i + 9")} AS w2,
-         |  ${word64("s", "32*i + 17")} AS w3, ${word64("s", "32*i + 25")} AS w4,
+      s"""SELECT gid, b, seed, nb, i,
+         |  ${word64("b", "32*i + 1")} AS w1, ${word64("b", "32*i + 9")} AS w2,
+         |  ${word64("b", "32*i + 17")} AS w3, ${word64("b", "32*i + 25")} AS w4,
          |  v1, v2, v3, v4
          |FROM xstripes WHERE i < nb // 32""".stripMargin
     val xstripes =
-      s"""xstripes(gid, s, seed, nb, i, v1, v2, v3, v4) AS (
-         |  SELECT gid, s, seed, nb, 0,
+      s"""xstripes(gid, b, seed, nb, i, v1, v2, v3, v4) AS (
+         |  SELECT gid, b, seed, nb, 0,
          |    (seed + $P1 + $P2) % $M, (seed + $P2) % $M, seed,
          |    (seed - $P1 + $M) % $M
          |  FROM xin WHERE nb >= 32
          |  UNION ALL
-         |  SELECT gid, s, seed, nb, i + 1,
+         |  SELECT gid, b, seed, nb, i + 1,
          |    ${round("v1", "w1")}, ${round("v2", "w2")},
          |    ${round("v3", "w3")}, ${round("v4", "w4")}
          |  FROM ($stripeInner) stp)""".stripMargin
@@ -116,17 +160,17 @@ object XxhSql {
                  mergeLayer("h0", "v1", "h1", lanes))))}) mfin)""".stripMargin
     val xbase =
       s"""xbase AS (
-         |  SELECT x.gid, x.s, x.nb,
+         |  SELECT x.gid, x.b, x.nb,
          |    ((CASE WHEN x.nb >= 32 THEN m.h4 % $M ELSE (x.seed + $P5) % $M END) + x.nb) % $M AS h,
          |    (x.nb // 32) * 32 AS done
          |  FROM xin x LEFT JOIN xmerged m ON m.gid = x.gid)""".stripMargin
     def tailWord(src: String, dst: String) = {
       val inner =
-        s"""SELECT gid, s, nb, done, h,
-           |  CASE WHEN done + 8 <= nb THEN ${round("0::HUGEINT", word64("s", "done + 1"))} ELSE 0 END AS k1
+        s"""SELECT gid, b, nb, done, h,
+           |  CASE WHEN done + 8 <= nb THEN ${round("0::HUGEINT", word64("b", "done + 1"))} ELSE 0 END AS k1
            |FROM $src""".stripMargin
       s"""$dst AS (
-         |  SELECT gid, s, nb,
+         |  SELECT gid, b, nb,
          |    CASE WHEN done + 8 <= nb THEN done + 8 ELSE done END AS done,
          |    CASE WHEN done + 8 <= nb
          |         THEN (${mulC(rotl(xorH("h", "k1"), 27), P1)} + $P4) % $M
@@ -135,22 +179,22 @@ object XxhSql {
     }
     val x4 = {
       val inner =
-        s"""SELECT gid, s, nb, done,
-           |  CASE WHEN done + 4 <= nb THEN ${xorH("h", mulV(word32("s", "done + 1"), P1.toString))} ELSE h END AS h1,
+        s"""SELECT gid, b, nb, done,
+           |  CASE WHEN done + 4 <= nb THEN ${xorH("h", mulV(word32("b", "done + 1"), P1.toString))} ELSE h END AS h1,
            |  h FROM t3""".stripMargin
       s"""x4 AS (
-         |  SELECT gid, s, nb,
+         |  SELECT gid, b, nb,
          |    CASE WHEN done + 4 <= nb THEN done + 4 ELSE done END AS done,
          |    CASE WHEN done + 4 <= nb THEN (${mulC(rotl("h1", 23), P2)} + $P3) % $M ELSE h END AS h
          |  FROM ($inner) x4_t)""".stripMargin
     }
     def tailByte(src: String, dst: String) = {
       val inner =
-        s"""SELECT gid, s, nb, done,
-           |  CASE WHEN done < nb THEN ${xorH("h", mulC("ord(substr(s, (done + 1)::BIGINT, 1))::HUGEINT", P5))} ELSE h END AS h1,
+        s"""SELECT gid, b, nb, done,
+           |  CASE WHEN done < nb THEN ${xorH("h", mulC("(b)[(done + 1)::BIGINT]::HUGEINT", P5))} ELSE h END AS h1,
            |  h FROM $src""".stripMargin
       s"""$dst AS (
-         |  SELECT gid, s, nb,
+         |  SELECT gid, b, nb,
          |    CASE WHEN done < nb THEN done + 1 ELSE done END AS done,
          |    CASE WHEN done < nb THEN ${mulC(rotl("h1", 11), P1)} ELSE h END AS h
          |  FROM ($inner) ${dst}_t)""".stripMargin

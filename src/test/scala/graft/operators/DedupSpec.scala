@@ -310,6 +310,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("utf8 entries: literals parse byte-exact and planted pairs surface (r13)") {
+    // encoding guard: if scalac ever reads sources with the POSIX
+    // platform charset instead of the pinned -encoding UTF-8, the
+    // multilingual fixture would silently mangle to '?' and the UTF-8
+    // entries would test nothing — fail HERE, at the spec, instead
+    assert("中".codePointAt(0) == 0x4e2d, "CJK literal mangled")
+    assert("😀".length == 2 && "😀".charAt(0) == '\ud83d', "emoji literal mangled")
+    assert("é".codePointAt(0) == 0xe9, "precomposed accent mangled")
+    // planted structure is non-vacuous in all three UTF-8 entries
+    val mh = graft.SparkEntry.queries("dedup_minhash_utf8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((3000001L, 3000002L)), "CJK clone pair missing from minhash candidates")
+    assert(mh.contains((3000012L, 3000013L)), "empty/whitespace pair missing from minhash candidates")
+    val sh = graft.SparkEntry.queries("dedup_simhash_utf8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh.contains((3000008L, 3000009L, 0)), "emoji clone pair missing from simhash pairs")
+    assert(sh.contains((3000010L, 3000011L, 0)), "combining-mark clone pair missing from simhash pairs")
+    val wn = graft.SparkEntry.queries("dedup_winnow_utf8")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(wn.contains((3000004L, 3000005L, 1.0)), "kana clone pair missing from winnow pairs")
+    assert(wn.contains((3000012L, 3000013L, 1.0)),
+      "empty + whitespace-only docs must pair at jaccard 1.0 (the n=0 Array(0L) fingerprint)")
+  }
+
   test("minhash signature is an ordered numHashes-length array, deterministic") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
     val b = Dedup.minhashSignatures(corpus, "doc_id", "text", numHashes = 16).collect()
