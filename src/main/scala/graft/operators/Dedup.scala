@@ -450,8 +450,18 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
 
-    val edges = cut(pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst"))))
+    // Materialize the PAIR pipeline exactly once: the two edge
+    // directions are projections of the checkpointed pair table, so the
+    // (possibly very expensive — e.g. the full ngramJaccard stack)
+    // upstream plan can never run twice under the union, whatever the
+    // optimizer's exchange-reuse decides. The union itself stays lazy:
+    // both branches are reads of the same checkpoint blocks. (Measured
+    // alternative: landing edges repartition(src)+checkpoint does NOT
+    // help — LogicalRDD drops the hash partitioning, so each round's
+    // join re-shuffles regardless and the extra materialize pass is
+    // pure cost.)
+    val p = cut(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // Initial labels = round 1 done as a PLAIN AGGREGATE: with identity
     // starting labels, propagate(min over self+neighbors) is just
     // min(src, min(dst)) — a single groupBy over the materialized edge

@@ -19,7 +19,8 @@ object ProfileCc {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val docs = Tables.load(spark,
+      args.headOption.getOrElse("/root/testdata/sf0.1"), "documents")
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
