@@ -716,7 +716,16 @@ object Dedup {
     * on, and a pair repressed in one band can still surface from the
     * other bands' buckets. Below the cap, candidates are IDENTICAL to
     * the uncapped join (row_number ≤ m ≤ cap keeps every row;
-    * spec-pinned). */
+    * spec-pinned).
+    *
+    * ID-STABILITY ASSUMPTION (r12 ADVICE): "deterministic
+    * representatives" holds because the store's `id` column is the
+    * source doc_id, immutable once written — [[minhashStoreCompact]] /
+    * [[Compaction.readLive]] rewrite FILES, never rows, so the
+    * `maxBucket` lowest ids of a bucket are the same rows before and
+    * after any compaction (and the oracle's QUALIFY mirror picks the
+    * identical set). A store format that reassigned ids on rewrite
+    * would silently break this contract. */
   def minhashStoreCandidates(newBatch: DataFrame, idCol: String,
                              textCol: String, path: String,
                              components: Int = 8, rowsPerBand: Int = 2,

@@ -2896,14 +2896,27 @@ object Pipeline {
         .na.fill(0L, Seq("c"))
       val w = Window.partitionBy("source").orderBy("x")
       val cum = full.withColumn("f", sum("c").over(w)).join(srcs, "source")
-      cum.as("a").join(cum.as("b"),
+      // DECIMAL(38) end-to-end (the sample_epoch_plan swap, r12 ADVICE):
+      // the f·n cross-products and the micro scaling stay exact at any
+      // corpus size — a Long product wraps silently past ~3e9 rows per
+      // source (and differently from the oracle's HUGEINT), and the
+      // double 1e6 path loses exactness past 2^53. HALF_UP without a
+      // float: round(a/b) = (2a + b) div (2b) for nonnegative integers.
+      val paired = cum.as("a").join(cum.as("b"),
           col("a.x") === col("b.x") && col("a.source") < col("b.source"))
         .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-          abs(col("a.f") * col("b.n") - col("b.f") * col("a.n")).as("num"),
+          abs(col("a.f").cast("decimal(38,0)") * col("b.n")
+            - col("b.f").cast("decimal(38,0)") * col("a.n")).as("num"),
           col("a.n").as("na"), col("b.n").as("nb"))
         .groupBy("source_a", "source_b")
-        .agg(round(max("num") * 1e6 / (max("na") * max("nb")))
-          .cast("long").as("ks_micro"))
+        .agg(max("num").as("mnum"),
+          (max("na").cast("decimal(38,0)") * max("nb")).as("nanb"))
+      paired
+        .withColumn("__a2", col("mnum") * 2000000 + col("nanb"))
+        .withColumn("__d2", col("nanb") * 2)
+        .select(col("source_a"), col("source_b"),
+          ((col("__a2") - col("__a2") % col("__d2")) / col("__d2"))
+            .cast("long").as("ks_micro"))
         .orderBy("source_a", "source_b")
     }),
     // ---- event-type transition matrix (first-order Markov counts):
@@ -5298,8 +5311,9 @@ object Pipeline {
         |          CAST(n AS BIGINT) AS n
         |        FROM filled f JOIN srcs USING (source))
         |SELECT a.source AS source_a, b.source AS source_b,
-        |  CAST(round(max(abs(a.fc * b.n - b.fc * a.n)) * 1000000.0
-        |             / (max(a.n) * max(b.n))) AS BIGINT) AS ks_micro
+        |  CAST((2000000 * max(abs(a.fc::HUGEINT * b.n - b.fc::HUGEINT * a.n))
+        |        + max(a.n)::HUGEINT * max(b.n))
+        |       // (2 * max(a.n)::HUGEINT * max(b.n)) AS BIGINT) AS ks_micro
         |FROM cum a JOIN cum b ON a.x = b.x AND a.source < b.source
         |GROUP BY a.source, b.source
         |ORDER BY source_a, source_b""".stripMargin,
