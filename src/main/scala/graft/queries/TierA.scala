@@ -54,6 +54,13 @@ object TierA {
   val queries: Map[String, Q] = Map(
     // ---- source scan + default projection
     "consume_scan" -> consume("events -B --rows 500"),
+    // the SAME consume through the DSv2 provider's batch face (r13:
+    // one source, two faces — the Kafka-source shape): offset algebra
+    // inside the source, the --rows range predicate pushed via
+    // SupportsPushDownFilters, columns pruned via the batch planner's
+    // V2ScanRelationPushDown. Hash-matches consume_scan's oracle.
+    "consume_scan_dsv2" -> ((s, dir) =>
+      graft.sources.v2.FluvioBatchConsume.consume(s, "events -B --rows 500", dir)),
     "consume_default_cols" -> consume("events -H 10 --rows 100"),
     "offset_col" -> ((s, dir) =>
       FluvioDuck.consume(s, "events -B --rows 250", dir).select("offset")),
@@ -314,6 +321,7 @@ object TierA {
 
   val oracleSql: Map[String, String] = Map(
     "consume_scan" -> recSql(limit = 500),
+    "consume_scan_dsv2" -> recSql(limit = 500),
     "consume_default_cols" -> recSql("event_id >= 10", 100),
     "offset_col" ->
       "SELECT CAST(event_id AS BIGINT) AS \"offset\" FROM events ORDER BY event_id LIMIT 250",

@@ -17,7 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -72,6 +72,12 @@ object FluvioDsv2 {
     * (interface vs the `columns` option) is operative and fails loudly
     * if an upgrade flips it without the spec being updated. */
   val pruneColumnsCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Times any planner has called SupportsPushDownFilters.pushFilters on
+    * a fluvio scan in this JVM — the batch-face pushdown canary
+    * (DsvPushdownCanarySpec pins that V2ScanRelationPushDown drives the
+    * batch offset/partition range pruning). */
+  val pushFiltersCalls = new java.util.concurrent.atomic.AtomicLong(0L)
 
   val Schema: StructType = StructType(Seq(
     StructField("partition", IntegerType, nullable = false),
@@ -147,6 +153,40 @@ object FluvioDsv2 {
       p -> segmentFiles(d).map(rowCount).sum
     }
 
+  /** The shared partition-selection contract (FluvioDuck.selectPartition),
+    * used by BOTH faces of the source: single-partition topics ignore
+    * `-p`/`-A`; multi-partition topics pin partition 0 by default, `-p N`
+    * selects one, `-A` fans over all. */
+  def selectedDirs(baseDir: String, opt: ConsumeOpt): Map[Int, File] = {
+    val dirs = partitionDirs(baseDir, opt.topic)
+    if (dirs.size <= 1 || opt.allPartitions) dirs
+    else dirs.filter(_._1 == opt.partition)
+  }
+
+  /** Map the record range [from, to) of topic partition `p` onto its
+    * segment files by cumulative row count — only overlapping segments
+    * become input partitions. The ONE range→file mapping, shared by the
+    * micro-batch planner and the batch scan (a mapping bug cannot make
+    * the two faces read different records). */
+  def sliceSegments(files: Seq[File], p: Int, from: Long, to: Long,
+                    view: RecordView, fields: Seq[String]): Seq[FluvioInputPartition] = {
+    val parts = Seq.newBuilder[FluvioInputPartition]
+    var cum = 0L
+    for (f <- files) {
+      val n = rowCount(f)
+      val fileStart = cum
+      val fileEnd = cum + n
+      val lo = math.max(from, fileStart)
+      val hi = math.min(to, fileEnd)
+      if (hi > lo)
+        parts += FluvioInputPartition(f.getAbsolutePath, p,
+          skip = lo - fileStart, take = hi - lo,
+          view.offsetCol, view.timestampCol, view.valueCol, fields)
+      cum = fileEnd
+    }
+    parts.result()
+  }
+
   private[v2] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
@@ -201,7 +241,7 @@ class FluvioTable(cmd: String, baseDir: String,
   override def name(): String = s"fluvio_consume(${opt.topic})"
   override def schema(): StructType = FluvioDsv2.prunedSchema(columns)
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Kafka-style admission control: caps records and/or bytes admitted
     // per micro-batch (0/absent = unlimited). Bytes are the streaming
@@ -223,24 +263,125 @@ class FluvioTable(cmd: String, baseDir: String,
     // and picks up planner support when it lands). The pruned schema
     // flows through the input partitions to the reader, which
     // materializes ONLY those fields.
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var pruned: StructType = FluvioDsv2.prunedSchema(columns)
       override def pruneColumns(requiredSchema: StructType): Unit = {
         // observability counter for the canary spec: today's micro-batch
-        // planner never calls this (see comment above); the counter is
-        // how DsvPushdownCanarySpec detects a Spark upgrade changing that,
-        // so the option route and this route can't silently diverge
+        // planner never calls this (see comment above) — but the BATCH
+        // planner DOES (V2ScanRelationPushDown runs on batch relations),
+        // so batch `select("offset")` prunes through this interface and
+        // the canary asserts it
         FluvioDsv2.pruneColumnsCalls.incrementAndGet()
         pruned = requiredSchema
       }
+
+      // FILTER PUSHDOWN (batch face): offset bounds and partition
+      // equality tighten the planned record ranges — with dense
+      // per-partition offsets an offset predicate IS a row-range
+      // predicate, so `offset >= n` skips [0, n) without reading it and
+      // `partition = p` lists only that subtree (the Kafka-source
+      // analog of storage partition pruning). Every accepted filter is
+      // ALSO returned as a residual: the range arithmetic is exact on
+      // the dense-log model, but re-evaluation on the delivered rows is
+      // one codegen'd comparison and keeps correctness independent of
+      // that model — the standard conservative DSv2 contract.
+      private var offLo = 0L                 // inclusive record-range lo
+      private var offHi = Long.MaxValue      // exclusive record-range hi
+      private var partEq: Option[Int] = None
+      private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private def longOf(v: Any): Option[Long] = v match {
+        case l: Long => Some(l)
+        case i: Int  => Some(i.toLong)
+        case _       => None
+      }
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources._
+        FluvioDsv2.pushFiltersCalls.incrementAndGet()
+        accepted = filters.filter {
+          case EqualTo("partition", v) =>
+            longOf(v).exists { p => partEq = Some(p.toInt); true }
+          case EqualTo("offset", v) =>
+            longOf(v).exists { n =>
+              offLo = math.max(offLo, n); offHi = math.min(offHi, n + 1); true }
+          case GreaterThanOrEqual("offset", v) =>
+            longOf(v).exists { n => offLo = math.max(offLo, n); true }
+          case GreaterThan("offset", v) =>
+            longOf(v).exists { n => offLo = math.max(offLo, n + 1); true }
+          case LessThan("offset", v) =>
+            longOf(v).exists { n => offHi = math.min(offHi, n); true }
+          case LessThanOrEqual("offset", v) =>
+            longOf(v).exists { n => offHi = math.min(offHi, n + 1); true }
+          case _ => false
+        }
+        filters // all residual (see contract note above)
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        accepted
+
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = pruned
+        override def description(): String =
+          s"fluvio_consume(${opt.topic}) " +
+            s"PushedOffsetRange: [$offLo, ${if (offHi == Long.MaxValue) "inf" else offHi}) " +
+            s"PushedPartition: ${partEq.getOrElse("*")}"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger,
             maxBytesPerTrigger, pruned.fieldNames.toSeq)
+        override def toBatch: Batch =
+          new FluvioBatch(opt, view, baseDir, pruned.fieldNames.toSeq,
+            offLo, offHi, partEq)
       }
     }
   }
+}
+
+/** Batch face of the DSv2 source — the SAME provider, offset algebra,
+  * range→file mapping and reader as the streaming face (VERDICT r12
+  * task 7; the Kafka source's one-source-two-faces shape). Bind-time
+  * offset flags resolve against the CURRENT log (`-B`/`--start`/`-H`
+  * absolute, `-T`/default-end relative to LEO, `--end` inclusive cap),
+  * then pushed offset/partition filters tighten each partition's
+  * [start, end) record range before it maps onto segment files — a
+  * `--rows`-capped or offset-filtered batch consume reads only the
+  * overlapping segments, and inside them skips straight to the range. */
+class FluvioBatch(opt: ConsumeOpt, view: RecordView, baseDir: String,
+                  fields: Seq[String],
+                  offLo: Long, offHi: Long, partEq: Option[Int])
+    extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dirs0 = FluvioDsv2.selectedDirs(baseDir, opt)
+    val dirs = partEq match {
+      case Some(pe) => dirs0.filter(_._1 == pe)
+      case None     => dirs0
+    }
+    dirs.toSeq.sortBy(_._1).flatMap { case (p, d) =>
+      val files = FluvioDsv2.segmentFiles(d)
+      val leoP = files.map(FluvioDsv2.rowCount).sum
+      // the reference's calculate_offset (consume.rs:580-605), same
+      // algebra as the stream's initialOffset — resolved per partition
+      val start0 = opt.startOffset match {
+        case OffsetSpec.FromBeginning(n) => n
+        case OffsetSpec.Absolute(n)      => n
+        case OffsetSpec.FromEnd(n)       => math.max(0L, leoP - n)
+        case OffsetSpec.End              => leoP
+      }
+      val end0 = math.min(leoP, opt.end.map(_ + 1).getOrElse(Long.MaxValue))
+      val from = math.max(start0, offLo)
+      val to = math.min(end0, offHi)
+      if (to > from) FluvioDsv2.sliceSegments(files, p, from, to, view, fields)
+      else Seq.empty
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new FluvioPartitionReader(partition.asInstanceOf[FluvioInputPartition])
+    }
 }
 
 class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
@@ -251,14 +392,9 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  /** The shared partition-selection contract (FluvioDuck.selectPartition):
-    * single-partition topics ignore `-p`/`-A`; multi-partition topics pin
-    * partition 0 by default, `-p N` selects one, `-A` fans over all. */
-  private def selectedDirs(): Map[Int, File] = {
-    val dirs = FluvioDsv2.partitionDirs(baseDir, opt.topic)
-    if (dirs.size <= 1 || opt.allPartitions) dirs
-    else dirs.filter(_._1 == opt.partition)
-  }
+  /** See [[FluvioDsv2.selectedDirs]] — the contract shared with batch. */
+  private def selectedDirs(): Map[Int, File] =
+    FluvioDsv2.selectedDirs(baseDir, opt)
 
   override def initialOffset(): Offset = {
     // bind-time start offsets, like the reference's calculate_offset
@@ -479,23 +615,9 @@ class FluvioMicroBatchStream(opt: ConsumeOpt, view: RecordView, baseDir: String,
     // log is new to this query).
     for ((p, to) <- e.toSeq.sortBy(_._1)) {
       val from0 = s.getOrElse(p, 0L)
-      if (to > from0) {
-        // map the record range [from0, to) onto segment files by
-        // cumulative row count — only overlapping segments are read
-        var cum = 0L
-        for (f <- filesByPart.getOrElse(p, Seq.empty)) {
-          val n = FluvioDsv2.rowCount(f)
-          val fileStart = cum
-          val fileEnd = cum + n
-          val lo = math.max(from0, fileStart)
-          val hi = math.min(to, fileEnd)
-          if (hi > lo)
-            parts += FluvioInputPartition(f.getAbsolutePath, p,
-              skip = lo - fileStart, take = hi - lo,
-              view.offsetCol, view.timestampCol, view.valueCol, fields)
-          cum = fileEnd
-        }
-      }
+      if (to > from0)
+        parts ++= FluvioDsv2.sliceSegments(filesByPart.getOrElse(p, Seq.empty),
+          p, from0, to, view, fields)
     }
     parts.result().toArray
   }

@@ -60,4 +60,97 @@ class DsvPushdownCanarySpec extends SparkSpec {
       s"planner called pruneColumns $calls times — Spark's micro-batch " +
         "planner now applies V2 column pushdown; re-validate both routes")
   }
+
+  test("BATCH face: V2ScanRelationPushDown drives pruneColumns AND pushFilters (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_batch_").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < 20)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+
+    val prunesBefore = FluvioDsv2.pruneColumnsCalls.get()
+    val pushesBefore = FluvioDsv2.pushFiltersCalls.get()
+
+    val got = spark.read.format(fmt)
+      .option("cmd", "events -B").option("baseDir", dir.getAbsolutePath)
+      .load()
+      .filter(col("offset") >= 3 && col("offset") < 8)
+      .select("offset")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (3L until 8L).toSeq, got.toString)
+
+    // unlike the micro-batch planner, the BATCH planner runs
+    // V2ScanRelationPushDown — both interfaces must have been driven
+    assert(FluvioDsv2.pruneColumnsCalls.get() > prunesBefore,
+      "batch planner no longer calls pruneColumns — column pruning " +
+        "regressed to full-record materialization")
+    assert(FluvioDsv2.pushFiltersCalls.get() > pushesBefore,
+      "batch planner no longer calls pushFilters — offset/partition " +
+        "range pruning regressed to full-log scans")
+  }
+
+  test("BATCH face: pushed offset range prunes the planned row ranges (r13)") {
+    // drive the Batch directly: the pushed [3, 8) window over a 20-row
+    // single-segment topic must plan exactly 5 records (skip=3, take=5),
+    // not deliver-then-filter 20
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_prune_").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < 20)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    val opt = graft.sources.ConsumeOpt.parse("events -B").toOption.get
+    val view = graft.sources.TopicRegistry.requireRecordView(
+      dir.getAbsolutePath, "events")
+    val planned = new FluvioBatch(opt, view, dir.getAbsolutePath,
+      FluvioDsv2.Schema.fieldNames.toSeq, offLo = 3L, offHi = 8L,
+      partEq = None)
+      .planInputPartitions().map(_.asInstanceOf[FluvioInputPartition])
+    assert(planned.map(_.take).sum == 5L,
+      s"planned ${planned.map(_.take).sum} records for a 5-record window")
+    assert(planned.forall(p => p.skip >= 3L),
+      "pushed lower bound did not become a row skip")
+    // partition-equality pushdown on a multi-partition topic: only the
+    // selected subtree is planned
+    val mpDir = java.nio.file.Files.createTempDirectory("dsv2_prune_mp_").toFile
+    val mpTopic = new java.io.File(mpDir, "events.parquet")
+    for (p <- 0 to 2) {
+      val pd = new java.io.File(mpTopic, s"partition=$p")
+      pd.mkdirs()
+      Tables.load(spark, sf, "events").filter(col("event_id") < 10)
+        .write.mode("append").parquet(pd.getAbsolutePath)
+    }
+    val mpOpt = graft.sources.ConsumeOpt.parse("events -B -A").toOption.get
+    val mpView = graft.sources.TopicRegistry.requireRecordView(
+      mpDir.getAbsolutePath, "events")
+    val mpPlanned = new FluvioBatch(mpOpt, mpView, mpDir.getAbsolutePath,
+      FluvioDsv2.Schema.fieldNames.toSeq, offLo = 0L, offHi = Long.MaxValue,
+      partEq = Some(1))
+      .planInputPartitions().map(_.asInstanceOf[FluvioInputPartition])
+    assert(mpPlanned.nonEmpty && mpPlanned.forall(_.partitionId == 1),
+      s"partition pushdown planned ${mpPlanned.map(_.partitionId).toSeq}")
+  }
+
+  test("BATCH face: end-relative windows and --end resolve inside the source (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2_window_").toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < 20)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    def offsets(cmd: String): Seq[Long] =
+      spark.read.format(fmt)
+        .option("cmd", cmd).option("baseDir", dir.getAbsolutePath)
+        .load().select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    assert(offsets("events -T 4") == (16L until 20L).toSeq)       // tail
+    assert(offsets("events -B --end 5") == (0L to 5L).toSeq)      // inclusive end
+    assert(offsets("events --start 17") == (17L until 20L).toSeq) // absolute
+    assert(offsets("events") == Seq.empty)                        // default: log end
+    // and the wrapper's full consume equals the file-source path
+    val viaDsv2 = graft.sources.v2.FluvioBatchConsume
+      .consume(spark, "events -B --rows 7", dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    val viaFile = graft.sources.FluvioDuck
+      .consume(spark, "events -B --rows 7", dir.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(viaDsv2 == viaFile, "batch faces diverged")
+  }
 }
