@@ -157,10 +157,21 @@ object StreamBench {
     // the topic's DISTINCT fingerprint count, recomputed in batch mode
     // over the same DSv2 table.
     val dedupCounter = spark.sparkContext.longAccumulator("stateful_dedup_out")
+    // State-partition count = 8 for the stateful legs: measured via
+    // tools/StateTune (state_tune.json) — at this batch size the
+    // per-partition store open/commit overhead dominates, and 8
+    // partitions doubles throughput over 32 (107k vs 56k rec/s warm);
+    // RocksDB (with or without changelog checkpointing) is SLOWER here
+    // (50k) because its native init/commit cost only pays off when
+    // state outgrows executor memory. State partitioning binds at the
+    // first batch per checkpoint, so this is a per-query deploy choice;
+    // the pass-through legs above keep 32.
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val statefulDedup = drain(spark, mpBase, "events_mp", None, "-A",
       transform = df => graft.streaming.StreamingDedup.exactByFingerprint(
         df, "value", "timestamp", "87600 hours"),
       batchSink = Some((df, _) => dedupCounter.add(df.count())))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     val expectedDistinct = {
       import org.apache.spark.sql.functions.col
       graft.sources.FluvioDuck.consume(spark, "events_mp -B -A", mpBase)
