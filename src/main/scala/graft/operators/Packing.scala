@@ -44,9 +44,21 @@ object Packing {
       s"chunkAssign: ${reserved.mkString("/")} are reserved")
     val spark = df.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
+    // MATERIALIZE the range partitioning before either phase reads it
+    // (r13, caught by the first full oracle gate at sf0.1): the range
+    // partitioner SAMPLES its split points per job, so without the
+    // checkpoint the offsets job (phase 1) and the final job (phase 2)
+    // can land on DIFFERENT boundaries — phase-1 offsets keyed by __pid
+    // then apply to phase-2 partitions holding different id spans, and
+    // every chunk downstream of the first divergent boundary shifts.
+    // Small fixtures sample identically by luck; sf0.1 did not. The
+    // checkpoint pins ONE physical partitioning for both phases (and is
+    // the "persist the projected frame between the two jobs" the
+    // scaladoc already prescribed at corpus scale).
     val parted = df.select(col(idCol), col(tokenCol))
       .repartitionByRange(nParts, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     // phase 1: one row per partition — the driver sees numPartitions
     // longs, never data
     val sums = parted.groupBy("__pid")

@@ -1260,9 +1260,18 @@ object Pipeline {
     // pairs need short band signatures: per-band match probability is
     // (1-θ/π)^nPlanes, so 8-plane bands (the r09 point) miss true pairs
     // while 2-plane × 12-band OR-probing catches them all.
+    // maxBucket UNCAPPED here (r13, caught by the sf0.1 oracle gate):
+    // 2-plane signatures have only 4 buckets per band, so bucket size
+    // is ~N/4 BY DESIGN at this low-threshold operating point — at
+    // sf0.1 every bucket passed the r12 star cap's 256 and candidate
+    // generation silently collapsed to hub stars (7 of 920 pairs).
+    // This entry is the O(n²/4) VALIDATION twin (ScaleAudit annotates
+    // it by_design); the cap protects the dedup-shaped deployments,
+    // not a recall-1.0 audit whose buckets are huge on purpose.
     "emb_ann_neardups" -> ((s, dir) =>
       Similarity.annNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nPlanes = 2, nBands = 12)
+        threshold = 0.4, nPlanes = 2, nBands = 12,
+        maxBucket = Int.MaxValue)
         .withColumn("score", round(col("score"), 6))
         .orderBy("id_a", "id_b")),
     // Candidate-recall oracle for the banded random-hyperplane LSH (the
@@ -1279,7 +1288,8 @@ object Pipeline {
       Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
         .select("id_a", "id_b")
         .join(Similarity.annNearDupPairs(e, "vec_id", "embedding",
-          threshold = 0.4, nPlanes = 2, nBands = 12),
+          threshold = 0.4, nPlanes = 2, nBands = 12,
+          maxBucket = Int.MaxValue), // uncapped: see emb_ann_neardups
           Seq("id_a", "id_b"), "semi")
         .orderBy("id_a", "id_b")
     }),
