@@ -56,8 +56,12 @@ object ScaleAudit {
         "scale path = emb_ann_neardups (banded RHP-LSH at the recall-1.0 " +
         "operating point, hash-matching the same oracle)"),
     "emb_ann_neardups" ->
-      ("recall audit recomputes the exact O(n^2) pair ground truth to " +
-        "compare against; the production plan is the banded join inside it"),
+      ("the O(n^2/4)-by-construction VALIDATION twin: 2-plane bands have " +
+        "4 buckets, so bucket size is ~N/4 at the recall-1.0 operating " +
+        "point and the star cap is explicitly DISABLED here (r13 - the " +
+        "r12 cap silently collapsed it to hub stars at sf0.1, caught by " +
+        "the first full oracle gate at that scale); deployment near-dup " +
+        "paths use higher-plane bands + the cap"),
     "emb_ann_recall" ->
       ("recall audit: brute-force O(n^2) ground truth vs the banded LSH " +
         "candidates - validation-only by construction"),
