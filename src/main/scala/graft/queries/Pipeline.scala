@@ -48,6 +48,12 @@ object Pipeline {
     // ADVICE) non-vacuously — the two must pair at jaccard 1.0
     3000012L -> "",
     3000013L -> "   ",
+    // SHORT docs (< k=20 UTF-16 units) with non-BMP content: the
+    // winnow kernel's whole-text short-doc polynomial runs over
+    // SURROGATE code units here — the one path the long docs above
+    // never reach with non-BMP input; clones so the pair is non-vacuous
+    3000014L -> "😀 中文 ab 😃",
+    3000015L -> "😀 中文 ab 😃",
   )
 
   /** documents ⊕ the planted multilingual slice, Spark side. */

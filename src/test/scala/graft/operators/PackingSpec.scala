@@ -45,6 +45,23 @@ class PackingSpec extends SparkSpec {
     assert(run(3, "11") == base, "11 shuffle partitions changed the assignment")
   }
 
+  test("chunkAssign materializes ONE partitioning for both phases (r13 sf0.1 bug)") {
+    // the range partitioner SAMPLES split points per job; without the
+    // eager checkpoint the offsets job and the windows job can land on
+    // DIFFERENT boundaries and the prefix sums silently shift (caught
+    // at sf0.1 by the full oracle gate: 3710/5000 pack_chunks rows
+    // wrong). Pin the structure: the output plan must read the
+    // checkpointed RDD, not re-evaluate the range exchange.
+    val out = Packing.chunkAssign(toyDocs(100), "id", "toks", budget = 16L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      "chunkAssign no longer checkpoints the partitioned frame - the " +
+        "two prefix-sum phases can resample different range boundaries:\n" + plan)
+    assert(!plan.contains("RangePartitioning"),
+      "the final job re-ran the range exchange instead of reading the " +
+        "materialized partitioning:\n" + plan)
+  }
+
   test("chunkAssign contracts: positive budget, reserved names") {
     intercept[IllegalArgumentException](
       Packing.chunkAssign(toyDocs(5), "id", "toks", budget = 0L))
