@@ -39,22 +39,64 @@ object MoversCheck {
     "sketch_cms_estimates", "sketch_cms_portable",
     "smartmodule_named", "smartmodule_params", "text_quality_score")
 
+  /** Per-query seconds from any bench-shaped artifact: a full
+    * bench_full.json line (`"queries":{...}`), a driver BENCH_r*.json
+    * wrapper (`"parsed"`/`"tail"` — the tail is a clipped suffix of the
+    * full line, so parse every "name":number pair out of it), or raw
+    * text. Best-effort by design: the driver's tail capture truncates
+    * from the FRONT, so a tail-only artifact yields a SUFFIX of the
+    * query map — callers comparing movers get the recoverable subset. */
+  private def benchQueries(path: String): Map[String, Double] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val root = mapper.readTree(txt)
+      val q = root.get("queries")
+      if (q != null && !q.isNull) {
+        import scala.jdk.CollectionConverters._
+        return q.properties().asScala
+          .filterNot(_.getValue.isNull)
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }
+      val tail = root.get("tail")
+      if (tail != null) return parsePairs(tail.asText())
+    } catch { case _: Exception => () }
+    parsePairs(txt)
+  }
+
+  private def parsePairs(s: String): Map[String, Double] =
+    """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val baselinePath = args.lift(0).getOrElse("bench_full.json")
     val outPath = args.lift(1).getOrElse("movers_disposition.json")
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
-    val entries = args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(R12Movers)
+    // entries: an explicit comma list, or `auto:<benchArtifact>` —
+    // extract the mover line (>1.5x baseline AND >0.3 s) from a driver
+    // BENCH_r*.json / bench_full.json mechanically, so a round's
+    // disposition is ONE command with no hand-copied list
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt.max(2)
 
     // baseline minima from the bench_full.json-shaped line
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(baselinePath)))
-    val qNode = root.get("queries")
-    require(qNode != null, s"$baselinePath has no \"queries\" map")
-    def baselineOf(name: String): Option[Double] =
-      Option(qNode.get(name)).filterNot(_.isNull).map(_.asDouble())
+    val baseline = benchQueries(baselinePath)
+    require(baseline.nonEmpty, s"$baselinePath has no per-query times")
+    def baselineOf(name: String): Option[Double] = baseline.get(name)
+
+    val entries = args.lift(3) match {
+      case Some(spec) if spec.startsWith("auto:") =>
+        val probe = benchQueries(spec.stripPrefix("auto:"))
+        val movers = probe.collect {
+          case (k, v) if baseline.get(k).exists(b => v > 1.5 * b && v - b > 0.3) => k
+        }.toSeq.sorted
+        System.err.println(
+          s"[movers] auto-extracted ${movers.size} movers: ${movers.mkString(",")}")
+        movers
+      case Some(spec) => spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => R12Movers
+    }
+    require(entries.nonEmpty, "no movers to disposition (auto list empty)")
 
     val spark = graft.Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     // warm-up outside the timed region (codegen + calibration plan)
