@@ -686,6 +686,20 @@ object Pipeline {
         threshold = 0.5, w = 16, maxDocFreq = 1000L)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id_a", "id_b")),
+    // the core text-analysis kernels over the same multilingual slice:
+    // whitespace token count (\s is ASCII in BOTH regex engines — CJK
+    // text without spaces is one token in both), BPE-ish subword count
+    // ([A-Za-z0-9] runs are ASCII-only in both, so each CJK char /
+    // combining mark / emoji code point is its own symbol in both), and
+    // the md5-of-normalized fingerprint (md5 over UTF-8 bytes is
+    // engine-identical) — the non-hash text surface, oracle-proven on
+    // non-ASCII input
+    "text_analysis_utf8" -> ((s, dir) =>
+      utf8Corpus(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
     // LSH candidates verified by exact jaccard: IF candidate recall is 1
     // on the fixture truth set, this equals the SQL jaccard pairs >= 0.2
     // exactly — so the entry is fully hash-checked against that oracle
@@ -4538,6 +4552,12 @@ object Pipeline {
     "dedup_minhash_utf8" -> minhashLshSqlOver(utf8DocsSql),
     "dedup_simhash_utf8" -> simhashNativePairsSqlOver(utf8DocsSql),
     "dedup_winnow_utf8" -> winnowNativeSqlOver(utf8DocsSql),
+    "text_analysis_utf8" ->
+      (s"""WITH srcdocs AS ($utf8DocsSql)
+          |SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens,
+          |CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+          |md5($norm) AS fp
+          |FROM srcdocs ORDER BY doc_id""".stripMargin),
     "dedup_minhash_neardups" -> jaccardPairsSql("0.2"),
     "dedup_minhash_auto" -> jaccardPairsSql("0.2"),
     "dedup_lsh_recall" -> jaccardPairsSql("0.5"),
