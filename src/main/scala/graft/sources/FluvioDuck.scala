@@ -203,6 +203,35 @@ object FluvioDuck {
     // bounded-batch fallback.
     if (opt.continuous)
       return graft.streaming.ConsumeStream.consume(spark, cmd, baseDir)
+    // r14: the DSv2 batch face is THE bounded consume path — one source
+    // serving batch, streaming and the SQL TVF, like Spark's Kafka
+    // source. Offset algebra and the `--rows` window cap resolve inside
+    // the source (segment-level row-range planning: a `--rows 500`
+    // consume of a deep topic PLANS ~500 rows); `-c` mappings and
+    // transform chains compose on top as plan-level projections. The
+    // original file-source implementation stays as the documented
+    // fallback ([[consumeFileSource]], conf-selectable) — same grammar,
+    // same results (DsvPushdownCanarySpec pins face equality).
+    if (spark.conf.getOption("spark.graft.consume.face").contains("file"))
+      consumeFileSource(spark, cmd, baseDir)
+    else
+      graft.sources.v2.FluvioBatchConsume.consume(spark, cmd, baseDir)
+  }
+
+  /** The file-source consume fallback (`spark.graft.consume.face=file`):
+    * the pre-r14 primary path — a parquet file-source scan with the whole
+    * grammar (offset windows, LEO joins, transforms, `-c`, `--rows`)
+    * expressed in-plan. Kept whole: it is the A/B twin that proves the
+    * DSv2 face's bind-time offset algebra against a pure Catalyst
+    * formulation, and the escape hatch if a deployment's topic layout
+    * defeats the DSv2 planner's footer-count model. */
+  def consumeFileSource(spark: SparkSession, cmd: String, baseDir: String): DataFrame = {
+    val opt = ConsumeOpt.parse(cmd) match {
+      case Left(err) => throw new IllegalArgumentException(err) // scan_error_surface
+      case Right(o)  => o
+    }
+    if (opt.continuous)
+      return graft.streaming.ConsumeStream.consume(spark, cmd, baseDir)
     val view = TopicRegistry.requireRecordView(spark, baseDir, opt.topic)
 
     val raw = Tables.load(spark, baseDir, opt.topic)
@@ -299,10 +328,27 @@ object FluvioDuck {
     // map-type transforms run AFTER the cap (commutes; see above)
     val capped = if (mapOnlyChain && chain.nonEmpty) applyChain(capped0) else capped0
 
-    // ---- projection: default record columns or -c mappings
-    // (columns_mappings, /root/reference/src/consume.rs:607-637). With
-    // mappings, the payload is parsed ONCE per row into map<string,string>
-    // (ColumnMapping.parsed) and every top-level mapping reads from it.
+    projectAndOrder(capped, opt)
+  }
+
+  /** The consume grammar's projection + ordering tail, SHARED by the DSv2
+    * face and the file-source fallback (extracted r14 so the faces cannot
+    * drift — identical plan shape over either scan).
+    *
+    * Projection: default record columns or -c mappings (columns_mappings,
+    * /root/reference/src/consume.rs:607-637). With mappings, the payload
+    * is parsed ONCE per row into map<string,string> (ColumnMapping.parsed)
+    * and every top-level mapping reads from it.
+    *
+    * Ordering: record order WITHIN each partition (the log order users see
+    * from a consume). sortWithinPartitions, not orderBy: parquet row order
+    * is already offset order inside every split, so this is a near-free
+    * partition-local sort with NO range-shuffle Exchange — a plain 100 TB
+    * `fluvio_consume` must not pay a full distributed sort for order the
+    * log already has. Splits scan in offset order in practice; a consumer
+    * needing a guaranteed TOTAL order across partitions adds its own
+    * orderBy("offset") (documented divergence, SURVEY §4.2). */
+  private[graft] def projectAndOrder(capped: DataFrame, opt: ConsumeOpt): DataFrame = {
     val projected =
       if (opt.columns.isEmpty)
         capped.select(col("offset"), col("timestamp"), col("value"))
@@ -311,15 +357,6 @@ object FluvioDuck {
         val mapped = opt.columns.map(_.toColumnFromParsed(col("__parsed"), col("value")))
         withParsed.select(col("offset").as("__offset") +: mapped: _*)
       }
-
-    // Record order WITHIN each partition (the log order users see from a
-    // consume). sortWithinPartitions, not orderBy: parquet row order is
-    // already offset order inside every split, so this is a near-free
-    // partition-local sort with NO range-shuffle Exchange — a plain 100 TB
-    // `fluvio_consume` must not pay a full distributed sort for order the
-    // log already has. Splits scan in offset order in practice; a consumer
-    // needing a guaranteed TOTAL order across partitions adds its own
-    // orderBy("offset") (documented divergence, SURVEY §4.2).
     val ordered = projected
       .sortWithinPartitions(col(if (opt.columns.isEmpty) "offset" else "__offset"))
     if (opt.columns.isEmpty) ordered else ordered.drop("__offset")

@@ -252,6 +252,19 @@ class FluvioTable(cmd: String, baseDir: String,
     // table properties.
     val maxPerTrigger = options.getLong("maxRecordsPerTrigger", 0L)
     val maxBytesPerTrigger = options.getLong("maxBytesPerTrigger", 0L)
+    // `--rows` on the BATCH face (r14): honored in segment planning by
+    // default — the raw relation delivers the first `rows` records of
+    // the window PER PARTITION (dense offsets make the cap a row-range,
+    // so a `--rows 500` consume of a deep topic PLANS ~500 rows; under
+    // `-A` the cap is per partition, the same documented divergence as
+    // the file path's per-partition FromEnd windows — the reference is
+    // single-partition, consume.rs:179, so the axis has no reference
+    // semantics to diverge from). `rowsCap=false` opts out: the consume
+    // wrapper sets it when a cardinality-CHANGING transform chain must
+    // count post-transform rows (the cap then applies after the chain,
+    // outside the scan). Streaming admission is a different axis
+    // (maxRecordsPerTrigger above); the micro-batch face never row-caps.
+    val rowsCap = options.getBoolean("rowsCap", true)
     // COLUMN PRUNING, two routes to the same reader projection: the
     // explicit `columns` option (a stream that needs only `offset` must
     // not pay value-string materialization — on a fat-payload topic the
@@ -332,7 +345,7 @@ class FluvioTable(cmd: String, baseDir: String,
             maxBytesPerTrigger, pruned.fieldNames.toSeq)
         override def toBatch: Batch =
           new FluvioBatch(opt, view, baseDir, pruned.fieldNames.toSeq,
-            offLo, offHi, partEq)
+            offLo, offHi, partEq, rowsCap)
       }
     }
   }
@@ -349,7 +362,8 @@ class FluvioTable(cmd: String, baseDir: String,
   * overlapping segments, and inside them skips straight to the range. */
 class FluvioBatch(opt: ConsumeOpt, view: RecordView, baseDir: String,
                   fields: Seq[String],
-                  offLo: Long, offHi: Long, partEq: Option[Int])
+                  offLo: Long, offHi: Long, partEq: Option[Int],
+                  capRows: Boolean = true)
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -370,8 +384,17 @@ class FluvioBatch(opt: ConsumeOpt, view: RecordView, baseDir: String,
         case OffsetSpec.End              => leoP
       }
       val end0 = math.min(leoP, opt.end.map(_ + 1).getOrElse(Long.MaxValue))
+      // `--rows` = first N records of the window, per partition (dense
+      // offsets: ≡ offset < start0 + N) — applied to the WINDOW before
+      // intersecting with pushed filters, so a user predicate on top of
+      // the capped consume filters the capped rows, never widens them.
+      // Saturating add: `--rows` near Long.MaxValue must mean "uncapped".
+      val endCap =
+        if (!capRows) end0
+        else if (start0 > Long.MaxValue - opt.rows) end0
+        else math.min(end0, start0 + opt.rows)
       val from = math.max(start0, offLo)
-      val to = math.min(end0, offHi)
+      val to = math.min(endCap, offHi)
       if (to > from) FluvioDsv2.sliceSegments(files, p, from, to, view, fields)
       else Seq.empty
     }.toArray

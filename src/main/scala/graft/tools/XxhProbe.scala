@@ -32,8 +32,10 @@ object XxhProbe {
     // UTF-8 cases (2-byte Latin/Cyrillic, 3-byte CJK, 4-byte emoji,
     // combining marks) at every code-path boundary too — the SQL mirror
     // decodes true bytes via hex(encode()), so these must match exactly.
-    // Non-ASCII is written as \u escapes: the build runs under a POSIX
-    // locale where raw UTF-8 source literals are not charset-safe.
+    // Non-ASCII is written as raw UTF-8 literals — safe because build.sbt
+    // pins `scalac -encoding UTF-8` regardless of the POSIX locale; only
+    // the EMITTED SQL must stay US-ASCII (XxhSql.sqlStr escapes it for
+    // the stdout channel).
     val strings = Seq("", "a", "ab", "abc", "abcd", "abcde", "abcdefg",
       "abcdefgh", "abcdefghi", "abcdefghijklmno", "abcdefghijklmnop",
       "the quick brown", "the quick brown fox jumps over the l",

@@ -89,8 +89,27 @@ class MpFixtureSpec extends SparkSpec {
     assert(got == events.filter(col("event_id") % 4 === 3).count())
   }
 
-  test("-p N prunes the other partition subtrees at the scan (numFiles)") {
+  test("-p N prunes at the scan: DSv2 plans only the selected subtree's segments") {
+    // the PRIMARY consume path (r14): partition selection happens in
+    // FluvioBatch.planInputPartitions — only partition=1 segment files
+    // become input partitions at all
     val p1 = FluvioDuck.consume(spark, "events_mp -p 1 -B --rows 1000000", base)
+    p1.collect()
+    val batchScans = p1.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(batchScans.nonEmpty, "consume no longer plans a DSv2 BatchScan")
+    val planned = batchScans.flatMap(_.inputRDD.partitions).collect {
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition => d
+    }.flatMap(_.inputPartitions).collect {
+      case f: graft.sources.v2.FluvioInputPartition => f
+    }
+    assert(planned.nonEmpty && planned.forall(_.partitionId == 1),
+      s"DSv2 -p pruning planned partitions ${planned.map(_.partitionId).toSeq}")
+  }
+
+  test("-p N prunes the other partition subtrees at the scan (numFiles, file fallback)") {
+    val p1 = FluvioDuck.consumeFileSource(spark, "events_mp -p 1 -B --rows 1000000", base)
     p1.collect() // execute THIS QueryExecution so its scan metrics populate
     def scanOf(plan: org.apache.spark.sql.execution.SparkPlan)
         : org.apache.spark.sql.execution.FileSourceScanExec = plan match {

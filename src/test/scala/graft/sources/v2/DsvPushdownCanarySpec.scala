@@ -149,8 +149,71 @@ class DsvPushdownCanarySpec extends SparkSpec {
       .consume(spark, "events -B --rows 7", dir.getAbsolutePath)
       .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
     val viaFile = graft.sources.FluvioDuck
-      .consume(spark, "events -B --rows 7", dir.getAbsolutePath)
+      .consumeFileSource(spark, "events -B --rows 7", dir.getAbsolutePath)
       .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
     assert(viaDsv2 == viaFile, "batch faces diverged")
+  }
+
+  // ---- r14: the DSv2 face is THE consume path; the full grammar composes
+  // over the scan and the faces must agree on every grammar axis.
+
+  private def mkTopic(prefix: String): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    val topicDir = new java.io.File(dir, "events.parquet")
+    topicDir.mkdirs()
+    Tables.load(spark, sf, "events").filter(col("event_id") < 40)
+      .write.mode("append").parquet(topicDir.getAbsolutePath)
+    dir
+  }
+
+  private def plannedRecords(df: org.apache.spark.sql.DataFrame): Seq[FluvioInputPartition] = {
+    df.collect() // populate the executed plan
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputRDD.partitions).collect {
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition => d
+    }.flatMap(_.inputPartitions).collect { case f: FluvioInputPartition => f }.toSeq
+  }
+
+  test("r14 composed plan: --rows is PLANNED as a row range and -c prunes the reader to (offset, value)") {
+    val dir = mkTopic("dsv2_composed_")
+    val df = FluvioBatchConsume.consume(
+      spark, "events -B --rows 7 -c k:i=k", dir.getAbsolutePath)
+    val planned = plannedRecords(df)
+    // the cap reached segment planning: exactly 7 records planned, not
+    // 40-deliver-then-filter
+    assert(planned.map(_.take).sum == 7L,
+      s"--rows did not prune planning: ${planned.map(_.take).sum} records planned")
+    // -c needs only offset+value; the batch planner's pruneColumns must
+    // have dropped timestamp from the reader projection
+    assert(planned.forall(p => !p.fields.contains("timestamp")),
+      s"reader projection not pruned: ${planned.map(_.fields).distinct}")
+    assert(df.columns.toSeq == Seq("k"))
+  }
+
+  test("r14 face equality: -c mappings and jolt transform chains agree across faces") {
+    val dir = mkTopic("dsv2_faces_")
+    def both(cmd: String): (Seq[String], Seq[String]) = {
+      def dump(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      (dump(FluvioBatchConsume.consume(spark, cmd, dir.getAbsolutePath)),
+        dump(graft.sources.FluvioDuck.consumeFileSource(spark, cmd, dir.getAbsolutePath)))
+    }
+    // -c typed mappings incl. the error-as-value miss contract
+    val (c1, f1) = both("events -B --rows 25 -c k:i=k -c miss=nope")
+    assert(c1 == f1, "faces diverged on -c mappings")
+    // map-type jolt chain (cap commutes, stays in-scan) + -c on the shifted key
+    val (c2, f2) = both("events -B --rows 25 " +
+      """--transform {"uses":"infinyon/jolt@0.1.0","with":{"spec":"[{\"operation\":\"shift\",\"spec\":{\"k\":\"kk\"}}]"}} """ +
+      "-c kk:i=kk")
+    assert(c2 == f2, "faces diverged on a jolt chain")
+    // cardinality-CHANGING chain (smartmodule filter): cap counts
+    // post-transform rows on both faces
+    val (c3, f3) = both(
+      "events -B --rows 5 --smartmodule graft/filter-json-eq -e key=k -e value=7")
+    assert(c3 == f3, "faces diverged on a filtering chain with a binding cap")
+    // end-relative window + explicit --rows through the grammar
+    val (c4, f4) = both("events -T 9 --rows 4")
+    assert(c4 == f4, "faces diverged on an end-relative capped window")
   }
 }
