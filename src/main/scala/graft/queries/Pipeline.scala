@@ -486,9 +486,13 @@ object Pipeline {
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(docs(s, dir), "doc_id", 4)
         .select("doc_id").orderBy("doc_id")),
+    // r14: runs over the utf8-planted corpus — langid buckets the CJK/
+    // Cyrillic/emoji slice identically in both engines and the md5 bucket
+    // sampler is proven over the extended id space (the md5-over-UTF-8
+    // discipline carried into the sampler family, VERDICT r13 task 6)
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedHashSample(
-        docs(s, dir).withColumn("lang", TextAnalysis.langId(col("text"))),
+        utf8Corpus(s, dir).withColumn("lang", TextAnalysis.langId(col("text"))),
         "doc_id", "lang", Map("en" -> 8, "und" -> 2))
         .select("doc_id", "lang").orderBy("doc_id")),
     // the data-mixing step stated in TOKENS ("10k of en, 2k of und"):
@@ -735,8 +739,13 @@ object Pipeline {
     // (dedup_minhash_lsh) keeps the cheaper native xxhash64, whose
     // signature VALUES DuckDB cannot express; its recall is proved by
     // dedup_lsh_recall and its verified pair set by dedup_minhash_neardups.
+    // r14: over the utf8-planted corpus — md5 over the SHINGLE TEXT is
+    // the one kernel whose engine-parity rests on "md5 hashes the UTF-8
+    // bytes of the string" in BOTH engines; the CJK/emoji/combining-mark
+    // slice makes that assumption load-bearing at the gate instead of
+    // vacuously true on ASCII (VERDICT r13 task 6)
     "dedup_minhash_portable" -> ((s, dir) =>
-      Dedup.portableMinhashSigs(docs(s, dir), "doc_id", "text").orderBy("id")),
+      Dedup.portableMinhashSigs(utf8Corpus(s, dir), "doc_id", "text").orderBy("id")),
     // INCREMENTAL dedup against a PERSISTED signature store (the index
     // lifecycle applied to dedup): the store's banded signatures are
     // written ONCE per process (artifactDir), then a planted new batch
@@ -3902,14 +3911,20 @@ object Pipeline {
     "[" + altQuery.map(v => if (v > 0) "1.0" else "-1.0").mkString(", ") + "]"
 
   /** word-3-gram distinct shingles per doc as a CTE (generate_series as a
-    * scalar list fn — DuckDB's range() can't take lateral column args). */
-  private val shinglesCte =
-    s"""WITH toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM documents),
+    * scalar list fn — DuckDB's range() can't take lateral column args),
+    * parameterized over the source corpus (r14: the portable-md5 twin
+    * runs over the utf8-planted corpus, so its oracle needs the same
+    * shingle algebra over `utf8DocsSql`). */
+  private def shinglesCteOver(src: String) =
+    s"""WITH srcdocs AS ($src),
+       |toks AS (SELECT doc_id, string_split($norm, ' ') AS arr FROM srcdocs),
        |grams AS (SELECT doc_id,
        |          unnest(list_transform(generate_series(1, greatest(len(arr) - 2, 1)),
        |                 i -> array_to_string(arr[i:i+2], ' '))) AS shingle
        |          FROM toks),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
+  private val shinglesCte =
+    shinglesCteOver("SELECT doc_id, text FROM documents")
 
   /** Duplicated-substring spans as a CTE ending in `spans(id, span_start,
     * span_end, span_words)` — positional word-8-grams, corpus-duplicated
@@ -4292,7 +4307,8 @@ object Pipeline {
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') " +
         "ORDER BY doc_id"),
     "sample_stratified" ->
-      s"""WITH langs AS (SELECT doc_id, $langIdSql AS lang FROM documents)
+      s"""WITH srcdocs AS ($utf8DocsSql),
+         |langs AS (SELECT doc_id, $langIdSql AS lang FROM srcdocs)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM langs
          |WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
          |         IN ('0','1','2','3','4','5','6','7'))
@@ -4462,7 +4478,7 @@ object Pipeline {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_portable" ->
-      (shinglesCte + "\n" +
+      (shinglesCteOver(utf8DocsSql) + "\n" +
         (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS h$i")
           .mkString("SELECT doc_id AS id, ", ", ", " FROM sh GROUP BY doc_id ORDER BY id")),
     "dedup_incremental_hits" -> {
