@@ -339,7 +339,12 @@ class FluvioTable(cmd: String, baseDir: String,
         override def description(): String =
           s"fluvio_consume(${opt.topic}) " +
             s"PushedOffsetRange: [$offLo, ${if (offHi == Long.MaxValue) "inf" else offHi}) " +
-            s"PushedPartition: ${partEq.getOrElse("*")}"
+            s"PushedPartition: ${partEq.getOrElse("*")} " +
+            // the cmd's own offset window resolves bind-time inside the
+            // source (segment-level planning, not deliver-then-filter) —
+            // surfaced here so plan audits can pin it from explain output
+            s"CmdWindow: start=${opt.startOffset} end=${opt.end.getOrElse("leo")} " +
+            s"rows=${if (rowsCap) opt.rows.toString else "uncapped"}"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new FluvioMicroBatchStream(opt, view, baseDir, maxPerTrigger,
             maxBytesPerTrigger, pruned.fieldNames.toSeq)

@@ -25,11 +25,29 @@ class PlanAuditSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sf)
 
   test("consume offset window pushes offset bounds into the parquet scan") {
-    val plan = finalPlan(q("offset_end_bound")) // --start 100 --end 299
-    assert(plan.contains("GreaterThanOrEqual(event_id,100)"), plan)
-    assert(plan.contains("LessThanOrEqual(event_id,299)"), plan)
-    // pruned column projection: props/ts only as mapped, never e.g. a *
-    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    // r14: `fluvio_consume` routes through the DSv2 batch face, where the
+    // `--start 100 --end 299` window resolves BIND-TIME inside the source
+    // (segment-level planning — the DSv2 analog of the file path's pushed
+    // event_id bounds this test used to pin). Pin the new shape: one
+    // BatchScan carrying the cmd window, no parquet FileScan, and the
+    // scan itself emitting exactly the 200-row window (planned range,
+    // never deliver-then-filter).
+    val df = q("offset_end_bound") // --start 100 --end 299
+    val plan = finalPlan(df)
+    assert("BatchScan fluvio_consume\\(events\\)".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("CmdWindow: start=Absolute(100) end=299"), plan)
+    assert(!plan.contains("FileScan parquet"), plan)
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanRows = executed.collectLeaves().collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics("numOutputRows").value
+    }
+    assert(scanRows == Seq(200L),
+      s"scan should emit exactly the 200-row window, got $scanRows\n$plan")
   }
 
   test("q5: every dimension join broadcasts; no sort-merge join") {
