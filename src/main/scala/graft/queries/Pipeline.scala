@@ -2793,7 +2793,19 @@ object Pipeline {
     // report; estimate = matching md5-min components / 8, both sides
     // recomputed end-to-end in DuckDB
     "dedup_minhash_estcheck" -> ((s, dir) => {
-      val sigs = Dedup.portableMinhashSigs(docs(s, dir), "doc_id", "text")
+      // r14 (guide §2.3/§3.2 — shrink the join inputs before the work):
+      // the audited pair set is (id, id+1) with id < 50, so EVERY side of
+      // every join is bounded by id < 51 — but the bound on the +1 side
+      // is arithmetic (id_b = id_a + 1), which Catalyst's constraint
+      // inference cannot derive from the join condition. Without the
+      // explicit filters the b-side minhash pipeline, the y-side shingle
+      // stream and the shingle-size aggregate each ran over the FULL
+      // corpus to answer a 50-pair accuracy check (measured: 6 corpus
+      // scans, 3 of them full shingle pipelines, zero exchange reuse).
+      // The filters change no result row: ids ≥ 51 cannot survive any of
+      // the joins. The oracle is unchanged and re-hash-verified.
+      val sigs = Dedup.portableMinhashSigs(
+        docs(s, dir).filter(col("doc_id") < 51), "doc_id", "text")
       val a = sigs.filter(col("id") < 50)
       val b = sigs.withColumnRenamed("id", "id_b")
       val matches = (0 until 8).map(i =>
@@ -2802,7 +2814,8 @@ object Pipeline {
       val est = a.as("a").join(b.as("b"), col("a.id") + 1 === col("b.id_b"))
         .select(col("a.id").as("id_a"), col("b.id_b").as("id_b"),
           round(matches * 1e6 / 8).cast("long").as("est_micro"))
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3).distinct()
+      val sh = Dedup.shingles(
+        docs(s, dir).filter(col("doc_id") < 51), "doc_id", "text", 3).distinct()
       val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
       val inter = sh.as("x").join(sh.as("y"),
           col("x.shingle") === col("y.shingle") &&
