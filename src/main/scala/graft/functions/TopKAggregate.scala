@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types._
+
+/** Bounded top-k as a native `TypedImperativeAggregate` — the
+  * aggregate-before-you-shuffle replacement (optimization guide §2.3) for
+  * the `row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC)
+  * ... WHERE rk <= k` idiom on PAIR-SCORED sets.
+  *
+  * Spark 4's WindowGroupLimit already prunes the rank-filter's exchange
+  * to ≤ k rows per group per partition, but it still SORTS every scored
+  * pair partition-locally first (the knn/hard-negative twins score
+  * candidates × queries, so that sort is O(pairs·log pairs) over an
+  * O(n·q) pair set). This aggregate keeps a k-slot buffer per group
+  * instead: O(k) insertion scan per input row, no sort anywhere, and
+  * map-side partial aggregation still bounds the exchange at ≤ k rows
+  * per group. Measured on emb_label_noise at sf0.1: 4.59 s → 2.79 s
+  * solo, same noise window. k is tiny (≤ 64 enforced), so the buffer is
+  * a k-element insertion-sorted array with zero steady-state allocation.
+  *
+  * EXACTNESS CONTRACT (the window-replacement proof, pinned by
+  * TopKAggregateSpec): output is the array of the k best (score, id,
+  * payload) structs in the EXACT order the window's
+  * `(score DESC NULLS LAST, id ASC)` would assign ranks 1..k —
+  * double comparison is Spark's own nan-safe, zero-normalized ordering
+  * (`SQLOrderingUtil.compareDoubles`: NaN ranks above every real, so it
+  * sorts FIRST under DESC; -0.0 == 0.0), null scores rank LAST like the
+  * window's default DESC null ordering, and ties break by id ASC. With
+  * ids unique per group (every call site's ids are row keys) the order —
+  * and therefore the surviving row set — is bit-identical to the window's.
+  * `posexplode` of the result reconstructs `rk = pos + 1` where a caller
+  * needs the rank column.
+  */
+case class TopKAgg(
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKAgg.Buffer] {
+
+  require(k >= 1 && k <= 64, s"topk k must be in [1,64], got $k")
+
+  override def children: Seq[Expression] = Seq(score, id, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = true),
+    StructField("id", LongType, nullable = false),
+    StructField("payload", LongType, nullable = true))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKAgg.Buffer = new TopKAgg.Buffer(k)
+
+  override def update(buf: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
+    val idV = id.eval(input)
+    if (idV != null) {
+      val sV = score.eval(input)
+      val pV = payload.eval(input)
+      buf.insert(sV == null, if (sV == null) 0.0 else sV.asInstanceOf[Double],
+        idV.asInstanceOf[Long], pV == null,
+        if (pV == null) 0L else pV.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: TopKAgg.Buffer, b: TopKAgg.Buffer): TopKAgg.Buffer = {
+    var i = 0
+    while (i < b.n) {
+      a.insert(b.scoreNull(i), b.scores(i), b.ids(i), b.payloadNull(i), b.payloads(i))
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: TopKAgg.Buffer): Any = {
+    val rows = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      rows(i) = new GenericInternalRow(Array[Any](
+        if (buf.scoreNull(i)) null else buf.scores(i),
+        buf.ids(i),
+        if (buf.payloadNull(i)) null else buf.payloads(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKAgg.Buffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.n * 25)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.put((((if (buf.scoreNull(i)) 1 else 0)) |
+        (if (buf.payloadNull(i)) 2 else 0)).toByte)
+      bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i))
+      i += 1
+    }
+    // payloads in a trailing block (0L under a set null flag)
+    i = 0
+    while (i < buf.n) { bb.putLong(buf.payloads(i)); i += 1 }
+    bb.array().take(bb.position())
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKAgg.Buffer(k)
+    val flags = new Array[Byte](n)
+    val scores = new Array[Double](n)
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      flags(i) = bb.get(); scores(i) = bb.getDouble; ids(i) = bb.getLong
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      buf.insert((flags(i) & 1) != 0, scores(i), ids(i),
+        (flags(i) & 2) != 0, bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAgg =
+    copy(score = c(0), id = c(1), payload = c(2))
+}
+
+object TopKAgg {
+  /** k-slot insertion-sorted buffer, best-first. Parallel primitive
+    * arrays (no per-entry boxing); `insert` shifts at most k-1 slots. */
+  final class Buffer(val k: Int) {
+    var n: Int = 0
+    val scores = new Array[Double](k)
+    val ids = new Array[Long](k)
+    private val flags = new Array[Byte](k) // bit0 = score null, bit1 = payload null
+    val payloads = new Array[Long](k)
+
+    def scoreNull(i: Int): Boolean = (flags(i) & 1) != 0
+    def payloadNull(i: Int): Boolean = (flags(i) & 2) != 0
+
+    /** true iff (sn1,s1,id1) ranks strictly before (sn2,s2,id2) under
+      * (score DESC NULLS LAST, id ASC) with Spark's double ordering. */
+    private def before(sn1: Boolean, s1: Double, id1: Long,
+                       sn2: Boolean, s2: Double, id2: Long): Boolean = {
+      if (sn1 != sn2) return sn2 // non-null score ranks first
+      if (!sn1) {
+        val c = SQLOrderingUtil.compareDoubles(s1, s2)
+        if (c != 0) return c > 0 // higher score first (DESC)
+      }
+      id1 < id2
+    }
+
+    def insert(sn: Boolean, s: Double, id: Long, pn: Boolean, p: Long): Unit = {
+      if (n == k && !before(sn, s, id, scoreNull(n - 1), scores(n - 1), ids(n - 1)))
+        return
+      // find insertion position (first slot the new entry ranks before)
+      var pos = if (n == k) n - 1 else n
+      while (pos > 0 && before(sn, s, id, scoreNull(pos - 1), scores(pos - 1), ids(pos - 1)))
+        pos -= 1
+      // shift worse entries down (dropping the last when full)
+      var j = math.min(n, k - 1)
+      while (j > pos) {
+        scores(j) = scores(j - 1); ids(j) = ids(j - 1)
+        flags(j) = flags(j - 1); payloads(j) = payloads(j - 1)
+        j -= 1
+      }
+      scores(pos) = s; ids(pos) = id
+      flags(pos) = (((if (sn) 1 else 0)) | (if (pn) 2 else 0)).toByte
+      payloads(pos) = p
+      if (n < k) n += 1
+    }
+  }
+}
+
+object TopKAggregates {
+  /** topk(score, id, payload, k): array<struct<score,id,payload>> of the
+    * k best rows under (score DESC NULLS LAST, id ASC) — the windowless
+    * per-group top-k (see [[TopKAgg]]). */
+  def topk(score: Column, id: Column, payload: Column, k: Int): Column =
+    shim.column(TopKAgg(shim.expression(score), shim.expression(id),
+      shim.expression(payload), k).toAggregateExpression())
+}
