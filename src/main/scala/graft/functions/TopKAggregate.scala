@@ -42,6 +42,7 @@ case class TopKAgg(
     id: Expression,
     payload: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKAgg.Buffer] {
@@ -55,7 +56,8 @@ case class TopKAgg(
     StructField("id", LongType, nullable = false),
     StructField("payload", LongType, nullable = true))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKAgg.Buffer = new TopKAgg.Buffer(k)
+  override def createAggregationBuffer(): TopKAgg.Buffer =
+    new TopKAgg.Buffer(k, dedupIds)
 
   override def update(buf: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val idV = id.eval(input)
@@ -110,7 +112,7 @@ case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): TopKAgg.Buffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKAgg.Buffer(k)
+    val buf = new TopKAgg.Buffer(k, dedupIds)
     val flags = new Array[Byte](n)
     val scores = new Array[Double](n)
     val ids = new Array[Long](n)
@@ -138,8 +140,16 @@ case class TopKAgg(
 
 object TopKAgg {
   /** k-slot insertion-sorted buffer, best-first. Parallel primitive
-    * arrays (no per-entry boxing); `insert` shifts at most k-1 slots. */
-  final class Buffer(val k: Int) {
+    * arrays (no per-entry boxing); `insert` shifts at most k-1 slots.
+    * With `dedupIds` an id already present is skipped — ONLY sound when
+    * duplicate ids are guaranteed to carry identical scores (the
+    * multi-assigned-index invariant: one (query, row) pair per probed
+    * assigned cell, same exact score each time), where it reproduces
+    * `dropDuplicates(qid, id)` + window without the extra keyed
+    * shuffle: a duplicate whose original was evicted ranks below the
+    * current worst by construction and is rejected by the full-buffer
+    * early return before the id scan could matter. */
+  final class Buffer(val k: Int, val dedupIds: Boolean = false) {
     var n: Int = 0
     val scores = new Array[Double](k)
     val ids = new Array[Long](k)
@@ -164,6 +174,10 @@ object TopKAgg {
     def insert(sn: Boolean, s: Double, id: Long, pn: Boolean, p: Long): Unit = {
       if (n == k && !before(sn, s, id, scoreNull(n - 1), scores(n - 1), ids(n - 1)))
         return
+      if (dedupIds) {
+        var di = 0
+        while (di < n) { if (ids(di) == id) return; di += 1 }
+      }
       // find insertion position (first slot the new entry ranks before)
       var pos = if (n == k) n - 1 else n
       while (pos > 0 && before(sn, s, id, scoreNull(pos - 1), scores(pos - 1), ids(pos - 1)))
@@ -187,7 +201,8 @@ object TopKAggregates {
   /** topk(score, id, payload, k): array<struct<score,id,payload>> of the
     * k best rows under (score DESC NULLS LAST, id ASC) — the windowless
     * per-group top-k (see [[TopKAgg]]). */
-  def topk(score: Column, id: Column, payload: Column, k: Int): Column =
+  def topk(score: Column, id: Column, payload: Column, k: Int,
+           dedupIds: Boolean = false): Column =
     shim.column(TopKAgg(shim.expression(score), shim.expression(id),
-      shim.expression(payload), k).toAggregateExpression())
+      shim.expression(payload), k, dedupIds).toAggregateExpression())
 }

@@ -284,16 +284,26 @@ object Ivf {
     // label-noise audit at sf0.1)
     val scored = self.select(col("qid"), col(idCol),
       round(cosine(col(vecCol), col("__qv")), 6).as("score"))
-    // a multi-assigned index ([[indexTableMulti]]) surfaces the same
-    // (query, row) pair once per probed assigned cell with an IDENTICAL
-    // score — dedup before ranking or the duplicate usurps a top-k slot
-    // (one extra keyed shuffle; leave off for single-assignment indexes)
-    val pairs =
-      if (dedupCandidates) scored.dropDuplicates("qid", idCol) else scored
-    pairs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)))
-      .filter(col("rk") <= k)
+    // r14 (guide §2.3): the qid-keyed top-k is a bounded TopKAgg, not a
+    // rank window — map-side partials reduce each partition to ≤ k rows
+    // per query before the exchange and nothing ever sorts the candidate
+    // stream (WindowGroupLimit pruned the old exchange but still paid a
+    // partition-local sort of every scored candidate). A multi-assigned
+    // index ([[indexTableMulti]]) surfaces the same (query, row) pair
+    // once per probed assigned cell with an IDENTICAL score; dedupIds
+    // folds the old dropDuplicates(qid, id) into the aggregate's buffer
+    // (exact under the identical-score invariant — see TopKAgg.Buffer),
+    // removing that extra keyed shuffle too. Output rows, order ranks and
+    // schema are unchanged (TopKAggregateSpec parity; every ANN entry
+    // hash-matches the DuckDB oracle through this path).
+    val idType = scored.schema(idCol).dataType
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKAggregates.topk(
+        col("score"), col(idCol).cast("long"), lit(null).cast("long"), k,
+        dedupIds = dedupCandidates).as("__top"))
+      .select(col("qid"), posexplode(col("__top")))
+      .select(col("qid"), col("col.id").cast(idType).as(idCol),
+        col("col.score").as("score"), (col("pos") + 1).as("rk"))
   }
 
   /** A derived [[ivfBatchTopK]] configuration for an EXACT-recall batch
