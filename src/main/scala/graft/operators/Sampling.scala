@@ -167,17 +167,25 @@ object Sampling {
     * .WordGrams]] + md5); bucket stats are ONE shuffle collapsing to
     * `buckets` rows; scores join back as a BROADCAST (the model is B
     * integers — DSIR's entire point is that the "classifier" is tiny);
-    * the per-doc sum is one keyed shuffle. The raw corpus is scanned
-    * twice (stats pass + weighting pass) — at 100 TB persist the
-    * projected (id, bucket) frame between them, or train the bucket
-    * scores on a [[hashSample]] slice and weight the full corpus in one
-    * pass. Returns (id, weight_micro). */
+    * the per-doc sum is one keyed shuffle. The projected (id, tgt,
+    * bucket) frame is materialized once (r14) so the stats pass and the
+    * weighting pass read ONE tokenize+hash of the corpus instead of
+    * re-running it per consumer; the remaining 100 TB lever is training
+    * the bucket scores on a [[hashSample]] slice and weighting the full
+    * corpus in one pass. Returns (id, weight_micro). */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   targetCol: String, buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val reserved = Seq("__tgt", "__gram", "__b")
     require(reserved.forall(!df.columns.contains(_)),
       s"dsirWeights: ${reserved.mkString("/")} are reserved")
+    // r14: the bucketed gram frame is MATERIALIZED once (the persistence
+    // this scaladoc always prescribed at corpus scale) — both consumers
+    // (bucket stats, per-doc weighting) previously re-ran the scan +
+    // gram explode + per-gram md5 from the source, i.e. the whole
+    // corpus was tokenized and hashed twice per invocation. The frame is
+    // narrow (id, bool, bucket long); re-deriving it costs strictly more
+    // than writing it at any scale.
     val grams = df.select(col(idCol).as("id"),
         col(targetCol).cast("boolean").as("__tgt"),
         explode(concat(graft.functions.WordGrams(col(textCol), 1),
@@ -185,6 +193,7 @@ object Sampling {
       .select(col("id"), col("__tgt"),
         (conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long")
           % buckets).as("__b"))
+      .localCheckpoint()
     val stats = grams.groupBy("__b").agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
