@@ -205,4 +205,145 @@ object TopKAggregates {
            dedupIds: Boolean = false): Column =
     shim.column(TopKAgg(shim.expression(score), shim.expression(id),
       shim.expression(payload), k, dedupIds).toAggregateExpression())
+
+  /** topkStr(scoreLong, key, k): array<struct<score,key>> of the k best
+    * rows under (score DESC NULLS LAST, key ASC) — the string-keyed
+    * windowless top-k (see [[TopKStrAgg]]). */
+  def topkStr(score: Column, key: Column, k: Int): Column =
+    shim.column(TopKStrAgg(shim.expression(score), shim.expression(key), k)
+      .toAggregateExpression())
+}
+
+/** [[TopKAgg]]'s sibling for LONG scores tie-broken by a STRING key —
+  * the `(score_micro DESC, term ASC)` idiom of the tf-idf/keyword
+  * panels, where the per-group key is the term text. Ordering is exact:
+  * long comparison, then Spark's UTF8String binary comparison (what the
+  * window's string ASC uses). Output: array<struct<score,key>> in rank
+  * order, ≤ k entries; null keys are skipped (the call sites filter
+  * empty tokens before scoring, so no input carries one), null scores
+  * rank last like the window's DESC default. */
+case class TopKStrAgg(
+    score: Expression,
+    key: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStrAgg.Buffer] {
+
+  require(k >= 1 && k <= 64, s"topkstr k must be in [1,64], got $k")
+
+  override def children: Seq[Expression] = Seq(score, key)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = true),
+    StructField("key", StringType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKStrAgg.Buffer =
+    new TopKStrAgg.Buffer(k)
+
+  override def update(buf: TopKStrAgg.Buffer, input: InternalRow): TopKStrAgg.Buffer = {
+    val kV = key.eval(input)
+    if (kV != null) {
+      val sV = score.eval(input)
+      // clone: the evaluated UTF8String may point into a reused row buffer
+      buf.insert(sV == null, if (sV == null) 0L else sV.asInstanceOf[Long],
+        kV.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone())
+    }
+    buf
+  }
+
+  override def merge(a: TopKStrAgg.Buffer, b: TopKStrAgg.Buffer): TopKStrAgg.Buffer = {
+    var i = 0
+    while (i < b.n) {
+      a.insert(b.scoreNull(i), b.scores(i), b.keys(i))
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: TopKStrAgg.Buffer): Any = {
+    val rows = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      rows(i) = new GenericInternalRow(Array[Any](
+        if (buf.scoreNull(i)) null else buf.scores(i), buf.keys(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKStrAgg.Buffer): Array[Byte] = {
+    val keyBytes = (0 until buf.n).map(i => buf.keys(i).getBytes)
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + buf.n * 13 + keyBytes.map(_.length).sum)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.put(if (buf.scoreNull(i)) 1.toByte else 0.toByte)
+      bb.putLong(buf.scores(i))
+      bb.putInt(keyBytes(i).length); bb.put(keyBytes(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrAgg.Buffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStrAgg.Buffer(k)
+    var i = 0
+    while (i < n) {
+      val sn = bb.get() == 1.toByte
+      val s = bb.getLong
+      val kb = new Array[Byte](bb.getInt); bb.get(kb)
+      buf.insert(sn, s, org.apache.spark.unsafe.types.UTF8String.fromBytes(kb))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKStrAgg =
+    copy(score = c(0), key = c(1))
+}
+
+object TopKStrAgg {
+  /** k-slot insertion-sorted buffer under (score DESC NULLS LAST,
+    * key ASC binary) — see [[TopKAgg.Buffer]] for the shape. */
+  final class Buffer(val k: Int) {
+    var n: Int = 0
+    val scores = new Array[Long](k)
+    val keys = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    private val nulls = new Array[Boolean](k)
+
+    def scoreNull(i: Int): Boolean = nulls(i)
+
+    private def before(sn1: Boolean, s1: Long,
+                       k1: org.apache.spark.unsafe.types.UTF8String,
+                       sn2: Boolean, s2: Long,
+                       k2: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+      if (sn1 != sn2) return sn2
+      if (!sn1 && s1 != s2) return s1 > s2
+      k1.compareTo(k2) < 0
+    }
+
+    def insert(sn: Boolean, s: Long,
+               key: org.apache.spark.unsafe.types.UTF8String): Unit = {
+      if (n == k && !before(sn, s, key, nulls(n - 1), scores(n - 1), keys(n - 1)))
+        return
+      var pos = if (n == k) n - 1 else n
+      while (pos > 0 && before(sn, s, key, nulls(pos - 1), scores(pos - 1), keys(pos - 1)))
+        pos -= 1
+      var j = math.min(n, k - 1)
+      while (j > pos) {
+        scores(j) = scores(j - 1); keys(j) = keys(j - 1); nulls(j) = nulls(j - 1)
+        j -= 1
+      }
+      scores(pos) = s; keys(pos) = key; nulls(pos) = sn
+      if (n < k) n += 1
+    }
+  }
 }

@@ -269,10 +269,18 @@ object TextAnalysis {
           .cast("long").as("idf_micro"))
     val scored = tf.join(broadcast(idf), "tok")
       .select(col("id"), col("tok"), (col("tf") * col("idf_micro")).as("score_micro"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("score_micro").desc, col("tok").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("id").as(idCol), col("tok").as("term"), col("score_micro"), col("rk"))
+    // r14 (guide §2.3): the per-doc top-k terms come from a bounded
+    // string-keyed TopKStrAgg, not a rank window — the window formulation
+    // partition-locally SORTED the whole (doc, term, score) stream
+    // (corpus-token-sized) before WindowGroupLimit kept k per doc; the
+    // aggregate scans it once with a k-slot buffer under the identical
+    // (score DESC, term ASC) order. posexplode reconstructs rk = pos + 1.
+    scored.groupBy("id")
+      .agg(graft.functions.TopKAggregates.topkStr(
+        col("score_micro"), col("tok"), k).as("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id").as(idCol), col("col.key").as("term"),
+        col("col.score").as("score_micro"), (col("pos") + 1).as("rk"))
   }
 
   /** BM25 ranking of the corpus against a fixed query-term set

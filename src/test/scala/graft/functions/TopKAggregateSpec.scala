@@ -63,6 +63,34 @@ class TopKAggregateSpec extends SparkSpec {
     compare(rows, 5)
   }
 
+  test("string-keyed variant: randomized parity with the (long DESC, string ASC) window") {
+    val rnd = new scala.util.Random(13)
+    import scala.jdk.CollectionConverters._
+    val toks = Seq("alpha", "beta", "beta2", "gamma", "", "zz", "émile", "中文", "a b")
+    val rows = (0 until 3000).map { _ =>
+      org.apache.spark.sql.Row(rnd.nextInt(17),
+        if (rnd.nextInt(7) == 0) null else java.lang.Long.valueOf(rnd.nextInt(4).toLong),
+        toks(rnd.nextInt(toks.length)) + rnd.nextInt(5))
+    }
+    val df = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tok", org.apache.spark.sql.types.StringType, nullable = false))))
+      .distinct() // unique (g, score, tok) so the window rank order is total
+      .repartition(5)
+    val win = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("rk") <= 3).select("g", "score", "tok", "rk")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), r.getString(2), r.getInt(3))).toSet
+    val agg = df.groupBy("g")
+      .agg(TopKAggregates.topkStr(col("score"), col("tok"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("col.score"), col("col.key"), (col("pos") + 1).as("rk"))
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), r.getString(2), r.getInt(3))).toSet
+    assert(agg == win, s"topkStr != window; agg: $agg ; win: $win")
+  }
+
   test("plan shape: grouped top-k is an ObjectHashAggregate, no Window, no sort of the pair set") {
     val df = spark.range(0, 10000).select(
       (col("id") % 50).as("g"), rand(3).as("score"), col("id"), lit(1L).as("p"))
