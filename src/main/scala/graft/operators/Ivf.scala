@@ -367,21 +367,27 @@ object Ivf {
     require(k >= 1, s"k must be >= 1, got $k")
     require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
     val nCells = cents.length
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).cast("long").as("__tid"),
       col(vecCol).cast("array<double>").as("__tv"))
     val sampleQ = broadcast(
       base.orderBy(md5(col("__tid").cast("string")), col("__tid"))
         .limit(sampleSize)
         .select(col("__tid").as("__qid"), col("__tv").as("__qv")))
+    // r14: sampled exact-kNN truth via the bounded TopKAgg (the
+    // ivfBatchTopK shape) — the window formulation partition-locally
+    // sorted the whole sample×corpus pair stream; the aggregate keeps a
+    // k-slot buffer per sampled query and shuffles ≤ k·sampleSize rows.
+    // Same (score DESC, tid ASC) order, so the derived truth pairs —
+    // and therefore the derived operating point — are identical.
     val topPairs = base.crossJoin(sampleQ)
       .filter(col("__tid") =!= col("__qid"))
       .select(col("__qid"), col("__tid"),
         round(cosine(col("__tv"), col("__qv")), 6).as("__s"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("__qid").orderBy(col("__s").desc, col("__tid").asc)))
-      .filter(col("__rk") <= k)
-      .select("__qid", "__tid")
+      .groupBy("__qid")
+      .agg(graft.functions.TopKAggregates.topk(
+        col("__s"), col("__tid"), lit(null).cast("long"), k).as("__top"))
+      .select(col("__qid"), explode(col("__top")).as("__t"))
+      .select(col("__qid"), col("__t.id").as("__tid"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // a corpus of < 2 vectors yields no (query, neighbor) pairs and no
     // coverage evidence — fail with the function's own vocabulary, not
