@@ -299,7 +299,14 @@ object TextAnalysis {
     val toks = df.select(col(idCol).as("id"),
         explode(split(normalized(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // r14 (guide §2.4): document length is the MAP-ONLY tokenCount kernel,
+    // not a second corpus explode + per-id aggregation — same `\s+`
+    // tokenization, and `dl > 0` reproduces the explode's exclusion of
+    // empty/whitespace-only (and null-text) docs exactly, so n/sum_dl and
+    // every join row are unchanged (hash-verified).
+    val dl = df.select(col(idCol).as("id"),
+        tokenCount(col(textCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
     val post = toks.filter(col("tok").isin(terms: _*))
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))

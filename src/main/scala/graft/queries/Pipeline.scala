@@ -2100,7 +2100,11 @@ object Pipeline {
       val toks = docs(s, dir).select(col("doc_id").as("id"),
           explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
-      val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      // r14: map-only tokenCount instead of a second corpus explode for
+      // the document lengths (see TextAnalysis.bm25Rank)
+      val dl = docs(s, dir).select(col("doc_id").as("id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+        .filter(col("dl") > 0)
       val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       val terms = queries.select(col("term").as("tok")).distinct()
       val post = toks.join(broadcast(terms), "tok")
