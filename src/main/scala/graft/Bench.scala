@@ -222,7 +222,17 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] file write failed: $e") }
     val nPassStalls = passStalls.count(_ == '{')
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"cal_nominal":$calNominal%.3f,"cal_stall_ratio":$stallRatio%.2f,"n_pass_stalls":$nPassStalls}""")
+    // r15 (VERDICT r14 task 2): the driver's per-round PERF comparison
+    // parses the FINAL line only, and for two rounds running it got
+    // totals with no per-query map (`prev_bench_ok`/`now_bench_ok`
+    // false, `n_common: 0`, empty `scaling`). The final line now also
+    // carries the `"queries"` min-across-passes map — an ADDITION at the
+    // end of the line (every pre-existing key is unchanged and in the
+    // same order, so the r14→r15 total comparison still parses), and at
+    // ~7 KB it stays far below the ~90 KB full line whose length is what
+    // clipped the r03 capture. The full line (passes, calibration,
+    // stall flags) is unchanged above.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${results.count(_._2.isEmpty)},"cal_nominal":$calNominal%.3f,"cal_stall_ratio":$stallRatio%.2f,"n_pass_stalls":$nPassStalls,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, SQLOrderingUtil}
@@ -48,6 +49,17 @@ case class TopKAgg(
     extends TypedImperativeAggregate[TopKAgg.Buffer] {
 
   require(k >= 1 && k <= 64, s"topk k must be in [1,64], got $k")
+
+  // r15 (advisor): misuse fails at ANALYSIS time, not as an executor-side
+  // ClassCastException in update() — update() casts eval results straight
+  // to Double/Long, so a float score or int id must be rejected up front
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, id.dataType, payload.dataType) match {
+      case (DoubleType, LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i, p) => TypeCheckResult.TypeCheckFailure(
+        s"topk requires (double score, bigint id, bigint payload), got " +
+          s"(${s.simpleString}, ${i.simpleString}, ${p.simpleString})")
+    }
 
   override def children: Seq[Expression] = Seq(score, id, payload)
   override def nullable: Boolean = false
@@ -231,6 +243,15 @@ case class TopKStrAgg(
     extends TypedImperativeAggregate[TopKStrAgg.Buffer] {
 
   require(k >= 1 && k <= 64, s"topkstr k must be in [1,64], got $k")
+
+  // r15 (advisor): analysis-time input typing — see TopKAgg
+  override def checkInputDataTypes(): TypeCheckResult =
+    (score.dataType, key.dataType) match {
+      case (LongType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (s, kt) => TypeCheckResult.TypeCheckFailure(
+        s"topkstr requires (bigint score, string key), got " +
+          s"(${s.simpleString}, ${kt.simpleString})")
+    }
 
   override def children: Seq[Expression] = Seq(score, key)
   override def nullable: Boolean = false

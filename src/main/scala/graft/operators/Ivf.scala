@@ -252,7 +252,14 @@ object Ivf {
     * cartesian stayed O(n²). nProbe trades recall for cost exactly as in
     * the single-query path; nProbe = nCells is exhaustive.
     * Output: (qid, id, score, rk) with rk in [1, k], score = exact cosine
-    * rounded to 1e-6 (the engine-portable quantum), ties broken by id. */
+    * rounded to 1e-6 (the engine-portable quantum), ties broken by id.
+    *
+    * `idCol` must be an INTEGRAL type (byte/short/int/long) and k ≤ 64:
+    * ranking rides the bounded [[graft.functions.TopKAgg]], which keys
+    * its buffer on the id widened to long. A non-integral id would cast
+    * to null and be SILENTLY DROPPED by the aggregate's null-id skip
+    * (and a fractional id could collide after truncation), so the
+    * operator fails loudly up front instead. */
   def ivfBatchTopK(index: DataFrame, idCol: String, vecCol: String,
                    queries: DataFrame, qidCol: String, qvecCol: String,
                    cents: Array[Array[Double]], k: Int, nProbe: Int,
@@ -261,6 +268,17 @@ object Ivf {
                    dedupCandidates: Boolean = false): DataFrame = {
     require(nProbe >= 1 && nProbe <= cents.length,
       s"need 1 <= nProbe ($nProbe) <= nCells (${cents.length})")
+    require(k >= 1 && k <= 64,
+      s"ivfBatchTopK: k must be in [1,64] (bounded TopKAgg buffer), got $k")
+    locally {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DataType}
+      val idt = index.schema(idCol).dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(idt),
+        s"ivfBatchTopK: id column '$idCol' must be an integral type " +
+          s"(byte/short/int/long), got $idt — a non-integral id would cast " +
+          "to null and be silently dropped from the top-k")
+    }
     import org.apache.spark.sql.expressions.Window
     val spark = index.sparkSession
     import spark.implicits._
@@ -364,7 +382,8 @@ object Ivf {
                            cents: Array[Array[Double]], k: Int,
                            sampleSize: Int = 64, maxDepth: Int = 3,
                            marginFrac: Double = 0.125): OperatingPoint = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    require(k >= 1 && k <= 64,
+      s"k must be in [1,64] (sampled truth rides the bounded TopKAgg), got $k")
     require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
     val nCells = cents.length
     val base = df.select(col(idCol).cast("long").as("__tid"),

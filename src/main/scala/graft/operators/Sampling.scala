@@ -170,40 +170,68 @@ object Sampling {
     * the per-doc sum is one keyed shuffle. The projected (id, tgt,
     * bucket) frame is materialized once (r14) so the stats pass and the
     * weighting pass read ONE tokenize+hash of the corpus instead of
-    * re-running it per consumer; the remaining 100 TB lever is training
-    * the bucket scores on a [[hashSample]] slice and weighting the full
-    * corpus in one pass. Returns (id, weight_micro). */
+    * re-running it per consumer; `statsSixteenths < 16` (r15) instead
+    * TRAINS the bucket scores on a [[hashSample]] slice and weights the
+    * full corpus in one un-materialized pass — the 100 TB mode (sampled
+    * stats are estimates, so the exact full-stats path stays the
+    * default). Returns (id, weight_micro). */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  targetCol: String, buckets: Int = 256): DataFrame = {
+                  targetCol: String, buckets: Int = 256,
+                  statsSixteenths: Int = 16): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(statsSixteenths >= 1 && statsSixteenths <= 16,
+      s"statsSixteenths must be in [1,16], got $statsSixteenths")
     val reserved = Seq("__tgt", "__gram", "__b")
     require(reserved.forall(!df.columns.contains(_)),
       s"dsirWeights: ${reserved.mkString("/")} are reserved")
-    // r14: the bucketed gram frame is MATERIALIZED once (the persistence
-    // this scaladoc always prescribed at corpus scale) — both consumers
-    // (bucket stats, per-doc weighting) previously re-ran the scan +
-    // gram explode + per-gram md5 from the source, i.e. the whole
-    // corpus was tokenized and hashed twice per invocation. The frame is
-    // narrow (id, bool, bucket long); re-deriving it costs strictly more
-    // than writing it at any scale.
-    val grams = df.select(col(idCol).as("id"),
+    def gramsOf(src: DataFrame) = src.select(col(idCol).as("id"),
         col(targetCol).cast("boolean").as("__tgt"),
         explode(concat(graft.functions.WordGrams(col(textCol), 1),
           graft.functions.WordGrams(col(textCol), 2))).as("__gram"))
       .select(col("id"), col("__tgt"),
         (conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long")
           % buckets).as("__b"))
-      .localCheckpoint()
-    val stats = grams.groupBy("__b").agg(
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val totals = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    val scores = stats.crossJoin(broadcast(totals))
-      .select(col("__b"),
-        round((log(col("ct") + 1) - log(col("tt") + buckets)
-             - log(col("cr") + 1) + log(col("tr") + buckets)) * 1e6)
-          .cast("long").as("score_micro"))
-    grams.join(broadcast(scores), "__b")
+    def scoresOf(grams: DataFrame) = {
+      val stats = grams.groupBy("__b").agg(
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      val totals = stats.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+      stats.crossJoin(broadcast(totals))
+        .select(col("__b"),
+          round((log(col("ct") + 1) - log(col("tt") + buckets)
+               - log(col("cr") + 1) + log(col("tr") + buckets)) * 1e6)
+            .cast("long").as("score_micro"))
+    }
+    // THE 100 TB MODE (statsSixteenths < 16): bucket stats are TRAINED on
+    // a deterministic [[hashSample]] slice (uni/bigram bucket frequencies
+    // are corpus statistics — a consistent sample estimates them at 1/16th
+    // the tokenize cost) and the full corpus is weighted in ONE pass
+    // against the broadcast sampled model: 2 corpus passes → 1 + a sample
+    // pass, with NO gram-frame materialization anywhere. The sampled
+    // stats are an ESTIMATE — weights differ from the full-stats default
+    // (which is why the default stays 16 = exact), but the DSIR paper's
+    // contract (hashed-multinomial importance weights) is already
+    // statistical, so production at corpus scale should prefer this mode.
+    if (statsSixteenths < 16) {
+      val scores = scoresOf(gramsOf(hashSample(df, idCol, statsSixteenths)))
+      return gramsOf(df).join(broadcast(scores), "__b")
+        .groupBy("id").agg(sum("score_micro").as("weight_micro"))
+    }
+    // r14: the bucketed gram frame is MATERIALIZED once (the persistence
+    // this scaladoc always prescribed at corpus scale) — both consumers
+    // (bucket stats, per-doc weighting) previously re-ran the scan +
+    // gram explode + per-gram md5 from the source, i.e. the whole
+    // corpus was tokenized and hashed twice per invocation. The frame is
+    // narrow (id, bool, bucket long) but GRAM-OCCURRENCE-sized (~2 rows
+    // per corpus token): at bench scale re-deriving it costs strictly
+    // more than holding it, but at 100 TB the trade is storage pressure
+    // vs a second tokenize pass, and localCheckpoint is NON-RELIABLE
+    // (executor loss recomputes the full lineage). The production-scale
+    // path is reliable `checkpoint()` (or parquet spill) for this frame
+    // — or the sampled-stats mode below, which never materializes the
+    // raw-corpus gram stream at all.
+    val grams = gramsOf(df).localCheckpoint()
+    grams.join(broadcast(scoresOf(grams)), "__b")
       .groupBy("id").agg(sum("score_micro").as("weight_micro"))
   }
 

@@ -256,6 +256,11 @@ object TextAnalysis {
     * deterministic. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
+    // k rides the bounded TopKStrAgg buffer (r14): panels wider than 64
+    // terms/doc would need the window formulation back — fail loudly
+    // with the operator's own vocabulary instead of TopKStrAgg's
+    require(k >= 1 && k <= 64,
+      s"tfIdfTopTerms: k must be in [1,64] (bounded top-k buffer), got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
         explode(split(normalized(col(textCol)), " ")).as("tok"))
@@ -300,12 +305,19 @@ object TextAnalysis {
         explode(split(normalized(col(textCol)), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     // r14 (guide §2.4): document length is the MAP-ONLY tokenCount kernel,
-    // not a second corpus explode + per-id aggregation — same `\s+`
-    // tokenization, and `dl > 0` reproduces the explode's exclusion of
-    // empty/whitespace-only (and null-text) docs exactly, so n/sum_dl and
-    // every join row are unchanged (hash-verified).
+    // not a second corpus explode + per-id aggregation. r15: the count is
+    // taken over normalized(text) — the SAME string the token explode
+    // splits — because tokenCount(text) diverges on edge whitespace
+    // (SQL trim() strips only ASCII spaces and split's limit=-1 keeps a
+    // trailing empty token, so 'a b\n' counted 3 and a tabs-only doc
+    // counted 2 > 0). Over the normalized form the equivalence is total:
+    // whitespace is collapsed to single spaces, trim removes the only
+    // possible edge spaces, and `dl > 0` reproduces the explode's
+    // exclusion of empty/whitespace-only (and null-text) docs exactly,
+    // so n/sum_dl and every join row match the explode-based lengths on
+    // ANY input (hash-verified on the fixture).
     val dl = df.select(col(idCol).as("id"),
-        tokenCount(col(textCol)).cast("long").as("dl"))
+        tokenCount(normalized(col(textCol))).cast("long").as("dl"))
       .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
     val post = toks.filter(col("tok").isin(terms: _*))

@@ -101,7 +101,18 @@ object Pipeline {
     * persisted model — identical values to the composed lmScore (the
     * model tables are deterministic integer-quantized aggregates),
     * one training pass instead of seven. */
-  private def lmScored(s: SparkSession, dir: String) = {
+  private def lmScored(s: SparkSession, dir: String) =
+    lmScoredOf(s, dir, docs(s, dir))
+
+  /** Score an arbitrary (doc_id, text) frame against the per-(process,
+    * dir) persisted LM model (trained ONCE on the full corpus's lang
+    * slice — the model is identical whatever frame is scored). r15: the
+    * clean-corpus stacks score their per-row-gate SURVIVORS instead of
+    * the whole corpus — per-doc LM scores depend only on the doc's own
+    * text and the fixed model, so scoring a subset yields the identical
+    * rows its doc_id-keyed join would have consumed (guide §2.3: filter
+    * before the expensive pass). */
+  private def lmScoredOf(s: SparkSession, dir: String, frame: DataFrame) = {
     val p = artifactDir(s"lmmodel:$dir") { p =>
       val (bs, bo, df) = TextAnalysis.lmTrain(
         docs(s, dir).withColumn("is_tgt", col("lang") === "en"),
@@ -110,7 +121,7 @@ object Pipeline {
       bo.write.mode("overwrite").parquet(p + "/backoff")
       df.write.mode("overwrite").parquet(p + "/dflt")
     }
-    TextAnalysis.lmScoreWith(docs(s, dir), "doc_id", "text",
+    TextAnalysis.lmScoreWith(frame, "doc_id", "text",
       s.read.parquet(s"$p/bigram"), s.read.parquet(s"$p/backoff"),
       s.read.parquet(s"$p/dflt"))
   }
@@ -121,20 +132,53 @@ object Pipeline {
   // threshold or blocklist change edits ONE place and v3/v4/v5 move
   // together instead of drifting across three inline copies) ----
 
+  /** r15 (guide §2.4/§5, the VERDICT r14 headline task): ONE corpus scan
+    * serves every consumer of a v3+ cleaning stack. Before, each aux
+    * gate re-read the documents parquet and re-derived its inputs from
+    * raw text (v5 paid ~8 corpus scans per invocation: the per-row-gate
+    * scan, the LM scoring pass, the duplicated-span pipeline, the
+    * char-entropy explode, the blocklist explode, the Gopher panel, and
+    * the passage-block stream generated THREE times for the census /
+    * budget probe / per-doc denominators). Now the narrow
+    * (doc_id, text, per-row gate columns) projection is materialized
+    * once per invocation — per-invocation `localCheckpoint`, recomputed
+    * from parquet on every run, the dsirWeights discipline — and every
+    * gate is a pass over the checkpointed frame. The per-row kernels
+    * (quality / langId / topGramFrac) are evaluated exactly once, in
+    * the checkpoint pass. */
+  private def cleanBase(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("langp"),
+        TextAnalysis.topGramFrac(col("text"), 2).as("rep"))
+      .localCheckpoint()
+
+  /** The v3 per-row gates over a [[cleanBase]] frame (flag columns are
+    * already materialized, so this is a cheap filter, not a kernel
+    * re-evaluation). */
+  private def cleanSurvivors(base: DataFrame): DataFrame =
+    base.filter(col("quality") >= 0.5 && col("langp") === "en" &&
+      col("rep") <= 0.2)
+
   /** v3 gates: quality >= 0.5, langid == en, top-bigram repetition
     * <= 0.2, LM score floor, substring-dup budget. Returns the kept
-    * (doc-level) rows with `text` still aboard. */
-  private def cleanGatesV3(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val lm = lmScored(s, dir)
+    * (doc-level) rows with `text` still aboard.
+    *
+    * The LM pass scores only the per-row SURVIVORS (per-doc scores
+    * against the fixed persisted model — identical rows to scoring the
+    * corpus, see [[lmScoredOf]]); the duplicated-span census stays
+    * CORPUS-WIDE (a span's duplication evidence lives in other docs). */
+  private def cleanGatesV3(s: SparkSession, dir: String): DataFrame =
+    cleanGatesV3From(s, dir, cleanBase(s, dir))
+
+  private def cleanGatesV3From(s: SparkSession, dir: String,
+                               base: DataFrame): DataFrame = {
+    val surv = cleanSurvivors(base)
+    val lm = lmScoredOf(s, dir, surv)
       .select(col("id").as("doc_id"), col("lm_micro_avg"))
-    val dupF = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
+    val dupF = Dedup.duplicatedSpanFrac(base, "doc_id", "text", k = 8)
       .select(col("id").as("doc_id"), col("dup_frac_micro"))
-    d.withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .withColumn("langp", TextAnalysis.langId(col("text")))
-      .withColumn("rep", TextAnalysis.topGramFrac(col("text"), 2))
-      .filter(col("quality") >= 0.5 && col("langp") === "en" &&
-        col("rep") <= 0.2)
+    surv
       .join(lm, Seq("doc_id"), "left_outer")
       .filter(col("lm_micro_avg") >= -3450000L)
       .join(dupF, "doc_id")
@@ -142,10 +186,19 @@ object Pipeline {
   }
 
   /** v4 = v3 + character-entropy floor + repeated-blocklist-offender
-    * cut (both keyed on doc_id, never row-multiplying). */
-  private def cleanGatesV4(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val chars = d.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    * cut (both keyed on doc_id, never row-multiplying). Both gates are
+    * PER-DOC quantities consumed through doc_id-keyed inner/anti joins
+    * against the v3 output, so they are computed over the per-row
+    * SURVIVOR slice of the checkpointed base (a strict superset of the
+    * docs the joins can consume — identical join results, ~half the
+    * char-explode work and zero extra corpus scans). */
+  private def cleanGatesV4(s: SparkSession, dir: String): DataFrame =
+    cleanGatesV4From(s, dir, cleanBase(s, dir))
+
+  private def cleanGatesV4From(s: SparkSession, dir: String,
+                               base: DataFrame): DataFrame = {
+    val surv = cleanSurvivors(base)
+    val chars = surv.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(length(col("ch")) > 0)
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     val chn = chars.groupBy("doc_id").agg(sum("c").as("n"))
@@ -154,27 +207,36 @@ object Pipeline {
       .select(col("doc_id"),
         round(pr * log(pr) * -1e9).cast("long").as("term_nano"))
       .groupBy("doc_id").agg(sum("term_nano").as("entropy_nano"))
-    val heavy = d.select(col("doc_id"),
+    val heavy = surv.select(col("doc_id"),
         explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
       .filter(col("tok").isin("slow", "fail", "legacy"))
       .groupBy("doc_id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= 3).select("doc_id")
-    cleanGatesV3(s, dir)
+    cleanGatesV3From(s, dir, base)
       .join(ent, "doc_id")
       .filter(col("entropy_nano") >= 2600000000L)
       .join(heavy, Seq("doc_id"), "left_anti")
   }
 
   /** v5 = v4 + the Gopher rule panel (left-semi on the pass set — the
-    * SAME gopherPanel call quality_gopher_rules exposes) + the
-    * cross-document repeated-passage budget (anti-join on violators
-    * with > 50% of 8-word blocks corpus-repeated; block-less docs
-    * carry no repetition evidence and pass by construction). */
+    * SAME gopherPanel call quality_gopher_rules exposes, here evaluated
+    * over the per-row survivors: the semi join can only keep docs that
+    * already passed the per-row gates) + the cross-document
+    * repeated-passage budget (anti-join on violators with > 50% of
+    * 8-word blocks corpus-repeated; block-less docs carry no repetition
+    * evidence and pass by construction). The passage-block stream is
+    * CORPUS-WIDE (repetition evidence) and feeds three consumers
+    * (census, budget probe, per-doc denominators), so it is
+    * materialized once per invocation — blocks are corpus_tokens/8
+    * narrow rows, 8× lighter than the dsir gram frame this discipline
+    * comes from. */
   private def cleanGatesV5(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val gopherPass = TextAnalysis.gopherPanel(d, "doc_id", "text")
+    val base = cleanBase(s, dir)
+    val surv = cleanSurvivors(base)
+    val gopherPass = TextAnalysis.gopherPanel(surv, "doc_id", "text")
       .filter(col("pass")).select(col("id").as("doc_id"))
-    val blocks = Dedup.passageBlocks(d, "doc_id", "text", 8)
+    val blocks = Dedup.passageBlocks(base, "doc_id", "text", 8)
+      .localCheckpoint()
     val prep = blocks.groupBy("fp")
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= 2).select("fp")
@@ -184,7 +246,7 @@ object Pipeline {
       .join(blocks.groupBy("id").agg(count(lit(1)).as("nblk")), "id")
       .filter(col("ndrop") * 2 > col("nblk"))
       .select(col("id").as("doc_id"))
-    cleanGatesV4(s, dir)
+    cleanGatesV4From(s, dir, base)
       .join(gopherPass, Seq("doc_id"), "left_semi")
       .join(pbad, Seq("doc_id"), "left_anti")
   }
@@ -318,10 +380,15 @@ object Pipeline {
     // IEEE-exact quotient of exact ints), so DuckDB recomputes the
     // whole report bit-identically on any host
     "corpus_report" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // r15: one materialized (doc_id, text, source) projection serves
+      // the span census, the LM scoring pass and the source join (the
+      // cleanBase discipline — before: three parquet scans per
+      // invocation). Per-invocation localCheckpoint.
+      val d = docs(s, dir).select("doc_id", "text", "source")
+        .localCheckpoint()
       val frac = Dedup.duplicatedSpanFrac(d, "doc_id", "text", k = 8)
         .select(col("id").as("doc_id"), col("n_tokens"), col("dup_words"))
-      val lm = lmScored(s, dir)
+      val lm = lmScoredOf(s, dir, d)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("lm_micro_sum"))
       d.select("doc_id", "source")
         .join(frac, "doc_id")
@@ -2101,9 +2168,12 @@ object Pipeline {
           explode(split(TextAnalysis.normalized(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       // r14: map-only tokenCount instead of a second corpus explode for
-      // the document lengths (see TextAnalysis.bm25Rank)
+      // the document lengths; r15: counted over normalized(text) so the
+      // count matches the explode path on edge-whitespace docs too
+      // (see TextAnalysis.bm25Rank)
       val dl = docs(s, dir).select(col("doc_id").as("id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("dl"))
+          TextAnalysis.tokenCount(TextAnalysis.normalized(col("text")))
+            .cast("long").as("dl"))
         .filter(col("dl") > 0)
       val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       val terms = queries.select(col("term").as("tok")).distinct()
@@ -3152,10 +3222,19 @@ object Pipeline {
     // doc-wise then aggregated by source: one corpus-keyed shuffle per
     // signal + one by source, all counts exact BIGINTs.
     "corpus_curation_report" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // r15 (guide §2.4/§5): one materialized narrow corpus projection
+      // serves every signal (the cleanBase discipline) — before, the
+      // Gopher panel, the LM scoring pass, the lang/source joins and the
+      // passage-block stream (generated TWICE: census + flag probe) each
+      // re-scanned the documents parquet. Per-invocation localCheckpoint,
+      // recomputed from parquet every run. Signals are unchanged: same
+      // operator calls over the same rows.
+      val d = docs(s, dir).select("doc_id", "text", "lang", "source")
+        .localCheckpoint()
       val gp = TextAnalysis.gopherPanel(d, "doc_id", "text")
         .select(col("id").as("doc_id"), col("pass"))
       val blocks = graft.operators.Dedup.passageBlocks(d, "doc_id", "text", 8)
+        .localCheckpoint()
       val prep = blocks.groupBy("fp")
         .agg(countDistinct(col("id")).as("nd"))
         .filter(col("nd") >= 2).select("fp")
@@ -3163,7 +3242,7 @@ object Pipeline {
         .join(prep.hint("shuffle_hash"), Seq("fp"), "left_semi")
         .select(col("id").as("doc_id")).distinct()
         .withColumn("pflag", lit(true))
-      val scored = lmScored(s, dir)
+      val scored = lmScoredOf(s, dir, d)
         .select(col("id").as("doc_id"), col("lm_micro_avg"))
         .join(d.select("doc_id", "lang"), "doc_id")
       val buckets = graft.operators.Sampling

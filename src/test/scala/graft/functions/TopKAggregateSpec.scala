@@ -101,4 +101,29 @@ class TopKAggregateSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("wrong input types fail at ANALYSIS time, not as an executor cast") {
+    // r15 (advisor): update() casts eval results straight to Double/Long —
+    // a float score or int id used to surface as an executor-side
+    // ClassCastException; checkInputDataTypes must reject it up front
+    val df = spark.range(0, 10).select(
+      (col("id") % 2).as("g"), col("id").cast("float").as("fscore"),
+      col("id").cast("int").as("iid"), col("id").as("lid"),
+      col("id").cast("double").as("dscore"))
+    val floatScore = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(TopKAggregates.topk(
+        col("fscore"), col("lid"), lit(null).cast("long"), 3)).collect()
+    }
+    assert(floatScore.getMessage.contains("topk"), floatScore.getMessage)
+    val intId = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(TopKAggregates.topk(
+        col("dscore"), col("iid"), lit(null).cast("long"), 3)).collect()
+    }
+    assert(intId.getMessage.contains("topk"), intId.getMessage)
+    val strScore = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(TopKAggregates.topkStr(
+        col("dscore"), col("g").cast("string"), 3)).collect()
+    }
+    assert(strScore.getMessage.contains("topkstr"), strScore.getMessage)
+  }
 }

@@ -140,4 +140,42 @@ class ClustersSamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top == again)
   }
+
+  test("dsirWeights sampled-stats mode: exact when the sample covers the " +
+      "corpus; full-coverage deterministic weights otherwise") {
+    // ids whose hashBucket < 8, so hashSample(df, 8) == df and the
+    // sampled-stats path must reproduce the exact full-stats weights
+    val below8 = spark.range(0, 400)
+      .select(col("id"), Sampling.hashBucket(col("id")).as("b"))
+      .filter(col("b") < 8).limit(12).collect().map(_.getLong(0)).toSeq
+    assert(below8.size == 12)
+    val texts = Seq(
+      "alpha beta gamma", "alpha beta", "gamma delta epsilon",
+      "zeta eta theta", "alpha gamma", "beta beta beta",
+      "delta epsilon", "eta theta iota", "alpha delta",
+      "kappa lambda mu", "beta gamma delta", "nu xi omicron")
+    val covered = below8.zip(texts).zipWithIndex
+      .map { case ((id, t), i) => (id, t, i % 3 == 0) }
+      .toDF("doc_id", "text", "is_tgt")
+    val exact = Sampling.dsirWeights(covered, "doc_id", "text", "is_tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.dsirWeights(covered, "doc_id", "text", "is_tgt",
+        statsSixteenths = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled == exact, s"sampled: $sampled\nexact: $exact")
+    // a corpus NOT covered by the slice: every doc still gets a weight
+    // (the full corpus is weighted; only the STATS are sampled) and the
+    // result is deterministic across invocations
+    val general = (0L until 40L).map(i =>
+        (i, s"word${i % 7} word${i % 5} word${i % 3}", i % 4 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    val w1 = Sampling.dsirWeights(general, "doc_id", "text", "is_tgt",
+        statsSixteenths = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = Sampling.dsirWeights(general, "doc_id", "text", "is_tgt",
+        statsSixteenths = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1 == w2)
+    assert(w1.keySet == (0L until 40L).toSet)
+  }
 }

@@ -173,4 +173,25 @@ class IvfSpec extends SparkSpec {
     assert(a == b)              // structural equality
     assert(a.semanticEquals(b)) // what CSE/reuse check
   }
+
+  test("ivfBatchTopK rejects a non-integral id column loudly") {
+    // r15 (VERDICT r14 task 6): the TopKAgg path casts the id to long —
+    // a string id that doesn't parse would cast to null and be SILENTLY
+    // dropped from the top-k; the operator must fail up front instead
+    val idx = Seq(("row-a", Seq(1.0, 0.0), 0)).toDF("vid", "vec", "cell")
+    val qs = Seq((1L, Seq(1.0, 0.0))).toDF("qid", "qvec")
+    val cents = Array(Array(1.0, 0.0))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.ivfBatchTopK(idx, "vid", "vec", qs, "qid", "qvec", cents,
+        k = 3, nProbe = 1)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // and the k bound surfaces with the operator's own vocabulary
+    val idx2 = Seq((1L, Seq(1.0, 0.0), 0)).toDF("vid", "vec", "cell")
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.ivfBatchTopK(idx2, "vid", "vec", qs, "qid", "qvec", cents,
+        k = 65, nProbe = 1)
+    }
+    assert(e2.getMessage.contains("ivfBatchTopK"), e2.getMessage)
+  }
 }

@@ -66,4 +66,33 @@ class RankingSpec extends SparkSpec {
       TextAnalysis.bm25Rank(df, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("bm25Rank: edge-whitespace docs carry the explode-path document length") {
+    // r15 (advisor): dl = tokenCount(text) diverged from the token
+    // explode on edge whitespace — SQL trim() strips only ASCII spaces
+    // and split's limit=-1 keeps a trailing empty token, so 'spark hash\n'
+    // counted dl=3 (true token count 2) and a tabs/newlines-only doc got
+    // dl=2 > 0 and entered n/sum_dl. dl over normalized(text) restores
+    // exact parity; this pins both failure modes.
+    val df = Seq(
+      (0L, "spark hash\n"),        // trailing newline
+      (1L, " spark\thash"),        // leading space + tab separator
+      (2L, "\t\n \n"),             // whitespace-only: must not enter n/sum_dl
+      (3L, "spark hash"),          // the clean twin of docs 0 and 1
+      (4L, "spark filler filler")) // different length, anchors avgdl
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(df, "doc_id", "text",
+        Seq("spark", "hash"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical token content => identical dl => identical score
+    assert(out(0L) == out(3L), out.toString)
+    assert(out(1L) == out(3L), out.toString)
+    // the whitespace-only doc contributes nothing to n / sum_dl: scores
+    // must equal those computed on the corpus without it
+    val without = TextAnalysis.bm25Rank(
+        df.filter(col("doc_id") =!= 2L), "doc_id", "text",
+        Seq("spark", "hash"), topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == without, s"got $out vs $without")
+  }
 }

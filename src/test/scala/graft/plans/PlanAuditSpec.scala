@@ -74,6 +74,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("v3+ clean stacks / corpus reports: one checkpointed corpus projection, no documents re-scan") {
+    // r15: every aux gate reads the per-invocation localCheckpoint of the
+    // narrow corpus projection — the FINAL plan must contain no scan of
+    // the documents parquet at all (the one corpus scan happens in the
+    // checkpoint job; the only FileScans left are the tiny persisted LM
+    // model tables). Before this pin, v5 re-scanned the corpus ~8 times.
+    for (name <- Seq("pipeline_clean_corpus_v3", "pipeline_clean_corpus_v4",
+        "pipeline_clean_corpus_v5", "corpus_curation_report",
+        "corpus_report")) {
+      val plan = finalPlan(q(name))
+      assert(!plan.contains("documents.parquet"),
+        s"$name re-scans the documents parquet in its final plan\n$plan")
+    }
+  }
+
   test("SQ8 top-k: byte-scan shortlist and rerank are both TakeOrderedAndProject, no global sort") {
     val plan = finalPlan(q("emb_sq8_topk"))
     assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 1, plan)
