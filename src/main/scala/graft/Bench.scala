@@ -71,6 +71,17 @@ object Bench {
     spark
   }
 
+  /** Bench session + extra confs — for measurement tools (JoinAb) that
+    * A/B a single config knob against the exact bench baseline. */
+  private[graft] def sessionWith(cpus: String,
+                                 extra: Map[String, String]): SparkSession = {
+    val b = sessionBuilder(cpus)
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

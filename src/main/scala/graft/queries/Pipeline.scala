@@ -2818,13 +2818,20 @@ object Pipeline {
     // sizes 1..4 — the "pick your shingle width" panel (short grams
     // saturate, long grams go unique); one scan per n, integer division
     "corpus_dedup_curve" -> ((s, dir) => {
-      val perN = (1 to 4).map { n =>
-        docs(s, dir).select(
-            explode(graft.functions.WordGrams(col("text"), n)).as("g"))
-          .agg(lit(n).as("n"), count(lit(1)).as("total"),
-            countDistinct(col("g")).as("n_distinct"))
-      }
-      perN.reduce(_.unionByName(_))
+      // r15 (guide §2.4): ONE corpus scan + ONE tagged gram explode for
+      // all four n — the union-of-four-aggregates form re-scanned and
+      // re-tokenized the corpus once per n (sibling agg branches over
+      // the same scan are NOT merged by Catalyst) and paid four distinct
+      // aggregations. Each gram rides an (n, gram) struct; per-n
+      // total/countDistinct over the tagged stream are the identical
+      // multisets, so the curve rows are unchanged (hash-verified).
+      val tagged = docs(s, dir).select(
+          explode(flatten(array((1 to 4).map(n =>
+            transform(graft.functions.WordGrams(col("text"), n),
+              g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+        .select(col("t.n").as("n"), col("t.g").as("g"))
+      tagged.groupBy("n")
+        .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("n_distinct"))
         .select(col("n"), col("total"), col("n_distinct"),
           expr("(total - n_distinct) * 1000000 DIV total")
             .as("dup_frac_micro"))

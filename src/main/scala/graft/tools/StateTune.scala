@@ -28,7 +28,8 @@ import graft.sources.v2.FluvioTableProvider
   */
 object StateTune {
 
-  private def drainOnce(spark: SparkSession, mpBase: String): Double = {
+  /** One full drain; returns (busy seconds, rows drained). */
+  private def drainOnce(spark: SparkSession, mpBase: String): (Double, Long) = {
     val ckpt = java.nio.file.Files.createTempDirectory("state_tune_ckpt_")
     val t0 = System.nanoTime()
     val q = graft.streaming.StreamingDedup.exactByFingerprint(
@@ -42,12 +43,13 @@ object StateTune {
     val busy = q.recentProgress.toSeq.map(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.longValue()).getOrElse(0L))
       .sum / 1000.0
+    val rows = q.recentProgress.toSeq.map(_.numInputRows).sum
     q.stop()
     java.nio.file.Files.walk(ckpt)
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
     val wall = (System.nanoTime() - t0) / 1e9
-    math.min(busy.max(0.001), wall)
+    (math.min(busy.max(0.001), wall), rows)
   }
 
   private def session(partitions: Int, confs: Map[String, String]): SparkSession = {
@@ -66,6 +68,13 @@ object StateTune {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // r15 (VERDICT r13 task 5 / r14 task 8): optional LARGE-STATE leg —
+    // a second fixture dir whose events table is ~10× the primary's
+    // (fixtures/sf1), so the state store holds ~1M distinct fingerprints
+    // instead of ~100k; the HDFS-backed store keeps all state on the
+    // heap per partition, RocksDB spills — this leg measures where the
+    // crossover sits instead of extrapolating it.
+    val largeDir = args.headOption
     val reps = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(2)
     val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val variants: Seq[(String, Int, Map[String, String])] = Seq(
@@ -76,25 +85,38 @@ object StateTune {
       ("rocksdb_changelog", 32, Map(
         "spark.sql.streaming.stateStore.providerClass" -> rocks,
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")))
-    val results = variants.map { case (name, parts, confs) =>
-      val spark = session(parts, confs)
-      val mpBase = MpFixture.baseDir(spark, sfDir)
-      // per-variant warm-up drain (codegen + provider class-load), then
-      // timed reps
-      drainOnce(spark, mpBase)
-      val times = (1 to reps).map(_ => drainOnce(spark, mpBase))
-      spark.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      (name, times)
-    }
-    val records = 100000L // the -B -A drain covers the whole fixture
-    val json = results.map { case (name, times) =>
+    // large-state leg: the deploy-relevant pair only (the shipped
+    // 8-partition HDFS point vs RocksDB at the same partitioning —
+    // provider is the axis under test, partitions held at the r13 pin)
+    val largeVariants: Seq[(String, Int, Map[String, String])] = Seq(
+      ("hdfs8_large", 8, Map.empty),
+      ("rocksdb8_large", 8, Map(
+        "spark.sql.streaming.stateStore.providerClass" -> rocks)),
+      ("rocksdb8_changelog_large", 8, Map(
+        "spark.sql.streaming.stateStore.providerClass" -> rocks,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")))
+    def run(dir: String, vs: Seq[(String, Int, Map[String, String])]) =
+      vs.map { case (name, parts, confs) =>
+        val spark = session(parts, confs)
+        val mpBase = MpFixture.baseDir(spark, dir)
+        // per-variant warm-up drain (codegen + provider class-load), then
+        // timed reps
+        drainOnce(spark, mpBase)
+        val runs = (1 to reps).map(_ => drainOnce(spark, mpBase))
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        (name, runs.map(_._1), runs.head._2)
+      }
+    val results = run(sfDir, variants) ++
+      largeDir.toSeq.flatMap(d => run(d, largeVariants))
+    val json = results.map { case (name, times, records) =>
       val mn = times.min
       "\"" + name + "\":" +
-        f"""{"busy_secs_min":$mn%.3f,"records_per_sec":${records / mn}%.0f,"reps":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
+        f"""{"busy_secs_min":$mn%.3f,"records_per_sec":${records / mn}%.0f,"records":$records,"reps":${times.map(t => f"$t%.3f").mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"state_tune","sf":"$sfDir","variants":$json}"""
+    val largeJson = largeDir.map(d => s""","large_sf":"$d"""").getOrElse("")
+    val line = s"""{"metric":"state_tune","sf":"$sfDir"$largeJson,"variants":$json}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("state_tune.json"),
       (line + "\n").getBytes("UTF-8"))
